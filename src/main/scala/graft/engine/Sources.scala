@@ -1,0 +1,62 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Schema-declared table readers.
+  *
+  * Two families:
+  *   - the driver testdata star schema (`/root/testdata/sf*`; Parquet, schemas
+  *     carried by the files themselves — see FIXTURES.md §B);
+  *   - the reference engine's native MovieLens-format CSV inputs
+  *     (movies.csv / ratings.csv), with explicit [[StructType]] schemas
+  *     replacing the reference's positional `line.split(",")` parsing
+  *     (reference: MovieRank.java:58, MovieRating.java:59) and its hand-rolled
+  *     header skip (MovieRank.java:40-41,61-63 → `option("header", true)`)
+  *     and quoted-title reassembly (MovieRank.java:44-47 → RFC-4180 `quote`).
+  *
+  * At 100 TB the fact tables arrive as Parquet; keeping readers schema-declared
+  * (never `inferSchema`) means one footer read, stable types for the oracle,
+  * and full predicate/column pushdown into the scan.
+  */
+object Sources {
+
+  /** Generic accessor for a driver testdata table. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, d: String): DataFrame    = table(spark, d, "region")
+  def nation(spark: SparkSession, d: String): DataFrame    = table(spark, d, "nation")
+  def customer(spark: SparkSession, d: String): DataFrame  = table(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame  = table(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame      = table(spark, d, "part")
+  def orders(spark: SparkSession, d: String): DataFrame    = table(spark, d, "orders")
+  def lineitem(spark: SparkSession, d: String): DataFrame  = table(spark, d, "lineitem")
+  def events(spark: SparkSession, d: String): DataFrame    = table(spark, d, "events")
+  def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
+
+  /** movies.csv: `movieId,title,genres` (FIXTURES.md §A). */
+  val moviesSchema: StructType = StructType(Seq(
+    StructField("movieId", IntegerType, nullable = false),
+    StructField("title", StringType, nullable = true),
+    StructField("genres", StringType, nullable = true)))
+
+  /** ratings.csv: `userId,movieId,rating,timestamp` (FIXTURES.md §A). */
+  val ratingsSchema: StructType = StructType(Seq(
+    StructField("userId", IntegerType, nullable = false),
+    StructField("movieId", IntegerType, nullable = false),
+    StructField("rating", DoubleType, nullable = false),
+    StructField("timestamp", LongType, nullable = true)))
+
+  /** MovieLens movies dimension. RFC-4180 quoting handles comma-in-title rows
+    * that the reference re-joins by hand (MovieRank.java:44-47); unlike the
+    * reference we strip the surrounding quotes and keep the genres column
+    * (dropped downstream via select, not at parse — SURVEY.md §2.2 P3). */
+  def moviesCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").schema(moviesSchema).csv(path)
+
+  /** MovieLens ratings fact table (header skip ≙ MovieRank.java:61-63). */
+  def ratingsCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").schema(ratingsSchema).csv(path)
+}
