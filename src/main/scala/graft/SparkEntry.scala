@@ -1,76 +1,30 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.engine.{RefQueries, Sources}
+import graft.queries.RefParityQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Every operator from SURVEY.md §2 registers at least one named query here;
-  * each query with SQL-expressible semantics also registers DuckDB oracle SQL
-  * with IDENTICAL column names and a total ORDER BY (unique tie-break key) so
-  * the driver's hash compare is deterministic.
+  * Every operator from SURVEY.md §2 (and the extension set) registers at
+  * least one named query here; each query with SQL-expressible semantics also
+  * registers DuckDB oracle SQL with IDENTICAL column names/types and a total
+  * ORDER BY (unique tie-break key) so the driver's hash compare is
+  * deterministic. Queries are contributed by per-area registries under
+  * [[graft.queries]].
   */
 object SparkEntry {
-
-  /** Runtime session tuning applied on first query build (the Bench/Verify
-    * mains own the builder, so scale knobs are set via runtime conf): AQE for
-    * runtime re-planning (skew-join splitting, shuffle coalescing at 100 TB),
-    * explicit broadcast threshold. Idempotent. */
-  private def tune(spark: SparkSession): SparkSession = {
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
-    spark
-  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_movierank")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-
-    // ── Reference parity: the two headline pipelines (SURVEY.md §2.10) ──
-    // Q1 MovieRank ≙ rank parts by lineitem count (broadcast join + count +
-    // global sort; MovieRank.java:145-214).
-    "q1_movierank" -> ((s, dir) => {
-      val sp = tune(s)
-      RefQueries.rankByCount(
-        Sources.lineitem(sp, dir), Sources.part(sp, dir),
-        factKey = "l_partkey", dimKey = "p_partkey", titleCol = "p_name",
-        asc = true)
-    }),
-
-    // Q2 MovieRating ≙ avg(l_quantity) per part HAVING count>25 AND avg>25.5,
-    // sorted by avg (MovieRating.java:140-210; strict > per :97,:100).
-    "q2_movierating" -> ((s, dir) => {
-      val sp = tune(s)
-      RefQueries.ratingByAvg(
-        Sources.lineitem(sp, dir), Sources.part(sp, dir),
-        factKey = "l_partkey", dimKey = "p_partkey", titleCol = "p_name",
-        measure = "l_quantity", minCount = 25L, minAvg = 25.5,
-        asc = true)
-    })
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RefParityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
-    * same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-
-    "q1_movierank" ->
-      """SELECT p.p_partkey AS key, p.p_name AS title, count(*) AS cnt
-        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-        |GROUP BY p.p_partkey, p.p_name
-        |ORDER BY cnt ASC, key ASC""".stripMargin,
-
-    "q2_movierating" ->
-      """SELECT p.p_partkey AS key, p.p_name AS title,
-        |       round(avg(l.l_quantity), 4) AS avg_rating,
-        |       count(*) AS num_ratings
-        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-        |GROUP BY p.p_partkey, p.p_name
-        |HAVING count(*) > 25 AND avg(l.l_quantity) > 25.5
-        |ORDER BY avg_rating ASC, key ASC""".stripMargin
-  )
+    * same parquet tables. Omitted keys (non-SQL-expressible ops) get the
+    * driver's weaker rows-only check and a scalatest spec instead. */
+  def oracleSql: Map[String, String] =
+    RefParityQueries.oracles
 }

@@ -1,0 +1,270 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.expressions.Window
+import graft.engine.{RefQueries, Sources, Tuning}
+
+/** Reference-parity query registry: the two headline pipelines plus one
+  * micro-query per operator row of SURVEY.md §2, each with DuckDB oracle SQL.
+  *
+  * Determinism contract (SURVEY.md §7.5): every query ends in a total ORDER BY
+  * with a unique tie-break key; float aggregates are rounded identically in
+  * both engines; column aliases match the oracle exactly.
+  */
+object RefParityQueries {
+
+  private def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => f(Tuning.tune(s), dir)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── Headline pipelines (SURVEY.md §2.10) ──────────────────────────────
+    // Q1 MovieRank ≙ rank parts by lineitem count (MovieRank.java:145-214):
+    // broadcast join + groupBy count + global asc sort (O1 literal order).
+    "q1_movierank" -> q((s, dir) =>
+      RefQueries.rankByCount(
+        Sources.lineitem(s, dir), Sources.part(s, dir),
+        factKey = "l_partkey", dimKey = "p_partkey", titleCol = "p_name",
+        asc = true)),
+
+    // Q2 MovieRating ≙ avg(l_quantity) per part, strict dual HAVING
+    // (MovieRating.java:97,100), asc sort (O2 literal order).
+    "q2_movierating" -> q((s, dir) =>
+      RefQueries.ratingByAvg(
+        Sources.lineitem(s, dir), Sources.part(s, dir),
+        factKey = "l_partkey", dimKey = "p_partkey", titleCol = "p_name",
+        measure = "l_quantity", minCount = 25L, minAvg = 25.5, asc = true)),
+
+    // README.md:12 intent: "popularity" = descending count (SURVEY §2.5 O1a).
+    "q1_movierank_desc" -> q((s, dir) =>
+      RefQueries.rankByCount(
+        Sources.lineitem(s, dir), Sources.part(s, dir),
+        factKey = "l_partkey", dimKey = "p_partkey", titleCol = "p_name",
+        asc = false)),
+
+    // ── Scans / projections / filters (S1, P1, P2, P4) ────────────────────
+    // Projection + predicate; both must reach the parquet scan (ReadSchema /
+    // PushedFilters — the reference prunes by hand, MovieRank.java:65-72).
+    "scan_project_filter" -> q((s, dir) =>
+      Sources.lineitem(s, dir)
+        .where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // P5 casts: numeric↔string round-trips the reference does at every stage
+    // boundary (MovieRank.java:43,65,89,123).
+    "cast_roundtrip" -> q((s, dir) =>
+      Sources.lineitem(s, dir)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast(IntegerType).as("qty_int"),
+          col("l_orderkey").cast("string").cast("bigint").as("key_roundtrip"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // P6 tab-tuple pack/unpack, the reference's inter-stage "schema"
+    // (MovieRank.java:70,88) — here a real pack/unpack expression pair.
+    "tuple_pack_unpack" -> q((s, dir) =>
+      Sources.part(s, dir)
+        .select(
+          col("p_partkey"),
+          concat_ws("#", col("p_brand"), col("p_type")).as("packed"))
+        .withColumn("brand_back", substring_index(col("packed"), "#", 1))
+        .orderBy(col("p_partkey"))),
+
+    // ── Joins (J1, J1a) ───────────────────────────────────────────────────
+    // Broadcast equi-join on a second (customer⋈orders) pair + agg.
+    "join_inner_agg" -> q((s, dir) =>
+      Sources.orders(s, dir)
+        .join(broadcast(Sources.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("c_mktsegment"))),
+
+    // J1a join-miss policy: probe against a truncated dimension; unmatched
+    // keys surface as the literal "null" title (MovieRank.java:67-70).
+    "join_miss_null" -> q((s, dir) => {
+      val dim = Sources.part(s, dir).where(col("p_partkey") < 100)
+      Sources.lineitem(s, dir)
+        .join(broadcast(dim), col("l_partkey") === col("p_partkey"), "left_outer")
+        .groupBy(col("l_partkey"), coalesce(col("p_name"), lit("null")).as("title"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("l_partkey"))
+    }),
+
+    // ── Aggregations (A1-A6) ──────────────────────────────────────────────
+    // Strict > HAVING on count (A4; MovieRating.java:96-97).
+    "having_support" -> q((s, dir) =>
+      Sources.lineitem(s, dir)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") > 600)
+        .orderBy(col("l_suppkey"))),
+
+    // A6 first-title-per-group, made deterministic as min() (SURVEY §2.4).
+    "first_per_group" -> q((s, dir) =>
+      Sources.lineitem(s, dir)
+        .join(broadcast(Sources.part(s, dir)),
+          col("l_partkey") === col("p_partkey"), "inner")
+        .groupBy(col("l_partkey"))
+        .agg(min(col("p_name")).as("title"), count(lit(1)).as("cnt"))
+        .orderBy(col("l_partkey"))),
+
+    // S5 two-job pipeline chaining as lazy agg-on-agg composition: per-part
+    // count histogram (the reference materializes /temp between these,
+    // MovieRank.java:169,194 — here a single fused plan).
+    "pipeline_two_stage" -> q((s, dir) =>
+      Sources.lineitem(s, dir)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("cnt")).agg(count(lit(1)).as("n_parts"))
+        .orderBy(col("cnt"))),
+
+    // Distinct (extension beyond reference; SURVEY §2.6 notes none exist).
+    "distinct_brands" -> q((s, dir) =>
+      Sources.part(s, dir).select(col("p_brand")).distinct()
+        .orderBy(col("p_brand"))),
+
+    // Set ops: union ∘ distinct ∘ except (none in reference, SURVEY §2.6):
+    // custkeys that placed orders but sit outside two named segments.
+    "setops_active_other_segments" -> q((s, dir) => {
+      val c = Sources.customer(s, dir)
+      val building = c.where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val machinery = c.where(col("c_mktsegment") === "MACHINERY").select(col("c_custkey"))
+      val active = Sources.orders(s, dir).select(col("o_custkey").as("c_custkey"))
+      active.distinct()
+        .except(building.union(machinery))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "setops_active_building" -> q((s, dir) => {
+      val building = Sources.customer(s, dir)
+        .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val active = Sources.orders(s, dir).select(col("o_custkey").as("c_custkey"))
+      building.intersect(active).orderBy(col("c_custkey"))
+    }),
+
+    // Window/ranking functions (none in reference, SURVEY §2.6): top-3 parts
+    // per brand by retail price.
+    "window_topk_per_brand" -> q((s, dir) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+      Sources.part(s, dir)
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("p_brand"), col("rnk"), col("p_partkey"), col("p_retailprice"))
+        .orderBy(col("p_brand"), col("rnk"))
+    }),
+
+    // Rollup (multi-level aggregate; extension).
+    "agg_rollup" -> q((s, dir) =>
+      Sources.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("cnt"), col("sum_qty"))
+        .orderBy(col("flag"), col("status")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_movierank" ->
+      """SELECT p.p_partkey AS key, p.p_name AS title, count(*) AS cnt
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY p.p_partkey, p.p_name
+        |ORDER BY cnt ASC, key ASC""".stripMargin,
+
+    "q2_movierating" ->
+      """SELECT p.p_partkey AS key, p.p_name AS title,
+        |       round(avg(l.l_quantity), 4) AS avg_rating,
+        |       count(*) AS num_ratings
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY p.p_partkey, p.p_name
+        |HAVING count(*) > 25 AND avg(l.l_quantity) > 25.5
+        |ORDER BY avg_rating ASC, key ASC""".stripMargin,
+
+    "q1_movierank_desc" ->
+      """SELECT p.p_partkey AS key, p.p_name AS title, count(*) AS cnt
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY p.p_partkey, p.p_name
+        |ORDER BY cnt DESC, key ASC""".stripMargin,
+
+    "scan_project_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "cast_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       cast(l_quantity AS int) AS qty_int,
+        |       cast(cast(l_orderkey AS varchar) AS bigint) AS key_roundtrip
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "tuple_pack_unpack" ->
+      """SELECT p_partkey, p_brand || '#' || p_type AS packed,
+        |       split_part(p_brand || '#' || p_type, '#', 1) AS brand_back
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "join_inner_agg" ->
+      """SELECT c.c_mktsegment, count(*) AS n_orders,
+        |       round(sum(o.o_totalprice), 2) AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+
+    "join_miss_null" ->
+      """SELECT l.l_partkey, coalesce(p.p_name, 'null') AS title, count(*) AS cnt
+        |FROM lineitem l LEFT JOIN (SELECT * FROM part WHERE p_partkey < 100) p
+        |  ON l.l_partkey = p.p_partkey
+        |GROUP BY l.l_partkey, coalesce(p.p_name, 'null')
+        |ORDER BY l.l_partkey""".stripMargin,
+
+    "having_support" ->
+      """SELECT l_suppkey, count(*) AS cnt FROM lineitem
+        |GROUP BY l_suppkey HAVING count(*) > 600
+        |ORDER BY l_suppkey""".stripMargin,
+
+    "first_per_group" ->
+      """SELECT l.l_partkey, min(p.p_name) AS title, count(*) AS cnt
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY l.l_partkey ORDER BY l.l_partkey""".stripMargin,
+
+    "pipeline_two_stage" ->
+      """SELECT cnt, count(*) AS n_parts FROM (
+        |  SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey
+        |) GROUP BY cnt ORDER BY cnt""".stripMargin,
+
+    "distinct_brands" ->
+      "SELECT DISTINCT p_brand FROM part ORDER BY p_brand",
+
+    "setops_active_other_segments" ->
+      """SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        |EXCEPT (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+        |) ORDER BY c_custkey""".stripMargin,
+
+    "setops_active_building" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT SELECT o_custkey AS c_custkey FROM orders
+        |ORDER BY c_custkey""".stripMargin,
+
+    "window_topk_per_brand" ->
+      """SELECT p_brand, cast(rnk AS int) AS rnk, p_partkey, p_retailprice FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |         row_number() OVER (PARTITION BY p_brand
+        |           ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk
+        |  FROM part
+        |) WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |       coalesce(l_linestatus, 'ALL') AS status,
+        |       count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin
+  )
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.RefParityQueries
+
+/** Smoke + spot checks for every registered reference-parity query on the
+  * sf0.001 testdata (full value checks run through the DuckDB oracle at
+  * sf0.01 — SURVEY.md §5.1; these pin plan-shape and non-emptiness per SF). */
+class RefParityQueriesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("every registered query is non-empty on sf0.001") {
+    RefParityQueries.queries.foreach { case (name, fn) =>
+      val n = fn(spark, dir).count()
+      assert(n > 0, s"query $name returned 0 rows on sf0.001")
+    }
+  }
+
+  test("every query has either an oracle or a documented omission") {
+    val missing = RefParityQueries.queries.keySet -- RefParityQueries.oracles.keySet
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+  }
+
+  test("q1_movierank: total count equals lineitem row count") {
+    val df = RefParityQueries.queries("q1_movierank")(spark, dir)
+    val total = df.agg(org.apache.spark.sql.functions.sum("cnt")).collect()(0).getLong(0)
+    assert(total == 6000L)
+  }
+
+  test("q1_movierank plan: broadcast join + two-phase aggregate, no extra shuffle") {
+    val df = RefParityQueries.queries("q1_movierank")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "dimension join must not shuffle the fact side")
+  }
+
+  test("scan_project_filter plan: filter and projection pushed to parquet scan") {
+    val df = RefParityQueries.queries("scan_project_filter")(spark, dir)
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("FileScan")).mkString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"),
+      s"filter not pushed: $scan")
+    assert(!scan.contains("l_shipdate"), s"unneeded columns read: $scan")
+  }
+}
