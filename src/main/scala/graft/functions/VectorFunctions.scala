@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>`/`array<double>` embedding columns as pure
+  * codegen'd higher-order-function expressions (`zip_with` + `aggregate`) —
+  * no UDFs, so similarity scans stay inside whole-stage codegen.
+  *
+  * All math is done in double regardless of input element type (cast inside
+  * the lambdas), matching the DuckDB oracle's double-precision path. */
+object VectorFunctions {
+
+  /** Σ aᵢ·bᵢ, sequential left-to-right fold (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** ‖a‖₂ */
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** cos(a, b) = a·b / (‖a‖‖b‖); 0.0 when either side has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val na = norm(a)
+    val nb = norm(b)
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb))
+  }
+
+  /** cosine given precomputed norms — at corpus scale norms are computed
+    * once per row and reused across the O(queries × corpus) pair evaluations,
+    * turning the per-pair cost into a single dot product. */
+  def cosinePrenormed(a: Column, b: Column, normA: Column, normB: Column): Column =
+    when(normA === 0.0 || normB === 0.0, lit(0.0))
+      .otherwise(dot(a, b) / (normA * normB))
+
+  /** Random-hyperplane (sign) LSH bucket for cosine similarity: `planes` is a
+    * seeded list of hyperplane vectors; the bucket id packs the sign bits of
+    * the projections. Vectors within cosine θ of each other collide with
+    * probability (1 - angle/π) per bit. */
+  def hyperplaneBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (plane, i) =>
+      val planeArr = array(plane.map(lit): _*)
+      when(dot(vec, planeArr) >= 0.0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduceLeft(_ + _)
+  }
+
+  /** Deterministic pseudo-random hyperplanes for [[hyperplaneBucket]]. */
+  def randomPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+}
