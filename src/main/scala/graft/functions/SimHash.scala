@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.functions.{bit_count, col, transform, xxhash64}
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType}
+import org.apache.spark.sql.functions.{bit_count, transform, xxhash64}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** SimHash over an `array<long>` of feature hashes: per bit position, sum +1
   * when the feature hash has the bit set, -1 otherwise; the output bit is the
@@ -19,7 +19,6 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongTy
   * for the whole projection — the hot path at corpus scale). */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def checkInputDataTypes() = child.dataType match {
     case ArrayType(LongType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
@@ -69,9 +68,13 @@ object SimHash64 {
   }
 
   /** Column API: simhash of an array<string> feature column (features are
-    * xxhash64'd first). */
-  def simhash64(features: Column): Column =
-    Column(SimHash64(transform(features, f => xxhash64(f)).expr))
+    * xxhash64'd first). Spark 4's Column is ColumnNode-backed, so the
+    * Expression bridge goes through the classic converters. */
+  def simhash64(features: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      SimHash64(ColumnBridge.expression(transform(features, f => xxhash64(f)))))
+  }
 
   /** Hamming distance between two simhash values — pure built-ins
     * (`bit_count(a XOR b)`), fully codegen'd. */

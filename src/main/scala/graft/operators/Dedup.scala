@@ -24,9 +24,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup on arbitrary key columns: deterministically keeps the row
-    * with the minimum id per key group. */
-  def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
+  /** Exact dedup on arbitrary key columns: deterministically keeps the full
+    * row with the minimum id per key group (one agg shuffle + a semi join on
+    * (keys, id) — both hash-partitioned on the same keys, so AQE fuses the
+    * exchanges). */
+  def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
+    val survivors = df.groupBy(keyCols.map(col): _*).agg(min(col(idCol)).as(idCol))
+    df.join(survivors, keyCols :+ idCol, "left_semi")
+  }
+
+  /** The survivor keys only: (keyCols..., min id) — one shuffle, no join. */
+  def exactKeys(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as(idCol))
 
@@ -36,7 +44,7 @@ object Dedup {
     array_distinct(
       when(size(toks) < n, array(concat_ws(" ", toks)))
         .otherwise(transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, n)))))
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
   }
 
   /** (id, shingles, n_shingles) projection of a document table. */
@@ -56,7 +64,11 @@ object Dedup {
     * rare-shingle prefix. */
   def exactJaccardJoin(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val ds = docShingles(docs, idCol, textCol, n).cache()
+    // No .cache() here: the shingle projection is recomputed per use (it is a
+    // narrow map over the scan); callers that materialize repeatedly should
+    // persist/unpersist around the call — holding executor memory inside a
+    // library operator leaks at corpus scale.
+    val ds = docShingles(docs, idCol, textCol, n)
 
     // Global shingle rarity rank (unique: ties broken by shingle text).
     val freq = ds.select(explode(col("sh")).as("s"))
@@ -77,7 +89,7 @@ object Dedup {
       .select(col("id"), col("n_sh"),
         transform(col("rs"), r => r.getField("s")).as("sh_sorted"))
     val prefixes = sortedSh
-      .select(col("id"), explode(slice(col("sh_sorted"), 1, prefixLen)).as("s"))
+      .select(col("id"), explode(slice(col("sh_sorted"), lit(1), prefixLen)).as("s"))
 
     // Inverted index over prefixes → candidate pairs.
     val a = prefixes.as("a"); val b = prefixes.as("b")
@@ -131,12 +143,11 @@ object Dedup {
     val r = k / bands
     val ds = docShingles(docs, idCol, textCol, n)
       .withColumn("sig", minHashSignature(col("sh"), k, seed))
-      .cache()
 
     val banded = ds.select(col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"),
-          xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, r))).as("bucket"))))
+          xxhash64(concat_ws(",", slice(col("sig"), b * lit(r) + lit(1), lit(r)))).as("bucket"))))
         .as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
