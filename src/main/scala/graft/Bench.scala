@@ -10,6 +10,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warm-up on the smallest sf so timed numbers measure the
+    // engine, not JIT compilation of the first query to run.
+    val warmDir = new java.io.File(sfDir).getParentFile match {
+      case p: java.io.File if new java.io.File(p, "sf0.001").isDirectory =>
+        Some(new java.io.File(p, "sf0.001").getPath)
+      case _ => None
+    }
+    warmDir.foreach { d =>
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, d).count() catch { case _: Throwable => () }
+      }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.RefParityQueries
+import graft.queries.{DedupQueries, EventQueries, RefParityQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,11 +20,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RefParityQueries.queries
+    RefParityQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
+      SimilarityQueries.queries ++ EventQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
-    * same parquet tables. Omitted keys (non-SQL-expressible ops) get the
-    * driver's weaker rows-only check and a scalatest spec instead. */
+    * same parquet tables. Omitted keys (non-SQL-expressible ops — seeded
+    * xxhash64 MinHash/SimHash/LSH, the fake-decode stub) get the driver's
+    * weaker rows-only check and a scalatest spec instead. */
   def oracleSql: Map[String, String] =
-    RefParityQueries.oracles
+    RefParityQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
+      SimilarityQueries.oracles ++ EventQueries.oracles
 }

@@ -32,7 +32,18 @@ object Sources {
   def part(spark: SparkSession, d: String): DataFrame      = table(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame    = table(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame  = table(spark, d, "lineitem")
-  def events(spark: SparkSession, d: String): DataFrame    = table(spark, d, "events")
+
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS) INT64, which Spark 4's
+    * parquet reader rejects outright. Read nanos as raw long (legacy conf)
+    * and rebuild a proper TimestampType column via integer division to µs —
+    * `ts div 1000`, NOT `/ 1000.0`: double math on ~1.7e18 ns only carries
+    * 53 mantissa bits (~128 ns error), enough to shift a microsecond. */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    table(spark, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
 

@@ -31,6 +31,7 @@ object Dedup {
   def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
     val survivors = df.groupBy(keyCols.map(col): _*).agg(min(col(idCol)).as(idCol))
     df.join(survivors, keyCols :+ idCol, "left_semi")
+      .select(df.columns.map(col): _*) // USING join moves keys first; restore
   }
 
   /** The survivor keys only: (keyCols..., min id) — one shuffle, no join. */
@@ -38,8 +39,14 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as(idCol))
 
-  /** Distinct word n-gram shingle set of a text column. */
-  def shingles(text: Column, n: Int = 3): Column = {
+  /** Distinct word n-gram shingle set of a text column — native codegen
+    * expression ([[graft.functions.NGramShingles]]); the interpreted-HOF
+    * equivalent lives in [[shinglesHof]] as the executable spec. */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.NGramShingles.shinglesNative(TextOps.tokens(text), n)
+
+  /** HOF reference form of [[shingles]] (kept for differential tests). */
+  def shinglesHof(text: Column, n: Int = 3): Column = {
     val toks = TextOps.tokens(text)
     array_distinct(
       when(size(toks) < n, array(concat_ws(" ", toks)))
@@ -70,36 +77,41 @@ object Dedup {
     // library operator leaks at corpus scale.
     val ds = docShingles(docs, idCol, textCol, n)
 
-    // Global shingle rarity rank (unique: ties broken by shingle text).
+    // Global shingle rarity: document frequency per shingle. The prefix
+    // order only needs to be a TOTAL ORDER consistent across docs, so the
+    // (df, shingle) tuple itself is the sort key — no global row_number
+    // window (a single-partition sort at scale); array_sort on the collected
+    // structs orders lexicographically by (df, s) per doc, fully distributed.
     val freq = ds.select(explode(col("sh")).as("s"))
       .groupBy("s").agg(count(lit(1)).as("df"))
-    val ranked = freq.select(col("s"),
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("df"), col("s"))).as("rank"))
-    // Note: a global row_number window is a single-partition sort at scale —
-    // substitute a zipWithIndex-on-sorted or dense monotonic rank there; the
-    // rank only needs to be a total order consistent across docs.
 
-    // Re-sort each doc's shingles rarest-first, keep the prefix.
+    // Re-sort each doc's shingles rarest-first, keep the prefix. Every join
+    // below is pinned to SHUFFLE_HASH: the joined sides (shingle frequency
+    // table, prefix inverted index, full shingle-set projections) are all
+    // CORPUS-SIZED, so broadcasting them is wrong at scale — and locally the
+    // size estimator undercounts the array-of-string rows badly enough to
+    // broadcast hundreds of MB, fragmenting the heap (measured 7 s → 187 s
+    // run-to-run degradation from humongous-allocation churn).
     val prefixLen = (col("n_sh") - ceil(col("n_sh") * threshold) + 1).cast("int")
     val sortedSh = ds.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
-      .join(ranked, "s")
+      .join(freq.hint("shuffle_hash"), "s")
       .groupBy("id", "n_sh")
-      .agg(array_sort(collect_list(struct(col("rank"), col("s")))).as("rs"))
+      .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("rs"))
       .select(col("id"), col("n_sh"),
         transform(col("rs"), r => r.getField("s")).as("sh_sorted"))
     val prefixes = sortedSh
       .select(col("id"), explode(slice(col("sh_sorted"), lit(1), prefixLen)).as("s"))
 
     // Inverted index over prefixes → candidate pairs.
-    val a = prefixes.as("a"); val b = prefixes.as("b")
+    val a = prefixes.as("a"); val b = prefixes.hint("shuffle_hash").as("b")
     val candidates = a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
 
-    // Verify with exact jaccard from the full shingle sets.
+    // Verify with exact jaccard from the full shingle sets: hash-partition
+    // on id, build the hash table on the (bounded) candidate side.
     val da = ds.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n_sh").as("na"))
     val db = ds.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n_sh").as("nb"))
-    candidates.join(da, "id_a").join(db, "id_b")
+    candidates.hint("shuffle_hash").join(da, "id_a").join(db, "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", round(
         col("inter").cast("double") /
@@ -129,6 +141,27 @@ object Dedup {
         pmod(element_at(aArr, i + 1) * h + element_at(bArr, i + 1), lit(P)))))
   }
 
+  /** MinHash signatures via a codegen'd hash aggregate: explode shingles,
+    * hash once per shingle, take k parallel `min()` aggregates. One shuffle
+    * of (id, hash) pairs with MAP-SIDE PARTIAL AGGREGATION (the shuffle
+    * carries k longs per id per mapper, not per shingle), and — unlike the
+    * nested-lambda [[minHashSignature]] — the signature lands behind an
+    * aggregation boundary, so downstream projections (band slicing) can
+    * never re-inline the hashing work: Catalyst's projection collapse would
+    * otherwise duplicate the full k×|shingles| hash evaluation into every
+    * band expression (measured 18× slowdown at sf0.1). */
+  private def minHashSignatureAgg(ds: DataFrame, k: Int, seed: Long): DataFrame = {
+    val (as, bs) = minhashParams(k, seed)
+    val exploded = ds.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+      .select(col("id"), col("n_sh"), pmod(xxhash64(col("s")), lit(P)).as("h"))
+    val mins = (0 until k).map(i =>
+      min(pmod(lit(as(i)) * col("h") + lit(bs(i)), lit(P))).as(s"m$i"))
+    exploded.groupBy("id", "n_sh")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), col("n_sh"),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
   /** Approximate near-dup pairs via banded MinHash-LSH: signature → `bands`
     * buckets of `rowsPerBand` hashes; docs colliding in any bucket become
     * candidates; candidates are verified with exact jaccard ≥ threshold (so
@@ -142,16 +175,18 @@ object Dedup {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
     val ds = docShingles(docs, idCol, textCol, n)
-      .withColumn("sig", minHashSignature(col("sh"), k, seed))
+    val sigs = minHashSignatureAgg(ds, k, seed)
 
-    val banded = ds.select(col("id"),
+    val banded = sigs.select(col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"),
           xxhash64(concat_ws(",", slice(col("sig"), b * lit(r) + lit(1), lit(r)))).as("bucket"))))
         .as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
-    val x = banded.as("x"); val y = banded.as("y")
+    // Same shuffle-hash pinning rationale as exactJaccardJoin: banded
+    // signatures and shingle sets are corpus-sized — never broadcast them.
+    val x = banded.as("x"); val y = banded.hint("shuffle_hash").as("y")
     val candidates = x.join(y,
       col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
         col("x.id") < col("y.id"))
@@ -159,7 +194,7 @@ object Dedup {
 
     val da = ds.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n_sh").as("na"))
     val db = ds.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n_sh").as("nb"))
-    candidates.join(da, "id_a").join(db, "id_b")
+    candidates.hint("shuffle_hash").join(da, "id_a").join(db, "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", round(
         col("inter").cast("double") /

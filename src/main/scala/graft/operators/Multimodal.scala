@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for a training-data pipeline: image/audio/video
+  * assets ride through the engine as opaque `binary` payload columns plus a
+  * typed metadata struct. Everything here is the Spark-side contract — schema,
+  * partition-friendly expressions, deterministic feature shape — with the
+  * actual media decode STUBBED (this container ships no image/audio codecs):
+  * [[fakeFeatures]] is a clearly-marked deterministic fake standing in for a
+  * real decoder, so the plumbing (schema, batching, joins, dedup on content
+  * hash) is real and testable while the codec is swappable later.
+  *
+  * Scale design (100 TB of assets):
+  *   - payloads never leave the executor: every op below is a narrow,
+  *     codegen'd projection (magic-byte sniff via binary `substring`, content
+  *     hash via `sha2`/`xxhash64`) — no shuffle, no driver collect;
+  *   - content-addressed dedup (sha256 of payload) happens BEFORE any decode,
+  *     the standard crawl-pipeline ordering that avoids decoding duplicate
+  *     bytes;
+  *   - real decoders plug in per-partition (`mapPartitions` over payload
+  *     batches, or `mapInPandas`/`mapInArrow` from PySpark callers) — the
+  *     feature schema below (`array<float>`, fixed dim) is exactly what those
+  *     emit, so swapping the stub changes no downstream plan.
+  */
+object Multimodal {
+
+  /** Canonical asset-table schema: opaque payload + typed metadata. */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true))), nullable = true)))
+
+  /** Payload size in bytes (codegen'd, no decode). */
+  def byteLen(payload: Column): Column = length(payload)
+
+  /** Content-address fingerprint: lowercase sha256 hex of the raw bytes. */
+  def contentHash(payload: Column): Column = sha2(payload, 256)
+
+  private def magic(payload: Column, bytes: Array[Int]): Column =
+    substring(payload, 1, bytes.length) === lit(bytes.map(_.toByte))
+
+  /** Magic-byte MIME sniff over the first payload bytes — the usual
+    * pre-decode dispatch (PNG/JPEG/GIF/RIFF-WAV/PDF), 'application/octet-
+    * stream' otherwise. Pure binary `substring` comparisons: codegen'd,
+    * pushdown-friendly, no codec involved. */
+  def sniffMime(payload: Column): Column =
+    when(magic(payload, Array(0x89, 0x50, 0x4E, 0x47)), "image/png")
+      .when(magic(payload, Array(0xFF, 0xD8, 0xFF)), "image/jpeg")
+      .when(magic(payload, Array(0x47, 0x49, 0x46, 0x38)), "image/gif")
+      .when(magic(payload, Array(0x52, 0x49, 0x46, 0x46)), "audio/wav")
+      .when(magic(payload, Array(0x25, 0x50, 0x44, 0x46)), "application/pdf")
+      .otherwise("application/octet-stream")
+
+  /** Byte offsets (1-based) of fixed-size chunks covering the payload — the
+    * frame/window sampling skeleton (video frame stride, audio windows).
+    * Chunk i is `substring(payload, off, chunkSize)`. */
+  def chunkOffsets(payload: Column, chunkSize: Int): Column =
+    sequence(lit(1), greatest(length(payload), lit(1)), lit(chunkSize))
+
+  /** Every `stride`-th chunk of the payload as `array<binary>` — frame
+    * sampling without decode. */
+  def sampleChunks(payload: Column, chunkSize: Int, stride: Int): Column =
+    transform(
+      filter(chunkOffsets(payload, chunkSize), (_, i) => i % stride === 0),
+      off => payload.substr(off, lit(chunkSize)))
+
+  /** DETERMINISTIC FAKE DECODE — stands in for a real image/audio feature
+    * extractor (none available in this container). Emits a fixed-`dim`
+    * `array<float>` in [-1, 1) derived from `xxhash64(payload, i)`: stable
+    * across runs/partitionings, unique per content, and shaped exactly like a
+    * real embedding so downstream similarity/dedup plans are unchanged when a
+    * real decoder replaces it. Fully codegen'd (no UDF). */
+  def fakeFeatures(payload: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)), i =>
+      (pmod(xxhash64(payload, i), lit(1000000L)).cast("double") / 500000.0 - 1.0)
+        .cast("float"))
+
+  /** Assemble an asset DataFrame from any table with an id and a binary-able
+    * column — the ingest adapter used by tests and the registered queries
+    * (the driver testdata has no native binary table, so `documents.text`
+    * bytes stand in as payloads). */
+  def ingest(df: DataFrame, idCol: String, binCol: Column): DataFrame =
+    df.select(
+      col(idCol).cast(LongType).as("asset_id"),
+      binCol.cast(BinaryType).as("payload"))
+      .withColumn("meta", struct(
+        sniffMime(col("payload")).as("mime"),
+        lit(null).cast(IntegerType).as("width"),
+        lit(null).cast(IntegerType).as("height"),
+        lit(null).cast(IntegerType).as("sample_rate"),
+        lit(null).cast(LongType).as("duration_ms")))
+}

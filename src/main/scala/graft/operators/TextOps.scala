@@ -60,12 +60,26 @@ object TextOps {
 
   /** Composite quality score in [0,1]: weighted blend of length band,
     * stopword presence and low punctuation noise — the usual cheap
-    * pretraining-corpus heuristic (length/punct/stopword ratios). */
+    * pretraining-corpus heuristic (length/punct/stopword ratios).
+    *
+    * Computed entirely in integer basis points (0..10000 per component,
+    * weights 4/3/3) with ONE final division — decimal `round()` on a blended
+    * double is engine-dependent at exact .xxxx5 boundaries (Spark rounds the
+    * binary double exactly via BigDecimal; DuckDB multiplies by 1e4 first),
+    * while floor-div on exact integers is bit-identical everywhere. */
   def qualityScore(text: Column): Column = {
-    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
-    val swScore = least(stopwordRatio(text) * 5.0, lit(1.0))
-    val punctPenalty = greatest(lit(1.0) - punctRatio(text) * 10.0, lit(0.0))
-    round(lenScore * 0.4 + swScore * 0.3 + punctPenalty * 0.3, 4)
+    val toks = tokens(text)
+    val sw = array(englishStopwords.map(lit): _*)
+    val hits = size(filter(toks, t => array_contains(sw, t))).cast("long")
+    val len = length(text).cast("long")
+    val punctChars = length(regexp_replace(text, "[^.,!?;:]", "")).cast("long")
+    val lenBp = least(len * 20L, lit(10000L))
+    val swBp = when(size(toks) === 0, lit(0L))
+      .otherwise(least(floor(hits * 50000L / size(toks)).cast("long"), lit(10000L)))
+    val punctBp = greatest(
+      lit(10000L) - floor(punctChars * 100000L / len).cast("long"), lit(0L))
+    when(len === 0, lit(0.0))
+      .otherwise((lenBp * 4L + swBp * 3L + punctBp * 3L).cast("double") / 100000.0)
   }
 
   /** Per-language discriminator token profiles for heuristic language ID.

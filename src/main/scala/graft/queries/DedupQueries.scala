@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Sources, Tuning}
+import graft.functions.SimHash64
+import graft.operators.{Dedup, TextOps}
+
+/** Deduplication query registry over `documents`: exact (hash-groupBy),
+  * exact set-similarity join (prefix-filtered, oracle-verified against the
+  * quadratic form), MinHash-LSH and SimHash near-dup (hash-based — DuckDB
+  * cannot reproduce xxhash64, so those two get the driver's rows-only check
+  * plus scalatest specs pinning recall against the exact join).
+  */
+object DedupQueries {
+
+  private def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => f(Tuning.tune(s), dir)
+
+  /** Planted near-dups in the driver corpus sit at jaccard ≥ 0.9; background
+    * pairs at ≤ 0.1 — θ=0.8 separates them with wide margin on both sides. */
+  val JaccardThreshold = 0.8
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: full surviving rows, min-doc_id winner per (lang, source).
+    "dedup_exact_rows" -> q((s, dir) =>
+      Dedup.exact(Sources.documents(s, dir), Seq("lang", "source"), "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // Exact dedup survivor keys on a content fingerprint (md5 of text).
+    "dedup_fingerprint_survivors" -> q((s, dir) =>
+      Dedup.exactKeys(
+        Sources.documents(s, dir)
+          .withColumn("fp", TextOps.fingerprintMd5(col("text"))),
+        Seq("fp"), "doc_id")
+        .orderBy(col("fp"))),
+
+    // EXACT n-gram jaccard self-join via prefix filtering — the oracle runs
+    // the quadratic all-pairs form; equal output proves recall = 1.0.
+    "dedup_jaccard_pairs" -> q((s, dir) =>
+      Dedup.exactJaccardJoin(Sources.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = JaccardThreshold)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // MinHash-LSH approximate near-dup (verified precision, approx recall).
+    // xxhash64-based → no SQL oracle; DedupSpec pins recall vs the exact join.
+    "dedup_minhash_lsh" -> q((s, dir) =>
+      Dedup.minHashLsh(Sources.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = JaccardThreshold)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // SimHash near-dup: 64-bit signature per doc, pairs within hamming ≤ 5
+    // (planted near-dups land at ≤5; the small shared vocabulary makes wider
+    // radii noisy — simhash is the cheap candidate filter, jaccard verifies).
+    // Native Catalyst expression (SimHash64) — no SQL oracle; spec-pinned.
+    "dedup_simhash_pairs" -> q((s, dir) => {
+      val docs = Sources.documents(s, dir)
+        .select(col("doc_id"),
+          SimHash64.simhash64(TextOps.tokens(col("text"))).as("sh"))
+      val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("hamming", SimHash64.hamming(col("sh_a"), col("sh_b")))
+        .where(col("hamming") <= 5)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    })
+  )
+
+  private val shingleCte =
+    raw"""WITH sh AS (
+      |  SELECT doc_id,
+      |         list_distinct([array_to_string(t[i:i+2], ' ')
+      |                        for i in generate_series(1, len(t)-2)]) AS s
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |        FROM documents))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact_rows" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY lang, source)
+        |ORDER BY doc_id""".stripMargin,
+
+    "dedup_fingerprint_survivors" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS doc_id
+        |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin,
+
+    "dedup_jaccard_pairs" ->
+      raw"""$shingleCte
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(len(list_intersect(a.s, b.s))::double
+        |             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE round(len(list_intersect(a.s, b.s))::double
+        |            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin
+  )
+}

@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Sources, Tuning}
+import graft.operators.Multimodal
+
+/** Event-time and remaining-surface queries: tumbling-window aggregation,
+  * gap-based sessionization (`session_window` — the batch twin of the
+  * Structured Streaming path in [[graft.streaming.StreamingOps]]), JSON
+  * property extraction, the supplier→nation→region multi-hop broadcast join,
+  * and the multimodal binary-column metadata projection.
+  *
+  * Window starts are emitted as formatted UTC strings so the oracle compare
+  * is representation-stable (timestamp ns-vs-µs parquet physical types would
+  * otherwise hash differently driver-side while denoting the same instant).
+  */
+object EventQueries {
+
+  private def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => f(Tuning.tune(s), dir)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Tumbling 1-hour event-time windows per event_type: the batch form of
+    // the streaming windowed aggregation (same window() expression).
+    "events_hourly" -> q((s, dir) =>
+      Sources.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy(col("hour_start"), col("event_type"))),
+
+    // Gap-based sessionization: per-user sessions closed after 30 idle
+    // minutes (session_window groupBy — state-free batch sessionization;
+    // the oracle reproduces it with lag + cumulative sum).
+    "events_sessionize" -> q((s, dir) =>
+      Sources.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .select(col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))),
+
+    // JSON property extraction from the props column (get_json_object).
+    "events_json_agg" -> q((s, dir) =>
+      Sources.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
+        .orderBy(col("event_type"))),
+
+    // Multi-hop dimension join: lineitem ⋈ supplier ⋈ nation ⋈ region, all
+    // dimension hops broadcast (nation/region are tiny; supplier ≪ fact) —
+    // zero fact-side shuffles before the aggregation.
+    "join_supplier_geo" -> q((s, dir) =>
+      Sources.lineitem(s, dir)
+        .join(broadcast(Sources.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Sources.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Sources.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy(col("r_name"), col("n_name"))),
+
+    // Multimodal plumbing with an oracle: documents' text bytes as opaque
+    // binary payloads — content hash + byte length before any decode.
+    "multimodal_binary_meta" -> q((s, dir) =>
+      Multimodal.ingest(Sources.documents(s, dir), "doc_id", col("text"))
+        .select(col("asset_id"),
+          Multimodal.byteLen(col("payload")).as("byte_len"),
+          Multimodal.contentHash(col("payload")).as("sha256"),
+          col("meta.mime").as("mime"))
+        .orderBy(col("asset_id"))),
+
+    // Deterministic fake feature extraction (decode stub): rows-only check —
+    // xxhash64-derived features are not SQL-reproducible; MultimodalSpec
+    // pins shape + determinism.
+    "multimodal_fake_features" -> q((s, dir) =>
+      Multimodal.ingest(Sources.documents(s, dir), "doc_id", col("text"))
+        .select(col("asset_id"),
+          Multimodal.fakeFeatures(col("payload"), dim = 16).as("features"))
+        .orderBy(col("asset_id")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |       event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    // lag+cumsum sessionization; a gap of exactly 30:00 starts a new session
+    // (session_window's half-open [ts, ts+gap) semantics → strict >=).
+    "events_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+        |              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "events_json_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |       cast(sum(cast(props->>'$.k' AS bigint)) AS bigint) AS k_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "join_supplier_geo" ->
+      """SELECT r.r_name, n.n_name, count(*) AS n_items,
+        |       round(sum(l.l_extendedprice), 2) AS revenue
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name""".stripMargin,
+
+    "multimodal_binary_meta" ->
+      """SELECT doc_id AS asset_id, strlen(text)::int AS byte_len,
+        |       sha256(text) AS sha256,
+        |       'application/octet-stream' AS mime
+        |FROM documents ORDER BY asset_id""".stripMargin
+  )
+}

@@ -54,12 +54,15 @@ object RefParityQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
     // P5 casts: numeric↔string round-trips the reference does at every stage
-    // boundary (MovieRank.java:43,65,89,123).
+    // boundary (MovieRank.java:43,65,89,123). floor() before the int cast
+    // pins identical semantics in both engines (Spark truncates toward zero,
+    // DuckDB rounds half-to-even — on post-floor values they agree for any
+    // input, not just the integral l_quantity).
     "cast_roundtrip" -> q((s, dir) =>
       Sources.lineitem(s, dir)
         .select(
           col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity").cast(IntegerType).as("qty_int"),
+          floor(col("l_quantity")).cast(IntegerType).as("qty_int"),
           col("l_orderkey").cast("string").cast("bigint").as("key_roundtrip"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
@@ -199,7 +202,7 @@ object RefParityQueries {
 
     "cast_roundtrip" ->
       """SELECT l_orderkey, l_linenumber,
-        |       cast(l_quantity AS int) AS qty_int,
+        |       cast(floor(l_quantity) AS int) AS qty_int,
         |       cast(cast(l_orderkey AS varchar) AS bigint) AS key_roundtrip
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 

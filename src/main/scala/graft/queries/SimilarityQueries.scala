@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Sources, Tuning}
+import graft.operators.Similarity
+
+/** Similarity-search query registry over `embeddings` (500 × 64-dim float
+  * vectors per sf): exact cosine top-k (oracle-verified against DuckDB's
+  * list_cosine_similarity on double-cast lists), cosine near-dup pairs, and
+  * the LSH-bucketed approximate variant (seeded random planes — not SQL-
+  * reproducible, rows-only + spec).
+  *
+  * All vector math runs in double via codegen'd higher-order functions
+  * ([[graft.functions.VectorFunctions]]); cosines are rounded to 6 decimals
+  * in BOTH engines before ordering/filtering so float associativity (~1e-15)
+  * cannot flip a comparison.
+  */
+object SimilarityQueries {
+
+  private def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => f(Tuning.tune(s), dir)
+
+  /** Corpus cosine distribution tops out ≈0.51; θ=0.4 keeps a stable,
+    * non-trivial pair set (59 pairs at sf0.01). */
+  val CosineThreshold = 0.4
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact top-5 neighbors for the first 10 vectors: broadcast the query
+    // side, scan the corpus once, bounded per-query window for top-k.
+    "sim_topk_bruteforce" -> q((s, dir) => {
+      val emb = Sources.embeddings(s, dir)
+      Similarity.bruteForceTopK(
+        corpus = emb, queries = emb.where(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Embedding near-duplicate pairs: all (i < j) with cosine ≥ θ.
+    "sim_neardup_pairs" -> q((s, dir) =>
+      Similarity.cosineNearDupPairs(
+        Sources.embeddings(s, dir), "vec_id", "embedding", CosineThreshold)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Random-hyperplane LSH top-k (seeded planes; scale path — only
+    // same-bucket pairs scored). Rows-only check + SimilaritySpec.
+    "sim_topk_lsh" -> q((s, dir) => {
+      val emb = Sources.embeddings(s, dir)
+      Similarity.lshTopK(
+        corpus = emb, queries = emb.where(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", k = 5,
+        nPlanes = 4, dim = 64)
+        .orderBy(col("query_id"), col("rank"))
+    })
+  )
+
+  private val cosExpr =
+    """round(list_cosine_similarity(
+      |         list_transform(c.embedding, x -> x::double),
+      |         list_transform(q.embedding, x -> x::double)), 6)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "sim_topk_bruteforce" ->
+      s"""SELECT query_id, neighbor_id, cosine, cast(rnk AS int) AS rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         $cosExpr AS cosine,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY $cosExpr DESC, c.vec_id ASC) AS rnk
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10)
+        |WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_neardup_pairs" ->
+      s"""SELECT q.vec_id AS id_a, c.vec_id AS id_b, $cosExpr AS cosine
+        |FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
+        |WHERE $cosExpr >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin
+  )
+}

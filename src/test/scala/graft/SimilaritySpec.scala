@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+
+/** Vector math + similarity-search semantics on hand-built vectors (known
+  * cosines) and the driver embeddings (LSH vs brute-force consistency). */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  val dir = "/root/testdata/sf0.001"
+
+  private def vec(xs: Double*) = xs.toArray
+
+  test("dot / norm / cosine on known vectors") {
+    val df = Seq((vec(1, 2, 3), vec(4, 5, 6))).toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("d"),
+      VectorFunctions.norm(col("a")).as("na"),
+      round(VectorFunctions.cosine(col("a"), col("b")), 6).as("c")).collect()(0)
+    assert(r.getDouble(0) == 32.0)
+    assert(math.abs(r.getDouble(1) - math.sqrt(14.0)) < 1e-12)
+    assert(r.getDouble(2) == 0.974632)
+  }
+
+  test("cosine: zero-norm sides yield 0.0, orthogonal yields 0, parallel yields 1") {
+    val df = Seq(
+      (vec(0, 0), vec(1, 1)),
+      (vec(1, 0), vec(0, 1)),
+      (vec(2, 2), vec(5, 5))).toDF("a", "b")
+    val cs = df.select(round(VectorFunctions.cosine(col("a"), col("b")), 6).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(cs.toSeq == Seq(0.0, 0.0, 1.0))
+  }
+
+  test("bruteForceTopK: correct neighbors and deterministic rank on a known set") {
+    // corpus on the unit circle: angles 0°, 60°, 90°, 180°
+    val corpus = Seq(
+      (0L, vec(1, 0)), (1L, vec(0.5, math.sqrt(3) / 2)), (2L, vec(0, 1)),
+      (3L, vec(-1, 0))).toDF("id", "v")
+    val queries = corpus.where(col("id") === 0L)
+    val out = Similarity.bruteForceTopK(corpus, queries, "id", "v", k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L)) // cos: 0.5, 0, -1
+    assert(out.map(_._2).toSeq == Seq(0.5, 0.0, -1.0))
+  }
+
+  test("hyperplaneBucket: same vector → same bucket; deterministic planes") {
+    val planes = VectorFunctions.randomPlanes(8, 4, seed = 42L)
+    assert(planes == VectorFunctions.randomPlanes(8, 4, seed = 42L))
+    val df = Seq((vec(1, 2, 3, 4), vec(1, 2, 3, 4)), (vec(1, 2, 3, 4), vec(-1, -2, -3, -4)))
+      .toDF("a", "b")
+    val bs = df.select(
+      VectorFunctions.hyperplaneBucket(col("a"), planes).as("ba"),
+      VectorFunctions.hyperplaneBucket(col("b"), planes).as("bb")).collect()
+    assert(bs(0).getLong(0) == bs(0).getLong(1))
+    // a negated vector flips every sign bit → complementary bucket
+    assert(bs(1).getLong(0) + bs(1).getLong(1) == 255L)
+  }
+
+  test("lshTopK ⊆ bruteForce candidates per query, with identical scores") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 500)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding", k = 5, nPlanes = 4, dim = 64)
+      .collect()
+    assert(lsh.nonEmpty, "LSH buckets should retain some candidates")
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(brute.contains(key) && brute(key) == r.getDouble(2),
+        s"LSH pair $key not consistent with brute-force score")
+    }
+  }
+
+  test("native dot/norm expressions agree with the HOF reference forms on the corpus") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").limit(50)
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val diffs = a.join(b, col("ia") < col("ib"))
+      .select(
+        (VectorFunctions.dot(col("va"), col("vb")) -
+          VectorFunctions.dotHof(col("va"), col("vb"))).as("dd"),
+        (VectorFunctions.norm(col("va")) -
+          VectorFunctions.normHof(col("va"))).as("dn"))
+      .agg(max(abs(col("dd"))).as("md"), max(abs(col("dn"))).as("mn"))
+      .collect()(0)
+    assert(diffs.getDouble(0) == 0.0, "native dot must be bit-identical to the HOF fold")
+    assert(diffs.getDouble(1) == 0.0, "native norm must be bit-identical to the HOF fold")
+  }
+
+  test("cosineNearDupPairs: i<j ordering, threshold respected") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4).collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(r => r.getDouble(2) >= 0.4))
+  }
+}

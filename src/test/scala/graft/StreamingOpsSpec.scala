@@ -1,0 +1,105 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamingOps
+
+/** Streaming semantics via MemoryStream micro-batches: the streaming ops must
+  * produce exactly the batch results on the same data (tumbling windows,
+  * sessions), dedup must drop intra-stream repeats, and the custom
+  * flatMapGroupsWithState op must carry state across batches. */
+class StreamingOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  // (event_id, ts, user_id, event_type, value)
+  private val rows = Seq(
+    (1L, ts(0), 1L, "click", 1.0),
+    (2L, ts(10), 1L, "click", 2.0),
+    (3L, ts(75), 1L, "view", 4.0),   // >30min gap → new session, second hour
+    (4L, ts(5), 2L, "click", 8.0),
+    (5L, ts(20), 2L, "view", 16.0),
+    (6L, ts(130), 2L, "view", 32.0)) // third hour
+
+  /** Far-future watermark pusher: append mode only emits windows/sessions the
+    * final watermark has closed, so every stream gets one sentinel event a
+    * day ahead (its own window never closes and never appears in output). */
+  private val sentinel = (999L, Timestamp.valueOf("2024-01-02 10:00:00"), 99L, "flush", 0.0)
+
+  private def runStream(name: String)(build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                                      mode: OutputMode): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    mem.addData(rows :+ sentinel: _*)
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = build(df).writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    spark.table(name)
+  }
+
+  test("hourlyCounts: streaming result equals the batch window aggregation") {
+    import spark.implicits._
+    val got = runStream("s_hourly")(StreamingOps.hourlyCounts(_), OutputMode.Append())
+      .orderBy("hour_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    val batch = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("s"))
+      .select(col("window.start"), col("event_type"), col("n"), col("s"))
+      .orderBy(col("start"), col("event_type"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == batch.toSeq)
+    assert(got.nonEmpty)
+  }
+
+  test("sessionize: 30-minute gap closes a session; watermark flushes all on AvailableNow") {
+    val got = runStream("s_sessions")(StreamingOps.sessionize(_), OutputMode.Append())
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, "2024-01-01 10:00:00.0", 2L, 3.0),   // events 1,2
+      (1L, "2024-01-01 11:15:00.0", 1L, 4.0),   // event 3
+      (2L, "2024-01-01 10:05:00.0", 2L, 24.0),  // events 4,5
+      (2L, "2024-01-01 12:10:00.0", 1L, 32.0))) // event 6
+  }
+
+  test("dedupEvents: repeated event_id within the watermark is dropped") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    mem.addData(rows ++ rows.take(3): _*) // re-send first three events
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamingOps.dedupEvents(df).writeStream.format("memory")
+      .queryName("s_dedup").outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("s_dedup").count() == rows.size)
+  }
+
+  test("runningUserTotals: flatMapGroupsWithState carries state across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.UserEvent]
+    val q = StreamingOps.runningUserTotals(mem.toDS())
+      .writeStream.format("memory").queryName("s_running")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(StreamingOps.UserEvent(1L, ts(0), 1.0),
+      StreamingOps.UserEvent(1L, ts(1), 2.0))
+    q.processAllAvailable()
+    mem.addData(StreamingOps.UserEvent(1L, ts(2), 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val perBatch = spark.table("s_running")
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    // batch1 emits (2, 3.0); batch2 resumes state → (3, 7.0)
+    assert(perBatch == Set((2L, 3.0), (3L, 7.0)))
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+
+/** Unit semantics of every TextOps expression on hand-built rows — the DuckDB
+  * oracle covers corpus-scale parity; these pin edge cases (empty text,
+  * whitespace-only, tie-breaking) that the synthetic corpus never hits. */
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any =
+    Seq(text).toDF("text").select(c.as("v")).collect()(0).get(0)
+
+  test("tokens: empty and whitespace-only yield empty array, not ['']") {
+    assert(one("", TextOps.tokenCount(col("text"))) == 0)
+    assert(one("   ", TextOps.tokenCount(col("text"))) == 0)
+    assert(one(" a  b\tc ", TextOps.tokenCount(col("text"))) == 3)
+  }
+
+  test("unique tokens and bpe-ish tokens") {
+    assert(one("a b a b c", TextOps.uniqueTokenCount(col("text"))) == 3)
+    // "hello123!" → [hello][123][!]; " world" keeps its leading space token
+    assert(one("hello123! world", TextOps.bpeishTokenCount(col("text"))) == 4)
+  }
+
+  test("avgTokenLen: 0.0 on empty, exact mean otherwise") {
+    assert(one("", TextOps.avgTokenLen(col("text"))) == 0.0)
+    assert(one("ab abcd", TextOps.avgTokenLen(col("text"))) == 3.0)
+  }
+
+  test("punctRatio counts only sentence punctuation") {
+    assert(one("ab.,!?;:cd", TextOps.punctRatio(col("text"))) == 0.6)
+    assert(one("abcd", TextOps.punctRatio(col("text"))) == 0.0)
+  }
+
+  test("stopwordRatio counts occurrences, not distinct hits") {
+    assert(one("the the cat", TextOps.stopwordRatio(col("text"))) == 0.6667)
+    assert(one("", TextOps.stopwordRatio(col("text"))) == 0.0)
+  }
+
+  test("qualityScore: deterministic basis-point blend, [0,1] bounds") {
+    assert(one("", TextOps.qualityScore(col("text"))) == 0.0)
+    // 500+ chars of prose with stopwords and no punctuation → len 1.0,
+    // sw capped, punct penalty 1.0
+    val good = ("the quick brown fox jumps over a lazy dog and runs to town " * 10).trim
+    val s = one(good, TextOps.qualityScore(col("text"))).asInstanceOf[Double]
+    assert(s > 0.9 && s <= 1.0, s"expected high quality, got $s")
+    val noisy = "!!!!! ????? ;;;;; ....."
+    val sn = one(noisy, TextOps.qualityScore(col("text"))).asInstanceOf[Double]
+    assert(sn < 0.4, s"expected low quality, got $sn")
+  }
+
+  test("langId: profile hit argmax with first-lang tie preference") {
+    assert(one("der hund ist nicht ein katze", TextOps.langId(col("text"))) == "de")
+    assert(one("the cat is in the house", TextOps.langId(col("text"))) == "en")
+    assert(one("el gato es que un perro", TextOps.langId(col("text"))) == "es")
+    // all-zero scores → first profile in order (de) wins deterministically
+    assert(one("xyzzy plugh", TextOps.langId(col("text"))) == "de")
+  }
+
+  test("fingerprints: md5 matches reference vector; rolling hash is order-sensitive") {
+    assert(one("abc", TextOps.fingerprintMd5(col("text"))) ==
+      "900150983cd24fb0d6963f7d28e17f72")
+    val ab = one("ab", TextOps.fingerprintRolling(col("text"))).asInstanceOf[Long]
+    val ba = one("ba", TextOps.fingerprintRolling(col("text"))).asInstanceOf[Long]
+    assert(ab != ba, "anagrams must fingerprint differently")
+    // fold semantics: ((0*31+97)%p)*31+98 = 97*31+98 = 3105
+    assert(ab == 97L * 31 + 98)
+  }
+}
