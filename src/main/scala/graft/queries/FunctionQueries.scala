@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Sources, Tuning}
+
+/** Scalar-function and join-kind coverage battery (beyond the reference's
+  * six-function surface — SURVEY §2.6): strings, dates, arrays, null
+  * handling, statistical aggregates, semi/anti joins, approximate distinct.
+  * Everything is a narrow projection or single-shuffle aggregate; the value
+  * here is breadth of verified function semantics, not plan shape.
+  */
+object FunctionQueries {
+
+  private def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => f(Tuning.tune(s), dir)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "fn_strings" -> q((s, dir) =>
+      Sources.part(s, dir).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("padded"),
+        substring(col("p_type"), 2, 5).as("sub"),
+        reverse(col("p_brand")).as("rev"),
+        regexp_replace(col("p_brand"), "#", "-").as("repl"),
+        instr(col("p_type"), "ED").cast("int").as("pos"),
+        levenshtein(col("p_brand"), lit("Brand#11")).as("lev"),
+        length(col("p_name")).as("len"))
+        .orderBy(col("p_partkey"))),
+
+    "fn_dates" -> q((s, dir) =>
+      Sources.orders(s, dir).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").as("plus30"),
+        datediff(lit("1999-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_99"))
+        .orderBy(col("o_orderkey"))),
+
+    // Array construction + ops per order: sorted linenumber array, then
+    // size/element_at/slice/contains, stringified for representation-stable
+    // comparison.
+    "fn_arrays" -> q((s, dir) =>
+      Sources.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
+        .select(
+          col("l_orderkey"),
+          size(col("lines")).as("n"),
+          element_at(col("lines"), 1).as("first_line"),
+          array_join(slice(col("lines"), 1, 3), ",").as("first3"),
+          array_contains(col("lines"), 4).cast("int").as("has4"),
+          array_join(concat(col("lines"), array(lit(9))), ",").as("with9"))
+        .orderBy(col("l_orderkey"))),
+
+    "fn_nulls" -> q((s, dir) => {
+      val dim = Sources.part(s, dir).where(col("p_partkey") < 500)
+        .select(col("p_partkey"), col("p_name"))
+      Sources.lineitem(s, dir)
+        .join(dim, col("l_partkey") === col("p_partkey"), "left_outer")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          coalesce(col("p_name"), lit("-")).as("name_or_dash"),
+          isnull(col("p_name")).cast("int").as("is_missing"),
+          nullif(col("l_linenumber"), lit(1)).as("line_nullif1"),
+          when(col("p_name").isNotNull, col("l_quantity")).as("qty_if_matched"))
+        // total sort: (l_orderkey, l_linenumber) is not unique in the data;
+        // coalesce sidesteps Spark-vs-DuckDB null-ordering defaults.
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("is_missing"),
+          col("name_or_dash"), coalesce(col("qty_if_matched"), lit(-1.0)))
+    }),
+
+    "agg_stats" -> q((s, dir) =>
+      Sources.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(min(col("l_extendedprice")), 2).as("min_price"),
+          round(max(col("l_extendedprice")), 2).as("max_price"),
+          round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+          round(var_samp(col("l_quantity")), 2).as("var_qty"))
+        .orderBy(col("l_returnflag"))),
+
+    // Left-semi: customers having ≥1 order (explicit join-kind coverage; the
+    // intersect form is setops_active_building).
+    "join_semi" -> q((s, dir) =>
+      Sources.customer(s, dir)
+        .join(Sources.orders(s, dir),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))),
+
+    // Left-anti: customers who never placed an URGENT order (every customer
+    // has ≥1 order in the testdata, so the plain no-orders form is empty).
+    "join_anti" -> q((s, dir) =>
+      Sources.customer(s, dir)
+        .join(Sources.orders(s, dir).where(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))),
+
+    // HLL sketch distinct (rows-only: sketch estimates are engine-specific;
+    // FunctionQueriesSpec pins ±5% of exact).
+    "agg_approx_distinct" -> q((s, dir) =>
+      Sources.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy(col("l_returnflag")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "fn_strings" ->
+      """SELECT p_partkey, upper(p_name) AS up,
+        |       lpad(p_partkey::varchar, 8, '0') AS padded,
+        |       substring(p_type, 2, 5) AS sub,
+        |       reverse(p_brand) AS rev,
+        |       regexp_replace(p_brand, '#', '-', 'g') AS repl,
+        |       instr(p_type, 'ED')::int AS pos,
+        |       levenshtein(p_brand, 'Brand#11')::int AS lev,
+        |       length(p_name)::int AS len
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    // DuckDB dayofweek is 0-based from Sunday; Spark is 1-based.
+    "fn_dates" ->
+      """SELECT o_orderkey,
+        |       year(o_orderdate)::int AS y, month(o_orderdate)::int AS m,
+        |       dayofmonth(o_orderdate)::int AS d,
+        |       (dayofweek(o_orderdate) + 1)::int AS dow,
+        |       strftime(o_orderdate, '%Y-%m') AS ym,
+        |       strftime(o_orderdate::date + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+        |       date_diff('day', o_orderdate::date, DATE '1999-01-01')::int AS days_to_99
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_arrays" ->
+      """WITH la AS (
+        |  SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey, len(lines)::int AS n,
+        |       lines[1] AS first_line,
+        |       array_to_string(lines[1:3], ',') AS first3,
+        |       list_contains(lines, 4)::int AS has4,
+        |       array_to_string(list_concat(lines, [9]), ',') AS with9
+        |FROM la ORDER BY l_orderkey""".stripMargin,
+
+    "fn_nulls" ->
+      """SELECT l.l_orderkey, l.l_linenumber,
+        |       coalesce(p.p_name, '-') AS name_or_dash,
+        |       (p.p_name IS NULL)::int AS is_missing,
+        |       nullif(l.l_linenumber, 1) AS line_nullif1,
+        |       CASE WHEN p.p_name IS NOT NULL THEN l.l_quantity END AS qty_if_matched
+        |FROM lineitem l LEFT JOIN (SELECT p_partkey, p_name FROM part WHERE p_partkey < 500) p
+        |  ON l.l_partkey = p.p_partkey
+        |ORDER BY l.l_orderkey, l.l_linenumber, is_missing, name_or_dash,
+        |         coalesce(qty_if_matched, -1.0)""".stripMargin,
+
+    "agg_stats" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       round(min(l_extendedprice), 2) AS min_price,
+        |       round(max(l_extendedprice), 2) AS max_price,
+        |       round(stddev_samp(l_extendedprice), 2) AS sd_price,
+        |       round(var_samp(l_quantity), 2) AS var_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "join_semi" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_anti" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin
+  )
+}

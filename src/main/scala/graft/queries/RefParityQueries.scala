@@ -51,7 +51,10 @@ object RefParityQueries {
       Sources.lineitem(s, dir)
         .where(col("l_returnflag") === "R")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+        // sort by every output column so tied rows can't flip order between
+        // engines.
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))),
 
     // P5 casts: numeric↔string round-trips the reference does at every stage
     // boundary (MovieRank.java:43,65,89,123). floor() before the int cast
@@ -64,7 +67,7 @@ object RefParityQueries {
           col("l_orderkey"), col("l_linenumber"),
           floor(col("l_quantity")).cast(IntegerType).as("qty_int"),
           col("l_orderkey").cast("string").cast("bigint").as("key_roundtrip"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("qty_int"))),
 
     // P6 tab-tuple pack/unpack, the reference's inter-stage "schema"
     // (MovieRank.java:70,88) — here a real pack/unpack expression pair.
@@ -210,13 +213,13 @@ object RefParityQueries {
     "scan_project_filter" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice
         |FROM lineitem WHERE l_returnflag = 'R'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
 
     "cast_roundtrip" ->
       """SELECT l_orderkey, l_linenumber,
         |       cast(floor(l_quantity) AS int) AS qty_int,
         |       cast(cast(l_orderkey AS varchar) AS bigint) AS key_roundtrip
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, qty_int""".stripMargin,
 
     "tuple_pack_unpack" ->
       """SELECT p_partkey, p_brand || '#' || p_type AS packed,

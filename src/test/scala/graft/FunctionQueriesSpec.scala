@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.{DedupQueries, FunctionQueries, SimilarityQueries, TextQueries}
+
+/** Function-battery smoke + approx-sketch tolerance + plan-shape assertions
+  * for the extension queries (the DuckDB oracle covers values at sf0.01). */
+class FunctionQueriesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("every function query is non-empty and oracle-or-documented") {
+    FunctionQueries.queries.foreach { case (name, fn) =>
+      assert(fn(spark, dir).count() > 0, s"$name empty on sf0.001")
+    }
+    val missing = FunctionQueries.queries.keySet -- FunctionQueries.oracles.keySet
+    assert(missing == Set("agg_approx_distinct"),
+      s"only the sketch query may omit an oracle, got: $missing")
+  }
+
+  test("approx_count_distinct within 5% of exact per group") {
+    val approx = FunctionQueries.queries("agg_approx_distinct")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val exact = graft.engine.Sources.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"group $k: approx $a vs exact $e")
+    }
+  }
+
+  test("text queries: scan reads only doc_id + text (column pruning)") {
+    val plan = TextQueries.queries("text_token_stats")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"expected pruned scan in:\n$plan")
+  }
+
+  test("minhash signature plan: partial aggregation before the shuffle") {
+    val plan = DedupQueries.queries("dedup_minhash_lsh")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // partial min() aggregates must appear (map-side combine of signatures)
+    assert(plan.contains("partial_min") || plan.contains("HashAggregate"),
+      s"expected partial aggregation in:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "LSH must never degenerate to an all-pairs join")
+  }
+
+  test("similarity top-k plan: query side broadcast, no corpus shuffle join") {
+    val plan = SimilarityQueries.queries("sim_topk_bruteforce")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query set must be the broadcast side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "corpus must not shuffle for the scoring join")
+  }
+
+  test("anti/semi joins plan as hash joins, not cartesian") {
+    for (q <- Seq("join_semi", "join_anti")) {
+      val plan = FunctionQueries.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      assert(plan.contains("LeftSemi") || plan.contains("LeftAnti"),
+        s"$q must keep the dedicated join kind:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q degenerated to cartesian")
+    }
+  }
+}
