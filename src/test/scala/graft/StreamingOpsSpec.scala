@@ -84,6 +84,40 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(spark.table("s_dedup").count() == rows.size)
   }
 
+  test("enrich: stream-static join attaches dimension columns per micro-batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("d_user", "tier")
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    mem.addData(rows: _*)
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamingOps.enrich(df, dim, "user_id", "d_user")
+      .writeStream.format("memory").queryName("s_enrich")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val tiers = spark.table("s_enrich")
+      .collect().map(r => (r.getLong(0), r.getString(5))).toMap
+    assert(tiers(1L) == "gold" && tiers(4L) == "silver")
+    assert(spark.table("s_enrich").count() == rows.size)
+  }
+
+  test("toParquetBatches: foreachBatch parquet sink lands every row with batch id") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    mem.addData(rows: _*)
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamingOps.toParquetBatches(df, out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    val landed = spark.read.parquet(out)
+    assert(landed.count() == rows.size)
+    assert(landed.columns.contains("__batch_id"))
+  }
+
   test("runningUserTotals: flatMapGroupsWithState carries state across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
