@@ -66,6 +66,57 @@ object Similarity {
       .select(col("query_id"), col("id").as("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    * partitions the corpus into `nCells` cells; each query probes only its
+    * `nProbe` nearest cells. The standard billion-scale ANN layout
+    * (IVF-flat): at 100 TB the cell assignment is a narrow map over the
+    * corpus (centroids broadcast as literals), the per-cell inverted lists
+    * are just a hash-partitioned column, and query fan-out is nProbe/nCells
+    * of the corpus instead of all of it.
+    *
+    * Deterministic: seeded KMeans, centroid distances via the native codegen
+    * dot/norm expressions, rank ties broken by neighbor id. Training scans a
+    * corpus SAMPLE driver-side only for the tiny centroid matrix — the
+    * corpus itself never collects. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int = 5,
+              nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val train = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features").fit(train)
+    val centroids = model.clusterCenters.map(_.toArray.toSeq)
+
+    // Distance to every centroid as codegen'd expressions over literal
+    // centroid arrays; cell = argmin, probes = nProbe smallest.
+    def cellDists(vec: Column): Column = {
+      val ds = centroids.zipWithIndex.map { case (c, i) =>
+        val cArr = array(c.map(lit): _*)
+        val d2 = dot(vec, vec) - lit(2.0) * dot(vec, cArr) +
+          lit(c.map(x => x * x).sum)
+        struct(d2.as("d"), lit(i).as("cell"))
+      }
+      array_sort(array(ds: _*))
+    }
+    val c = prep(corpus, idCol, vecCol)
+      .withColumn("cell", element_at(cellDists(col("vec")), 1).getField("cell"))
+    val q = prep(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"),
+        explode(transform(slice(cellDists(col("vec")), 1, nProbe),
+          s => s.getField("cell"))).as("cell"))
+
+    val scored = c.as("c").join(broadcast(q.as("q")),
+        col("c.cell") === col("q.cell") && col("c.id") =!= col("q.query_id"))
+      .withColumn("cosine",
+        round(cosinePrenormed(col("c.vec"), col("q.qvec"), col("c.nrm"), col("q.qnrm")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: all (i < j) with cosine ≥ threshold.
     * Exact form is a self-join; the corpus side is scanned once per
     * partition of the other (AQE picks broadcast when one side fits). */

@@ -176,6 +176,17 @@ object RefParityQueries {
         .orderBy(col("p_brand"), col("rnk"))
     }),
 
+    // Cube (all grouping-set combinations; extension).
+    "agg_cube" -> q((s, dir) =>
+      Sources.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), round(avg(col("l_quantity")), 4).as("avg_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("cnt"), col("avg_qty"))
+        .orderBy(col("flag"), col("status"))),
+
     // Rollup (multi-level aggregate; extension).
     "agg_rollup" -> q((s, dir) =>
       Sources.lineitem(s, dir)
@@ -282,6 +293,13 @@ object RefParityQueries {
         |           ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk
         |  FROM part
         |) WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |       coalesce(l_linestatus, 'ALL') AS status,
+        |       count(*) AS cnt, round(avg(l_quantity), 4) AS avg_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
 
     "agg_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,

@@ -43,6 +43,18 @@ object SimilarityQueries {
         Sources.embeddings(s, dir), "vec_id", "embedding", CosineThreshold)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // IVF-flat top-k (KMeans coarse quantizer, nProbe cells per query) —
+    // the billion-scale ANN layout. Seeded but not SQL-reproducible →
+    // rows-only + SimilaritySpec recall bound.
+    "sim_topk_ivf" -> q((s, dir) => {
+      val emb = Sources.embeddings(s, dir)
+      Similarity.ivfTopK(
+        corpus = emb, queries = emb.where(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", k = 5,
+        nCells = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Random-hyperplane LSH top-k (seeded planes; scale path — only
     // same-bucket pairs scored). Rows-only check + SimilaritySpec.
     "sim_topk_lsh" -> q((s, dir) => {

@@ -93,6 +93,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(diffs.getDouble(1) == 0.0, "native norm must be bit-identical to the HOF fold")
   }
 
+  test("ivfTopK: deterministic, scores ≡ brute force, recall@5 ≥ 0.6 with nProbe=4/16") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 10)
+    def run() = Similarity.ivfTopK(emb, q, "vec_id", "embedding", k = 5,
+      nCells = 16, nProbe = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getInt(3)))).toMap
+    val ivf = run()
+    assert(ivf == run(), "seeded IVF must be run-to-run deterministic")
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    ivf.foreach { case (key, (cos, _)) =>
+      // every IVF pair's score must equal the exact cosine when present
+      brute.get(key).foreach(b => assert(b == cos, s"score mismatch at $key"))
+    }
+    val recall = ivf.keySet.count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall@5 too low: $recall")
+  }
+
   test("cosineNearDupPairs: i<j ordering, threshold respected") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4).collect()
