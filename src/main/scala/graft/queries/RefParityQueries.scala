@@ -176,6 +176,21 @@ object RefParityQueries {
         .orderBy(col("p_brand"), col("rnk"))
     }),
 
+    // Top-k per group via the bounded typed Aggregator — same semantics as
+    // window_topk_per_brand (the oracle is the same window SQL) but with a
+    // k-bounded buffer and map-side partial aggregation instead of sorting
+    // every group's full row set.
+    "window_topk_agg" -> q((s, dir) => {
+      val topk = graft.functions.TopKAggregator.topK(3)
+      Sources.part(s, dir)
+        .groupBy(col("p_brand"))
+        .agg(topk(col("p_retailprice"), col("p_partkey")).as("top"))
+        .select(col("p_brand"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("p_brand"), (col("pos") + 1).cast("int").as("rnk"),
+          col("t.id").as("p_partkey"), col("t.value").as("p_retailprice"))
+        .orderBy(col("p_brand"), col("rnk"))
+    }),
+
     // Cube (all grouping-set combinations; extension).
     "agg_cube" -> q((s, dir) =>
       Sources.lineitem(s, dir)
@@ -287,6 +302,14 @@ object RefParityQueries {
         |ORDER BY c_custkey""".stripMargin,
 
     "window_topk_per_brand" ->
+      """SELECT p_brand, cast(rnk AS int) AS rnk, p_partkey, p_retailprice FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |         row_number() OVER (PARTITION BY p_brand
+        |           ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk
+        |  FROM part
+        |) WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin,
+
+    "window_topk_agg" ->
       """SELECT p_brand, cast(rnk AS int) AS rnk, p_partkey, p_retailprice FROM (
         |  SELECT p_brand, p_partkey, p_retailprice,
         |         row_number() OVER (PARTITION BY p_brand

@@ -32,6 +32,31 @@ class FunctionQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("TopKAggregator query ≡ window row_number form; partial agg in plan") {
+    import graft.queries.RefParityQueries
+    val viaAgg = RefParityQueries.queries("window_topk_agg")(spark, dir)
+    val viaWin = RefParityQueries.queries("window_topk_per_brand")(spark, dir)
+    val a = viaAgg.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val w = viaWin.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(a.toSeq == w.toSeq)
+    val plan = viaAgg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate") ||
+      plan.contains("HashAggregate"), s"expected aggregate-based plan:\n$plan")
+  }
+
+  test("TopKAggregator merge keeps bounded, ordered buffers") {
+    import graft.functions.TopKAggregator
+    import graft.functions.TopKAggregator.In
+    val agg = new TopKAggregator(2)
+    val b1 = Seq(In(5.0, 1), In(3.0, 2)).foldLeft(agg.zero)(agg.reduce)
+    val b2 = Seq(In(4.0, 3), In(6.0, 4)).foldLeft(agg.zero)(agg.reduce)
+    val merged = agg.finish(agg.merge(b1, b2))
+    assert(merged == Seq(In(6.0, 4), In(5.0, 1)))
+    // tie-break: equal values → smaller id first
+    val t = Seq(In(1.0, 9), In(1.0, 3), In(1.0, 7)).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(t) == Seq(In(1.0, 3), In(1.0, 7)))
+  }
+
   test("text queries: scan reads only doc_id + text (column pruning)") {
     val plan = TextQueries.queries("text_token_stats")(spark, dir)
       .queryExecution.executedPlan.toString
