@@ -86,6 +86,43 @@ object FunctionQueries {
           round(var_samp(col("l_quantity")), 2).as("var_qty"))
         .orderBy(col("l_returnflag"))),
 
+    // Pivot: per-returnflag row, one column per linestatus value.
+    "agg_pivot" -> q((s, dir) =>
+      Sources.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0.0)).as("qty_f"),
+          coalesce(col("O"), lit(0.0)).as("qty_o"))
+        .orderBy(col("l_returnflag"))),
+
+    // Exact interpolated percentiles (both engines: linear interpolation on
+    // the sorted set — Spark percentile() ≡ DuckDB percentile_cont).
+    "agg_percentile" -> q((s, dir) =>
+      Sources.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_quantity"), lit(0.5)).as("med_qty"),
+          percentile(col("l_quantity"), lit(0.9)).as("p90_qty"))
+        .orderBy(col("l_returnflag"))),
+
+    // Analytic window functions beyond ranking: lag/lead/dense_rank and a
+    // running sum over an ordered per-customer frame.
+    "fn_window_analytics" -> q((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      Sources.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          dense_rank().over(w).cast("int").as("dr"),
+          round(sum(col("o_totalprice")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)), 2)
+            .as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // Left-semi: customers having ≥1 order (explicit join-kind coverage; the
     // intersect form is setops_active_building).
     "join_semi" -> q((s, dir) =>
@@ -165,6 +202,29 @@ object FunctionQueries {
         |       round(stddev_samp(l_extendedprice), 2) AS sd_price,
         |       round(var_samp(l_quantity), 2) AS var_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_pivot" ->
+      """SELECT l_returnflag,
+        |       coalesce(round(sum(l_quantity) FILTER (l_linestatus = 'F'), 2), 0.0) AS qty_f,
+        |       coalesce(round(sum(l_quantity) FILTER (l_linestatus = 'O'), 2), 0.0) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        |       percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS med_qty,
+        |       percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "fn_window_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+        |       lag(o_totalprice, 1) OVER w AS prev_price,
+        |       lead(o_totalprice, 1) OVER w AS next_price,
+        |       cast(dense_rank() OVER w AS int) AS dr,
+        |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |             ROWS UNBOUNDED PRECEDING), 2) AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "join_semi" ->
       """SELECT c_custkey, c_mktsegment FROM customer c
