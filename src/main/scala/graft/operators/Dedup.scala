@@ -120,6 +120,52 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over an undirected pair list via min-label
+    * propagation: every vertex starts labeled with itself; each round, every
+    * vertex takes the min label among itself and its neighbors; fixpoint
+    * after O(component diameter) rounds. Near-dup components are tiny
+    * (pairs → clusters of 2-5), so this converges in 2-3 rounds; each round
+    * is one hash-shuffle join + min-aggregate, and `localCheckpoint`
+    * truncates the growing lineage so plan size stays constant at scale
+    * (the standard DataFrame-only CC loop — no GraphX, no driver collect).
+    *
+    * Output: (id, component) for every vertex appearing in `pairs`, where
+    * component = min id of the vertex's component. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val next = labels.join(edges, col("id") === col("src"))
+        .select(col("dst").as("id"), col("comp"))
+        .union(labels.select(col("id"), col("comp")))
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .where(col("n.comp") =!= col("o.comp"))
+        .count()
+      labels = next
+    }
+    labels
+  }
+
+  /** Near-duplicate dedup end-to-end: cluster the ≥θ jaccard pairs into
+    * components, keep the min-id doc per component plus every unpaired doc.
+    * Output: surviving (idCol) values. */
+  def nearDedupSurvivors(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val pairs = exactJaccardJoin(docs, idCol, textCol, n, threshold)
+    val comps = connectedComponents(pairs, "id_a", "id_b")
+    val losers = comps.where(col("comp") =!= col("id")).select(col("id").as(idCol))
+    docs.join(losers.hint("shuffle_hash"), Seq(idCol), "left_anti")
+      .select(col(idCol))
+  }
+
   /** Seeded MinHash parameters: k pairs (a, b) for h_i(x) = (a·x + b) mod p,
     * p = 2^31 - 1 (a < p keeps a·(x mod p) + b inside Long). */
   private val P = 2147483647L

@@ -44,6 +44,22 @@ object DedupQueries {
         n = 3, threshold = JaccardThreshold)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Near-dup components: min-label propagation over the jaccard pairs.
+    // Oracle: recursive-CTE transitive closure in DuckDB.
+    "dedup_near_components" -> q((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.exactJaccardJoin(Sources.documents(s, dir), "doc_id", "text",
+          n = 3, threshold = JaccardThreshold),
+        "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy(col("doc_id"))),
+
+    // End-to-end near-dedup: survivors = min-id per component + unpaired.
+    "dedup_near_survivors" -> q((s, dir) =>
+      Dedup.nearDedupSurvivors(Sources.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = JaccardThreshold)
+        .orderBy(col("doc_id"))),
+
     // MinHash-LSH approximate near-dup (verified precision, approx recall).
     // xxhash64-based → no SQL oracle; DedupSpec pins recall vs the exact join.
     "dedup_minhash_lsh" -> q((s, dir) =>
@@ -77,6 +93,31 @@ object DedupQueries {
       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
       |        FROM documents))""".stripMargin
 
+  /** Recursive transitive closure over the ≥θ pairs → per-vertex min label.
+    * (DuckDB evaluates the UNION-recursive CTE to fixpoint — the SQL twin of
+    * Dedup.connectedComponents' label propagation.) */
+  private val componentCtes =
+    raw"""WITH RECURSIVE sh AS (
+      |  SELECT doc_id,
+      |         list_distinct([array_to_string(t[i:i+2], ' ')
+      |                        for i in generate_series(1, len(t)-2)]) AS s
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |        FROM documents)),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE round(len(list_intersect(a.s, b.s))::double
+      |              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.8),
+      |edges AS (
+      |  SELECT id_a AS s, id_b AS t FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach(s, t) AS (
+      |  SELECT s, t FROM edges
+      |  UNION
+      |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+      |comp AS (
+      |  SELECT s AS id, least(s, min(t)) AS c FROM reach GROUP BY s)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact_rows" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
@@ -86,6 +127,16 @@ object DedupQueries {
     "dedup_fingerprint_survivors" ->
       """SELECT md5(text) AS fp, min(doc_id) AS doc_id
         |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin,
+
+    "dedup_near_components" ->
+      s"""$componentCtes
+        |SELECT id AS doc_id, c AS component FROM comp ORDER BY doc_id""".stripMargin,
+
+    "dedup_near_survivors" ->
+      s"""$componentCtes
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM comp WHERE c <> id)
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_jaccard_pairs" ->
       raw"""$shingleCte

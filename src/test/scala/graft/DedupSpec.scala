@@ -85,6 +85,30 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH missed planted near-dups: ${exact -- lsh}")
   }
 
+  test("connectedComponents: chains, stars and singleton-pairs get min-id labels") {
+    // components: {1,2,3,4} (chain), {10,11,12} (star on 10), {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("nearDedupSurvivors: drops non-min members of each component only") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val survivors = Dedup.nearDedupSurvivors(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(_.getLong(0)).toSet
+    val pairs = bruteForcePairs(0.8).collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every id_b that appears with a smaller partner must be dropped unless
+    // it is its component's min — sanity: survivors + losers = all docs
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.subsetOf(all))
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert((all -- paired).subsetOf(survivors), "unpaired docs must all survive")
+    assert(survivors.size < all.size, "some near-dups must be dropped")
+  }
+
   test("minHashSignature: deterministic across runs, k-wide") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").limit(10)
       .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
