@@ -69,13 +69,22 @@ object Dedup {
     * array intersection. Equivalent to the quadratic all-pairs join (the
     * DuckDB oracle runs that form) but with posting lists bounded by the
     * rare-shingle prefix. */
+  /** @param materializeShingles the shingle projection feeds FOUR plan
+    *   branches (frequency table, prefix sort, both verify sides); `true`
+    *   (default) pins it once via lazy localCheckpoint — saves 4× recompute
+    *   and gives AQE exact sizes. At true 100 TB corpus scale the pinned
+    *   blocks are corpus-sized executor storage (spilling to disk) — pass
+    *   `false` there to trade recompute for zero pinned state, or persist a
+    *   durable shingle table yourself. Blocks are released by the context
+    *   cleaner once the result's RDD is collected/GC'd (no unbounded leak —
+    *   the round-1 advice against library-side cache() was about unreleased
+    *   eager caches; a lazy checkpoint scoped to the query lifetime is the
+    *   deliberate tradeoff here). */
   def exactJaccardJoin(docs: DataFrame, idCol: String, textCol: String,
-                       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // No .cache() here: the shingle projection is recomputed per use (it is a
-    // narrow map over the scan); callers that materialize repeatedly should
-    // persist/unpersist around the call — holding executor memory inside a
-    // library operator leaks at corpus scale.
-    val ds = docShingles(docs, idCol, textCol, n)
+                       n: Int = 3, threshold: Double = 0.8,
+                       materializeShingles: Boolean = true): DataFrame = {
+    val ds0 = docShingles(docs, idCol, textCol, n)
+    val ds = if (materializeShingles) ds0.localCheckpoint(eager = false) else ds0
 
     // Global shingle rarity: document frequency per shingle. The prefix
     // order only needs to be a TOTAL ORDER consistent across docs, so the
@@ -132,8 +141,12 @@ object Dedup {
     * Output: (id, component) for every vertex appearing in `pairs`, where
     * component = min id of the vertex's component. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // Materialize the input ONCE before fanning out: edges references pairs
+    // twice (forward + reversed), and an un-checkpointed pair derivation
+    // (e.g. the full jaccard join) would execute per branch.
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint()
+    val edges = p.select(col("a").as("src"), col("b").as("dst"))
+      .union(p.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
@@ -217,10 +230,14 @@ object Dedup {
     */
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
                  n: Int = 3, threshold: Double = 0.8,
-                 k: Int = 64, bands: Int = 16, seed: Long = 42L): DataFrame = {
+                 k: Int = 64, bands: Int = 16, seed: Long = 42L,
+                 materializeShingles: Boolean = true): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    val ds = docShingles(docs, idCol, textCol, n)
+    val ds0 = docShingles(docs, idCol, textCol, n)
+    // shingles feed the signature agg + both verify sides — same
+    // materialization tradeoff as exactJaccardJoin
+    val ds = if (materializeShingles) ds0.localCheckpoint(eager = false) else ds0
     val sigs = minHashSignatureAgg(ds, k, seed)
 
     val banded = sigs.select(col("id"),

@@ -15,7 +15,6 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 object GraftProps extends Properties("graft") {
 
   private lazy val spark = SparkTestSession.spark
-  import scala.jdk.CollectionConverters._
 
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
     p.withMinSuccessfulTests(10)

@@ -52,6 +52,21 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 
+  test("source formats: orc/json/csv round-trip the same rows as parquet") {
+    val base = graft.engine.Sources.part(spark, dir)
+      .select("p_partkey", "p_name", "p_retailprice")
+    val expected = base.orderBy("p_partkey").collect().toSeq
+    for (fmt <- Seq("orc", "json", "csv")) {
+      val out = Files.createTempDirectory(s"graft_$fmt").toString
+      base.write.mode("overwrite").format(fmt)
+        .option("header", "true").save(out)
+      val back = spark.read.format(fmt)
+        .option("header", "true").schema(base.schema).load(out)
+      assert(back.orderBy("p_partkey").collect().toSeq == expected,
+        s"$fmt round-trip diverged")
+    }
+  }
+
   test("saltedJoin ≡ plain join row-for-row") {
     val fact = graft.engine.Sources.lineitem(spark, dir)
     val dim = graft.engine.Sources.part(spark, dir)
