@@ -84,8 +84,15 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
-    val train = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features").fit(train)
+    // Train on a bounded sample: centroid quality needs ~100 points per
+    // cell, not the corpus (at 100 TB you never fit on the full corpus);
+    // capped iterations — IVF recall is governed by nProbe, not by
+    // fully-converged centroids.
+    val train = corpus
+      .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+      .limit(math.max(nCells * 200, 2000))
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("features").fit(train)
     val centroids = model.clusterCenters.map(_.toArray.toSeq)
 
     // Distance to every centroid as codegen'd expressions over literal

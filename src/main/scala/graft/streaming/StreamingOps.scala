@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured Streaming surface of the engine: the streaming twins of the
   * batch event queries (`events_hourly` / `events_sessionize` in
@@ -76,6 +76,38 @@ object StreamingOps {
   /** Input/output rows of the custom stateful op below. */
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** The same running-totals semantics on Spark 4's transformWithState API
+    * (StatefulProcessor + typed ValueState): the successor to
+    * flatMapGroupsWithState, with per-state TTL and a state store the
+    * engine can evolve independently of the function. */
+  class RunningTotalsProcessor
+      extends StatefulProcessor[Long, UserEvent, UserRunning] {
+    @transient private var state: ValueState[UserRunning] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserRunning](
+        "running", Encoders.product[UserRunning], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+                                 timers: TimerValues): Iterator[UserRunning] = {
+      val prev = Option(state.get()).getOrElse(UserRunning(key, 0L, 0.0))
+      val batch = rows.toSeq
+      val next = UserRunning(key,
+        prev.n_events + batch.size,
+        prev.total_value + batch.map(_.value).sum)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** [[runningUserTotals]] via transformWithState. */
+  def runningUserTotalsTws(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
 
   /** Custom per-key state via flatMapGroupsWithState: running per-user event
     * count + value total, emitted on every update (the pattern for state

@@ -118,6 +118,34 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(landed.columns.contains("__batch_id"))
   }
 
+  test("runningUserTotalsTws: transformWithState (RocksDB store) ≡ fMGWS semantics") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StreamingOps.UserEvent]
+      val q = StreamingOps.runningUserTotalsTws(mem.toDS())
+        .writeStream.format("memory").queryName("s_running_tws")
+        .outputMode(OutputMode.Append()).start()
+      mem.addData(StreamingOps.UserEvent(1L, ts(0), 1.0),
+        StreamingOps.UserEvent(1L, ts(1), 2.0))
+      q.processAllAvailable()
+      mem.addData(StreamingOps.UserEvent(1L, ts(2), 4.0))
+      q.processAllAvailable()
+      q.stop()
+      val perBatch = spark.table("s_running_tws")
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+      assert(perBatch == Set((2L, 3.0), (3L, 7.0)))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("runningUserTotals: flatMapGroupsWithState carries state across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
