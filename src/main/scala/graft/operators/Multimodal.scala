@@ -83,6 +83,20 @@ object Multimodal {
       (pmod(xxhash64(payload, i), lit(1000000L)).cast("double") / 500000.0 - 1.0)
         .cast("float"))
 
+  /** DETERMINISTIC FAKE RESIZE — the thumbnail/resize stub: emits a
+    * `targetW*targetH*3`-byte payload derived by chaining sha2 over the
+    * content (stable, content-addressed, correct output SIZE so downstream
+    * batching/storage math is real). A real decoder+resizer replaces this
+    * body without changing the schema contract. */
+  def fakeThumbnail(payload: Column, targetW: Int, targetH: Int): Column = {
+    val nBytes = targetW * targetH * 3
+    // each sha2-512 hex block is 128 chars = 64 bytes after unhex
+    val blocks = (nBytes + 63) / 64
+    val hexChain = concat((0 until blocks).map(i =>
+      sha2(concat(payload, lit(i.toString).cast(BinaryType)), 512)): _*)
+    unhex(substring(hexChain, 1, nBytes * 2))
+  }
+
   /** Assemble an asset DataFrame from any table with an id and a binary-able
     * column — the ingest adapter used by tests and the registered queries
     * (the driver testdata has no native binary table, so `documents.text`

@@ -56,6 +56,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m(1L) != m(3L), "different content → different features")
   }
 
+  test("fakeThumbnail: exact target byte size, content-deterministic") {
+    val df = Seq((1L, "imgA".getBytes("UTF-8")), (2L, "imgA".getBytes("UTF-8")),
+      (3L, "imgB".getBytes("UTF-8"))).toDF("id", "payload")
+      .select(col("id"), Multimodal.fakeThumbnail(col("payload"), 8, 6).as("thumb"))
+    val m = df.collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toMap
+    assert(m.values.forall(_.length == 8 * 6 * 3))
+    assert(m(1L).toSeq == m(2L).toSeq, "same content → same thumbnail bytes")
+    assert(m(1L).toSeq != m(3L).toSeq)
+  }
+
   test("ingest: canonical asset schema with sniffed mime in meta") {
     val df = Seq((7, "hello")).toDF("doc_id", "text")
     val assets = Multimodal.ingest(df, "doc_id", col("text"))

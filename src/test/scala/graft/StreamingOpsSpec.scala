@@ -118,6 +118,28 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(landed.columns.contains("__batch_id"))
   }
 
+  test("file-source streaming: readStream over the real events.parquet ≡ batch") {
+    import org.apache.spark.sql.types._
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = StreamingOps.hourlyCounts(stream, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("s_file_hourly")
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("s_file_hourly")
+      .agg(org.apache.spark.sql.functions.sum("n_events")).collect()(0).getLong(0)
+    val expected = graft.engine.Sources.events(spark, dir).count()
+    assert(got == expected, s"file-streamed window counts $got != batch rows $expected")
+  }
+
   test("runningUserTotalsTws: transformWithState (RocksDB store) ≡ fMGWS semantics") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
