@@ -141,6 +141,30 @@ object FunctionQueries {
         .select(col("c_custkey"), col("c_mktsegment"))
         .orderBy(col("c_custkey"))),
 
+    // GROUPING SETS — only expressible through the SQL front-end; also
+    // exercises the spark.sql() entry path over registered views.
+    "agg_grouping_sets" -> q((s, dir) => {
+      Sources.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+      s.sql(
+        """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+          |       coalesce(l_linestatus, 'ALL') AS status,
+          |       count(*) AS cnt
+          |FROM graft_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          |ORDER BY flag, status""".stripMargin)
+    }),
+
+    // Correlated scalar subquery (decorrelated by Catalyst into a join).
+    "subquery_scalar" -> q((s, dir) => {
+      Sources.customer(s, dir).createOrReplaceTempView("graft_customer")
+      Sources.orders(s, dir).createOrReplaceTempView("graft_orders")
+      s.sql(
+        """SELECT c_custkey,
+          |       (SELECT round(max(o_totalprice), 2) FROM graft_orders o
+          |        WHERE o.o_custkey = c.c_custkey) AS max_order
+          |FROM graft_customer c ORDER BY c_custkey""".stripMargin)
+    }),
+
     // HLL sketch distinct (rows-only: sketch estimates are engine-specific;
     // FunctionQueriesSpec pins ±5% of exact).
     "agg_approx_distinct" -> q((s, dir) =>
@@ -225,6 +249,20 @@ object FunctionQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |       coalesce(l_linestatus, 'ALL') AS status,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY flag, status""".stripMargin,
+
+    "subquery_scalar" ->
+      """SELECT c_custkey,
+        |       (SELECT round(max(o_totalprice), 2) FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey) AS max_order
+        |FROM customer c ORDER BY c_custkey""".stripMargin,
 
     "join_semi" ->
       """SELECT c_custkey, c_mktsegment FROM customer c
