@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 32m G1 regions: collect_list/broadcast arrays of a few MB stop being
+  // humongous allocations (default 8m regions at this heap → >4m objects
+  // go humongous, fragmenting old gen and driving the run-to-run variance
+  // seen on the multi-join dedup queries)
+  "-XX:G1HeapRegionSize=32m",
 )

@@ -108,6 +108,12 @@ object Dedup {
       .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("rs"))
       .select(col("id"), col("n_sh"),
         transform(col("rs"), r => r.getField("s")).as("sh_sorted"))
+    // NOTE: the self-join below references prefixes twice and re-executes
+    // the freq-join subtree per side. Measured at sf0.1, checkpointing here
+    // is a net LOSS (accumulated checkpoint blocks trigger GC churn that
+    // outweighs the saved recompute — 4.5 s → 10 s); only the shingle
+    // projection is worth pinning. Revisit if candidate generation ever
+    // dominates at larger corpora.
     val prefixes = sortedSh
       .select(col("id"), explode(slice(col("sh_sorted"), lit(1), prefixLen)).as("s"))
 
