@@ -70,17 +70,14 @@ object DedupQueries {
     // SimHash near-dup: 64-bit signature per doc, pairs within hamming ≤ 5
     // (planted near-dups land at ≤5; the small shared vocabulary makes wider
     // radii noisy — simhash is the cheap candidate filter, jaccard verifies).
-    // Native Catalyst expression (SimHash64) — no SQL oracle; spec-pinned.
+    // Pigeonhole-banded hamming join (exact, no quadratic scan); native
+    // Catalyst expression (SimHash64) — no SQL oracle; spec pins ≡ the
+    // brute-force form.
     "dedup_simhash_pairs" -> q((s, dir) => {
-      val docs = Sources.documents(s, dir)
+      val sigs = Sources.documents(s, dir)
         .select(col("doc_id"),
           SimHash64.simhash64(TextOps.tokens(col("text"))).as("sh"))
-      val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      a.join(b, col("id_a") < col("id_b"))
-        .withColumn("hamming", SimHash64.hamming(col("sh_a"), col("sh_b")))
-        .where(col("hamming") <= 5)
-        .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+      Dedup.simHashNearDupPairs(sigs, "doc_id", "sh", maxHamming = 5)
         .orderBy(col("id_a"), col("id_b"))
     })
   )

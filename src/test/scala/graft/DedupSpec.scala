@@ -85,6 +85,24 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH missed planted near-dups: ${exact -- lsh}")
   }
 
+  test("simHashNearDupPairs: pigeonhole banding ≡ brute-force hamming join") {
+    import graft.functions.SimHash64
+    import graft.operators.TextOps
+    val sigs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), SimHash64.simhash64(TextOps.tokens(col("text"))).as("sh"))
+    val banded = Dedup.simHashNearDupPairs(sigs, "doc_id", "sh", maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val a = sigs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sigs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("hamming", SimHash64.hamming(col("sh_a"), col("sh_b")).cast("int"))
+      .where(col("hamming") <= 5)
+      .select("id_a", "id_b", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute, s"banding lost pairs: ${brute -- banded} / extra: ${banded -- brute}")
+    assert(brute.nonEmpty)
+  }
+
   test("connectedComponents: chains, stars and singleton-pairs get min-id labels") {
     // components: {1,2,3,4} (chain), {10,11,12} (star on 10), {20,21}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L), (20L, 21L))
