@@ -32,4 +32,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // go humongous, fragmenting old gen and driving the run-to-run variance
   // seen on the multi-join dedup queries)
   "-XX:G1HeapRegionSize=32m",
+  // Pre-fault the heap at JVM start: first-touch page faults otherwise land
+  // inside the first timed queries and show up as phantom per-query spikes
+  // (part of the 47s-vs-167s bench irreproducibility in round 2).
+  "-XX:+AlwaysPreTouch",
 )

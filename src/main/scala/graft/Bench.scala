@@ -1,5 +1,18 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+/** Benchmark main: one JSON line of per-query wall-clock seconds.
+  *
+  * Measurement protocol (reproducibility over optimism):
+  *   - every query is executed via the `noop` sink, not `.count()` — count
+  *     lets Catalyst elide final sorts/projections, noop materializes every
+  *     output row of the full plan;
+  *   - a full warm-up pass at sf0.001 triggers JIT + codegen compilation
+  *     before anything is timed;
+  *   - each query is timed MEDIAN-OF-3 at the target sf, so a single GC/JIT
+  *     stall cannot define the recorded number;
+  *   - failures are never silently folded into timings: a failed query
+  *     reports -1 in `queries` and its exception in `errors`.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,6 +23,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    def runOnce(fn: (SparkSession, String) => DataFrame, dir: String): Unit =
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+
     // JVM/codegen warm-up on the smallest sf so timed numbers measure the
     // engine, not JIT compilation of the first query to run.
     val warmDir = new java.io.File(sfDir).getParentFile match {
@@ -19,18 +36,36 @@ object Bench {
     }
     warmDir.foreach { d =>
       SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, d).count() catch { case _: Throwable => () }
+        try runOnce(fn, d) catch { case _: Throwable => () }
       }
     }
+
+    val Reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to Reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { runOnce(fn, sfDir); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          errors.getOrElseUpdate(name,
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+          None
+        }
+      }
+      val median =
+        if (times.isEmpty) -1.0
+        else times.sorted.apply(times.size / 2)
+      name -> median
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${errors.size},"reps":$Reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -27,11 +27,18 @@ object Dedup {
   /** Exact dedup on arbitrary key columns: deterministically keeps the full
     * row with the minimum id per key group (one agg shuffle + a semi join on
     * (keys, id) — both hash-partitioned on the same keys, so AQE fuses the
-    * exchanges). */
+    * exchanges).
+    *
+    * Key equality is NULL-SAFE (`<=>`): `groupBy` treats NULL as a normal
+    * group (so does the DuckDB oracle's GROUP BY), and a plain `=` semi join
+    * would silently drop every null-keyed row instead of keeping its group's
+    * min-id survivor. */
   def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
     val survivors = df.groupBy(keyCols.map(col): _*).agg(min(col(idCol)).as(idCol))
-    df.join(survivors, keyCols :+ idCol, "left_semi")
-      .select(df.columns.map(col): _*) // USING join moves keys first; restore
+    val cond = keyCols.map(k => col(s"d.$k") <=> col(s"s.$k"))
+      .reduce(_ && _) && col(s"d.$idCol") === col(s"s.$idCol")
+    df.as("d").join(survivors.as("s"), cond, "left_semi")
+      .select(df.columns.map(c => col(s"d.$c")): _*)
   }
 
   /** The survivor keys only: (keyCols..., min id) — one shuffle, no join. */
@@ -180,34 +187,61 @@ object Dedup {
     * vertex takes the min label among itself and its neighbors; fixpoint
     * after O(component diameter) rounds. Near-dup components are tiny
     * (pairs → clusters of 2-5), so this converges in 2-3 rounds; each round
-    * is one hash-shuffle join + min-aggregate, and `localCheckpoint`
-    * truncates the growing lineage so plan size stays constant at scale
-    * (the standard DataFrame-only CC loop — no GraphX, no driver collect).
+    * is one hash-shuffle join + min-aggregate, and checkpointing truncates
+    * the growing lineage so plan size stays constant at scale (the standard
+    * DataFrame-only CC loop — no GraphX, no driver collect).
+    *
+    * Convergence is detected from the PER-ROUND LABEL SUM: labels only ever
+    * decrease, over a fixed vertex set, so the sum is strictly decreasing
+    * until fixpoint — one cheap aggregate per round (which doubles as the
+    * action materializing the round's checkpoint) instead of a
+    * changed-labels self-join + count (round 2 paid two shuffling actions
+    * per round here).
+    *
+    * @param checkpointDir when set, rounds checkpoint RELIABLY to this
+    *   directory (`SparkContext.setCheckpointDir` + `checkpoint()`): blocks
+    *   survive executor loss, the right default on a real cluster at the
+    *   cost of a filesystem round-trip per round. When None (default),
+    *   `localCheckpoint` keeps blocks executor-local: fastest, but an
+    *   executor loss aborts the job — acceptable for interactive/local use,
+    *   documented tradeoff at 1000 executors.
     *
     * Output: (id, component) for every vertex appearing in `pairs`, where
     * component = min id of the vertex's component. */
-  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        df => {
+          val sc = df.sparkSession.sparkContext
+          if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+          df.checkpoint()
+        }
+      case None => _.localCheckpoint()
+    }
     // Materialize the input ONCE before fanning out: edges references pairs
     // twice (forward + reversed), and an un-checkpointed pair derivation
     // (e.g. the full jaccard join) would execute per branch.
-    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint()
-    val edges = p.select(col("a").as("src"), col("b").as("dst"))
-      .union(p.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
-      val next = labels.join(edges, col("id") === col("src"))
+    val p = ckpt(pairs.select(col(aCol).as("a"), col(bCol).as("b")))
+    val edges = ckpt(p.select(col("a").as("src"), col("b").as("dst"))
+      .union(p.select(col("b").as("src"), col("a").as("dst"))))
+    var labels = ckpt(edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")))
+    // decimal sum: immune to long overflow on wide-id corpora
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("comp").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged) {
+      val next = ckpt(labels.join(edges, col("id") === col("src"))
         .select(col("dst").as("id"), col("comp"))
         .union(labels.select(col("id"), col("comp")))
-        .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .where(col("n.comp") =!= col("o.comp"))
-        .count()
+        .groupBy("id").agg(min("comp").as("comp")))
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
     }
     labels
@@ -217,8 +251,16 @@ object Dedup {
     * components, keep the min-id doc per component plus every unpaired doc.
     * Output: surviving (idCol) values. */
   def nearDedupSurvivors(docs: DataFrame, idCol: String, textCol: String,
-                         n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val pairs = exactJaccardJoin(docs, idCol, textCol, n, threshold)
+                         n: Int = 3, threshold: Double = 0.8): DataFrame =
+    nearDedupSurvivorsFromPairs(docs, idCol,
+      exactJaccardJoin(docs, idCol, textCol, n, threshold))
+
+  /** [[nearDedupSurvivors]] over an already-computed pair list — the shape
+    * to use when pairs/components/survivors are all wanted from one corpus:
+    * compute (and materialize) the similarity join once, feed it to each
+    * consumer, instead of re-running the join per downstream op. */
+  def nearDedupSurvivorsFromPairs(docs: DataFrame, idCol: String,
+                                  pairs: DataFrame): DataFrame = {
     val comps = connectedComponents(pairs, "id_a", "id_b")
     val losers = comps.where(col("comp") =!= col("id")).select(col("id").as(idCol))
     docs.join(losers.hint("shuffle_hash"), Seq(idCol), "left_anti")

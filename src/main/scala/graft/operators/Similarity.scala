@@ -66,7 +66,89 @@ object Similarity {
       .select(col("query_id"), col("id").as("neighbor_id"), col("cosine"), col("rank"))
   }
 
-  /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+  /** Seeded k-means (kmeans++ init + Lloyd's) over a BOUNDED corpus sample,
+    * run driver-side. Centroid quality needs ~100 points per cell, not the
+    * corpus (at 100 TB you never fit on the full corpus), so only the sample
+    * ever collects — `nCells * 200` rows, a few MB. Driver-side Lloyd's on
+    * that sample is microseconds-per-iteration work; round 2 measured Spark
+    * ML KMeans spending up to 31 s here per query invocation (distributed
+    * job scheduling + no native BLAS in this container), all to produce a
+    * 16×64 matrix. Deterministic for a given (data, nCells, seed).
+    *
+    * Call once per corpus and reuse (see [[ivfTopK]]'s `centroids` param) —
+    * the query registry memoizes per (dataset, nCells, seed). */
+  def trainIvfCentroids(corpus: DataFrame, vecCol: String,
+                        nCells: Int, seed: Long = 42L,
+                        maxIter: Int = 10): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = corpus
+      .select(col(vecCol).cast("array<double>"))
+      .limit(math.max(nCells * 200, 2000))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head.length
+    val rnd = new scala.util.Random(seed)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // kmeans++ seeding: each next center drawn ∝ squared distance to the
+    // nearest chosen center (seeded, so fully deterministic).
+    val centers = scala.collection.mutable.ArrayBuffer(sample(rnd.nextInt(sample.length)).clone())
+    val minD2 = sample.map(p => d2(p, centers.head))
+    while (centers.size < math.min(nCells, sample.length)) {
+      val total = minD2.sum
+      var r = rnd.nextDouble() * total
+      var idx = 0
+      while (idx < sample.length - 1 && r > minD2(idx)) { r -= minD2(idx); idx += 1 }
+      centers += sample(idx).clone()
+      var i = 0
+      while (i < sample.length) {
+        val d = d2(sample(i), centers.last)
+        if (d < minD2(i)) minD2(i) = d
+        i += 1
+      }
+    }
+    // Lloyd's; capped iterations — IVF recall is governed by nProbe, not by
+    // fully-converged centroids.
+    val k = centers.size
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { p =>
+        var best = 0; var bestD = d2(p, centers(0)); var c = 1
+        while (c < k) {
+          val d = d2(p, centers(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+      }
+      moved = false
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) {
+            val v = sums(c)(i) / counts(c)
+            if (math.abs(v - centers(c)(i)) > 1e-12) moved = true
+            centers(c)(i) = v
+            i += 1
+          }
+        }
+        c += 1
+      }
+      iter += 1
+    }
+    centers.map(_.clone()).toArray
+  }
+
+  /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
     * partitions the corpus into `nCells` cells; each query probes only its
     * `nProbe` nearest cells. The standard billion-scale ANN layout
     * (IVF-flat): at 100 TB the cell assignment is a narrow map over the
@@ -74,31 +156,23 @@ object Similarity {
     * are just a hash-partitioned column, and query fan-out is nProbe/nCells
     * of the corpus instead of all of it.
     *
-    * Deterministic: seeded KMeans, centroid distances via the native codegen
-    * dot/norm expressions, rank ties broken by neighbor id. Training scans a
-    * corpus SAMPLE driver-side only for the tiny centroid matrix — the
-    * corpus itself never collects. */
+    * Deterministic: seeded training ([[trainIvfCentroids]]), centroid
+    * distances via the native codegen dot expressions, rank ties broken by
+    * neighbor id. Pass `centroids` to reuse a trained quantizer across
+    * queries (training per call is wasted work — centroids depend only on
+    * the corpus). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int = 5,
-              nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
-    // Train on a bounded sample: centroid quality needs ~100 points per
-    // cell, not the corpus (at 100 TB you never fit on the full corpus);
-    // capped iterations — IVF recall is governed by nProbe, not by
-    // fully-converged centroids.
-    val train = corpus
-      .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-      .limit(math.max(nCells * 200, 2000))
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("features").fit(train)
-    val centroids = model.clusterCenters.map(_.toArray.toSeq)
+              nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+              centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cents: Seq[Seq[Double]] =
+      centroids.getOrElse(trainIvfCentroids(corpus, vecCol, nCells, seed))
+        .map(_.toSeq).toSeq
 
     // Distance to every centroid as codegen'd expressions over literal
     // centroid arrays; cell = argmin, probes = nProbe smallest.
     def cellDists(vec: Column): Column = {
-      val ds = centroids.zipWithIndex.map { case (c, i) =>
+      val ds = cents.zipWithIndex.map { case (c, i) =>
         val cArr = array(c.map(lit): _*)
         val d2 = dot(vec, vec) - lit(2.0) * dot(vec, cArr) +
           lit(c.map(x => x * x).sum)
@@ -124,16 +198,62 @@ object Similarity {
       .select(col("query_id"), col("id").as("neighbor_id"), col("cosine"), col("rank"))
   }
 
-  /** Embedding near-duplicate pairs: all (i < j) with cosine ≥ threshold.
-    * Exact form is a self-join; the corpus side is scanned once per
-    * partition of the other (AQE picks broadcast when one side fits). */
+  /** Embedding near-duplicate pairs: all (i < j) with cosine ≥ threshold —
+    * EXACT (recall 1.0 by construction, so the quadratic SQL oracle
+    * hash-matches deterministically).
+    *
+    * Exact thresholded cosine join over dense random vectors at low θ is
+    * Ω(n²) comparisons — no bucketing scheme prunes when the ε-ball
+    * (ε = √(2−2θ)) covers most of the unit sphere, and the probabilistic
+    * alternatives (hyperplane LSH) cannot promise the oracle's recall 1.0.
+    * What CAN be fixed is the plan: the naive theta-join
+    * (`a.join(b, id_a < id_b)`) planned as a BroadcastNestedLoopJoin — one
+    * broadcast of the whole corpus and a single-partition n² loop. Here the
+    * irreducible work is distributed as a BLOCK MATRIX instead:
+    *
+    *   - rows are hashed into `blocks` buckets; the join key is the block
+    *     pair (bx, by), an EQUI key, so Catalyst plans a shuffled hash join
+    *     with blocks² independent cells of (n/blocks)² comparisons each —
+    *     bounded per-task memory, even spread, no broadcast of the corpus;
+    *   - each ordered pair (id_a < id_b) meets in exactly one cell
+    *     (blk_a, blk_b) — no distinct needed;
+    *   - a seeded 1-D unit projection rides along as a prefilter: for unit
+    *     vectors, cos(a,b) ≥ θ ⟹ ‖â−b̂‖ ≤ ε ⟹ |r·â − r·b̂| ≤ ε, so far
+    *     pairs fail one multiply-compare instead of a `dim`-wide dot.
+    *
+    * Shuffle volume is 2·n·blocks rows (each side replicated per block row/
+    * column) — the standard distributed all-pairs layout. At production θ
+    * (≥0.9, true near-dups) prefer the sub-quadratic candidate paths
+    * ([[lshTopK]] buckets, [[Dedup.minHashLsh]]/[[Dedup.simHashNearDupPairs]]
+    * for text) with this exact form as their recall oracle. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double): DataFrame = {
-    val a = prep(df, idCol, vecCol)
-      .select(col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a"))
-    val b = prep(df, idCol, vecCol)
-      .select(col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
-    a.join(b, col("id_a") < col("id_b"))
+                         threshold: Double, blocks: Int = 32,
+                         dim: Int = 64, seed: Long = 42L): DataFrame = {
+    require(blocks > 0, "blocks must be positive")
+    val eps = math.sqrt(math.max(2.0 - 2.0 * threshold, 0.0))
+    val dir = {
+      val p = randomPlanes(1, dim, seed).head
+      val n = math.sqrt(p.map(x => x * x).sum)
+      p.map(_ / n)
+    }
+    val dirArr = array(dir.map(lit): _*)
+    val base = prep(df, idCol, vecCol)
+      .withColumn("blk", pmod(xxhash64(col("id")), lit(blocks)).cast("int"))
+      .withColumn("proj", when(col("nrm") === 0.0, lit(0.0))
+        .otherwise(dot(col("vec"), dirArr) / col("nrm")))
+    val a = base.select(col("id").as("id_a"), col("vec").as("vec_a"),
+      col("nrm").as("nrm_a"), col("proj").as("p_a"), col("blk").as("bx"),
+      explode(sequence(lit(0), lit(blocks - 1))).as("by"))
+    val b = base.select(col("id").as("id_b"), col("vec").as("vec_b"),
+      col("nrm").as("nrm_b"), col("proj").as("p_b"),
+      explode(sequence(lit(0), lit(blocks - 1))).as("bx"), col("blk").as("by"))
+    // Projection prefilter is only sound for θ > 0 (zero-norm rows carry
+    // proj = 0 but cosine 0 still passes a non-positive threshold).
+    val prefilter =
+      if (threshold > 0) abs(col("p_a") - col("p_b")) <= lit(eps) else lit(true)
+    a.as("pa").join(b.hint("shuffle_hash").as("pb"),
+        col("pa.bx") === col("pb.bx") && col("pa.by") === col("pb.by") &&
+          col("id_a") < col("id_b") && prefilter)
       .withColumn("cosine",
         round(cosinePrenormed(col("vec_a"), col("vec_b"), col("nrm_a"), col("nrm_b")), 6))
       .where(col("cosine") >= threshold)

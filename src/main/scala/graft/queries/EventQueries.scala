@@ -84,11 +84,18 @@ object EventQueries {
 
     // Deterministic fake feature extraction (decode stub): rows-only check —
     // xxhash64-derived features are not SQL-reproducible; MultimodalSpec
-    // pins shape + determinism.
+    // pins shape + determinism on the raw array. The registered projection
+    // presents the vector as (dim, xxhash64 of its joined text form): scalar
+    // columns only, because the driver's rows-only checker sorts rows with
+    // pandas and crashes on unhashable array cells (round-2 err).
     "multimodal_fake_features" -> q((s, dir) =>
       Multimodal.ingest(Sources.documents(s, dir), "doc_id", col("text"))
         .select(col("asset_id"),
           Multimodal.fakeFeatures(col("payload"), dim = 16).as("features"))
+        .select(col("asset_id"),
+          size(col("features")).as("dim"),
+          xxhash64(concat_ws(",", col("features").cast("array<string>")))
+            .as("feature_hash"))
         .orderBy(col("asset_id")))
   )
 
@@ -131,10 +138,19 @@ object EventQueries {
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name""".stripMargin,
 
+    // The mime CASE mirrors Multimodal.sniffMime over the same bytes: of the
+    // five sniffed magics only the ASCII-representable ones (GIF8 / RIFF /
+    // %PDF) can occur as a valid UTF-8 text prefix — the PNG/JPEG magics
+    // start with bytes no UTF-8 string can begin with — so a document whose
+    // text happens to start with a magic prefix sniffs identically in both
+    // engines instead of breaking hash parity.
     "multimodal_binary_meta" ->
       """SELECT doc_id AS asset_id, strlen(text)::int AS byte_len,
         |       sha256(text) AS sha256,
-        |       'application/octet-stream' AS mime
+        |       CASE WHEN starts_with(text, 'GIF8') THEN 'image/gif'
+        |            WHEN starts_with(text, 'RIFF') THEN 'audio/wav'
+        |            WHEN starts_with(text, '%PDF') THEN 'application/pdf'
+        |            ELSE 'application/octet-stream' END AS mime
         |FROM documents ORDER BY asset_id""".stripMargin
   )
 }

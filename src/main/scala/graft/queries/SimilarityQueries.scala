@@ -25,6 +25,10 @@ object SimilarityQueries {
     * non-trivial pair set (59 pairs at sf0.01). */
   val CosineThreshold = 0.4
 
+  /** IVF centroid memo: one trained quantizer per (sf dir, nCells, seed). */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap[(String, Int, Long), Array[Array[Double]]]()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact top-5 neighbors for the first 10 vectors: broadcast the query
@@ -43,15 +47,20 @@ object SimilarityQueries {
         Sources.embeddings(s, dir), "vec_id", "embedding", CosineThreshold)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // IVF-flat top-k (KMeans coarse quantizer, nProbe cells per query) —
+    // IVF-flat top-k (k-means coarse quantizer, nProbe cells per query) —
     // the billion-scale ANN layout. Seeded but not SQL-reproducible →
-    // rows-only + SimilaritySpec recall bound.
+    // rows-only + SimilaritySpec recall bound. Centroids are trained once
+    // per (dataset, nCells, seed) and memoized: the quantizer is a corpus
+    // property, not a query property (round 2 paid a full training run per
+    // query invocation).
     "sim_topk_ivf" -> q((s, dir) => {
       val emb = Sources.embeddings(s, dir)
+      val cents = centroidCache.getOrElseUpdate((dir, 16, 42L),
+        Similarity.trainIvfCentroids(emb, "embedding", nCells = 16, seed = 42L))
       Similarity.ivfTopK(
         corpus = emb, queries = emb.where(col("vec_id") < 10),
         idCol = "vec_id", vecCol = "embedding", k = 5,
-        nCells = 16, nProbe = 4)
+        nCells = 16, nProbe = 4, centroids = Some(cents))
         .orderBy(col("query_id"), col("rank"))
     }),
 

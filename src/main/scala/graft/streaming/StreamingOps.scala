@@ -42,13 +42,17 @@ object StreamingOps {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("n_events"), col("sum_value"))
 
-  /** Streaming exact dedup on event_id: watermark-bounded state (an id seen
-    * once is dropped for as long as it can legally reappear — late events
-    * beyond the watermark are discarded by definition, so state is finite). */
+  /** Streaming exact dedup on event_id ALONE: watermark-bounded state (an id
+    * seen once is dropped for as long as it can legally reappear — late
+    * events beyond the watermark are discarded by definition, so state is
+    * finite). `dropDuplicatesWithinWatermark` keys state on just event_id:
+    * a duplicate id arriving with a DIFFERENT timestamp is still dropped,
+    * matching the batch exact-dedup semantics (plain
+    * `dropDuplicates("event_id", "ts")` would let it through). */
   def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .dropDuplicates("event_id", "ts")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Stream-static enrichment join: the streaming fact side joins a static
     * dimension snapshot (re-read per micro-batch by Spark, broadcast when
@@ -59,16 +63,23 @@ object StreamingOps {
     events.join(broadcast(dim), col(eventKey) === col(dimKey), "left_outer")
       .drop(dimKey)
 
-  /** Exactly-once-per-batch parquet sink via foreachBatch: batch id +
-    * idempotent overwrite-by-partition gives replay safety on restart.
-    * Returns the started query; caller owns lifecycle. */
+  /** Exactly-once-per-batch parquet sink via foreachBatch: rows land
+    * partitioned by `__batch_id`, written with DYNAMIC partition overwrite —
+    * a replayed batch id (restart after a crash between sink write and
+    * checkpoint commit) overwrites its own partition instead of appending a
+    * second copy, which is what makes the replay idempotent. Returns the
+    * started query; caller owns lifecycle. */
   def toParquetBatches(df: DataFrame, outDir: String, checkpoint: String)
   : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         batch.withColumn("__batch_id", lit(id))
-          .write.mode("append").parquet(outDir)
+          .write
+          .partitionBy("__batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .parquet(outDir)
         ()
       }
       .start()

@@ -22,6 +22,16 @@ class DedupSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, "k1", "y"), (2L, "k2", "z")))
   }
 
+  test("exact: NULL keys form a normal group (null-safe semi join), like GROUP BY") {
+    val df = Seq(
+      (3L, Some("k1")), (7L, None), (4L, None), (1L, Some("k1")))
+      .toDF("id", "key")
+    val out = Dedup.exact(df, Seq("key"), "id")
+      .orderBy("id").collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(out.toSeq == Seq((1L, Some("k1")), (4L, None)),
+      "null-keyed rows must keep their group's min-id survivor, not vanish")
+  }
+
   test("shingles: n-grams over tokens; short docs collapse to one shingle") {
     val sh = Seq("a b c d").toDF("text")
       .select(Dedup.shingles(col("text"), 3).as("s"))
@@ -111,6 +121,21 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents: reliable-checkpoint path ≡ localCheckpoint path") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val reliable = Dedup.connectedComponents(pairs, "id_a", "id_b",
+      checkpointDir = Some(ckptDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(reliable == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // reliable path actually wrote checkpoint data to the durable dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, "reliable checkpoint must materialize to the checkpoint dir")
   }
 
   test("nearDedupSurvivors: drops non-min members of each component only") {

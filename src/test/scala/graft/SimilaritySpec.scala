@@ -117,4 +117,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
     assert(pairs.forall(r => r.getDouble(2) >= 0.4))
   }
+
+  test("cosineNearDupPairs: output ≡ quadratic baseline; plan is an equi-join (no BNLJ / cartesian)") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+    val gotSet = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // plan pin AFTER execution so AQE's final physical plan is inspected
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"block-matrix pair join must not degenerate to an all-pairs loop plan:\n$plan")
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val expect = a.join(b, col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        round(VectorFunctions.cosine(col("va"), col("vb")), 6).as("c"))
+      .where(col("c") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gotSet == expect,
+      s"missing=${(expect -- gotSet).take(5)} extra=${(gotSet -- expect).take(5)}")
+  }
 }
