@@ -251,12 +251,18 @@ object Similarity {
     // proj = 0 but cosine 0 still passes a non-positive threshold).
     val prefilter =
       if (threshold > 0) abs(col("p_a") - col("p_b")) <= lit(eps) else lit(true)
+    // The cosine threshold rides INSIDE the join condition: the join's
+    // candidate stream is ~n²/blocks² rows per cell, each carrying two
+    // `dim`-wide arrays — evaluating the threshold as a post-join filter
+    // materializes all of them through the join output (measured GC churn at
+    // sf0.1), while a join-condition conjunct drops failing pairs before a
+    // single candidate row is emitted. The surviving-row recompute of
+    // `cosine` for the projection touches only the ~output-sized remainder.
+    val cosineExpr =
+      round(cosinePrenormed(col("vec_a"), col("vec_b"), col("nrm_a"), col("nrm_b")), 6)
     a.as("pa").join(b.hint("shuffle_hash").as("pb"),
         col("pa.bx") === col("pb.bx") && col("pa.by") === col("pb.by") &&
-          col("id_a") < col("id_b") && prefilter)
-      .withColumn("cosine",
-        round(cosinePrenormed(col("vec_a"), col("vec_b"), col("nrm_a"), col("nrm_b")), 6))
-      .where(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+          col("id_a") < col("id_b") && prefilter && cosineExpr >= lit(threshold))
+      .select(col("id_a"), col("id_b"), cosineExpr.as("cosine"))
   }
 }

@@ -48,12 +48,21 @@ object TextOps {
   val englishStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
 
+  /** Occurrences of `words` members in a token array — native codegen
+    * expression ([[graft.functions.CountInSet]]); [[countInSetHof]] is the
+    * interpreted executable spec. */
+  def countInSet(toks: Column, words: Seq[String]): Column =
+    graft.functions.CountInSet.countInSetNative(toks, words)
+
+  /** HOF reference form of [[countInSet]] (kept for differential tests). */
+  def countInSetHof(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+
   /** Fraction of tokens that are stopwords (quality signal: natural prose
     * sits around 0.3-0.5; keyword-stuffed or tabular text near 0). */
   def stopwordRatio(text: Column, stopwords: Seq[String] = englishStopwords): Column = {
     val toks = tokens(text)
-    val sw = array(stopwords.map(lit): _*)
-    val hits = size(filter(toks, t => array_contains(sw, t)))
+    val hits = countInSet(toks, stopwords)
     when(size(toks) === 0, lit(0.0))
       .otherwise(round(hits.cast("double") / size(toks), 4))
   }
@@ -69,8 +78,7 @@ object TextOps {
     * while floor-div on exact integers is bit-identical everywhere. */
   def qualityScore(text: Column): Column = {
     val toks = tokens(text)
-    val sw = array(englishStopwords.map(lit): _*)
-    val hits = size(filter(toks, t => array_contains(sw, t))).cast("long")
+    val hits = countInSet(toks, englishStopwords).cast("long")
     val len = length(text).cast("long")
     val punctChars = length(regexp_replace(text, "[^.,!?;:]", "")).cast("long")
     val lenBp = least(len * 20L, lit(10000L))
@@ -99,9 +107,7 @@ object TextOps {
   def langId(text: Column): Column = {
     val toks = tokens(text)
     val scored = langProfiles.map { case (lang, words) =>
-      val sw = array(words.map(lit): _*)
-      struct(size(filter(toks, t => array_contains(sw, t))).as("score"),
-        lit(lang).as("lang"))
+      struct(countInSet(toks, words).as("score"), lit(lang).as("lang"))
     }
     // array_max on struct(score, lang): max score, then max lang — invert the
     // lang for asc tie-break by comparing on (score, negated-rank) instead:

@@ -61,6 +61,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(one("xyzzy plugh", TextOps.langId(col("text"))) == "de")
   }
 
+  test("native countInSet ≡ HOF filter/array_contains on the whole corpus") {
+    val docs = SparkTestSession.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val diff = docs.select(
+      TextOps.countInSet(TextOps.tokens(col("text")), TextOps.englishStopwords).as("a"),
+      TextOps.countInSetHof(TextOps.tokens(col("text")), TextOps.englishStopwords).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(diff == 0L)
+    // repeats count per-occurrence; null-element arrays never match
+    import SparkTestSession.spark.implicits._
+    val edge = Seq(Seq("the", "the", "x"), Seq.empty[String]).toDF("t")
+      .select(TextOps.countInSet(col("t"), TextOps.englishStopwords).as("c"))
+      .collect().map(_.getInt(0))
+    assert(edge.toSeq == Seq(2, 0))
+  }
+
   test("fingerprints: md5 matches reference vector; rolling hash is order-sensitive") {
     assert(one("abc", TextOps.fingerprintMd5(col("text"))) ==
       "900150983cd24fb0d6963f7d28e17f72")
