@@ -64,10 +64,21 @@ object Sources {
     * that the reference re-joins by hand (MovieRank.java:44-47); unlike the
     * reference we strip the surrounding quotes and keep the genres column
     * (dropped downstream via select, not at parse — SURVEY.md §2.2 P3). */
+  /** Shared CSV reader options: RFC-4180 escaping means a quote inside a
+    * quoted field is DOUBLED — Spark's default escape is backslash, so
+    * `escape` must be pinned to the quote char or `"Movie ""5"""` comes back
+    * with its raw doubled quotes (DuckDB's read_csv is RFC-4180 natively). */
+  private def csv(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("escape", "\"")
+      .schema(schema)
+      .csv(path)
+
   def moviesCsv(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("header", "true").schema(moviesSchema).csv(path)
+    csv(spark, moviesSchema, path)
 
   /** MovieLens ratings fact table (header skip ≙ MovieRank.java:61-63). */
   def ratingsCsv(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("header", "true").schema(ratingsSchema).csv(path)
+    csv(spark, ratingsSchema, path)
 }

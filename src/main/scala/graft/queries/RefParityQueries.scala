@@ -18,6 +18,11 @@ object RefParityQueries {
   private def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tuning.tune(s), dir)
 
+  /** Committed MovieLens-format CSV fixture (deterministic, RFC-4180 edge
+    * rows included) — independent of the driver's sf dir, same absolute path
+    * visible to the DuckDB oracle. */
+  val FixtureDir = "/root/repo/fixtures"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── Headline pipelines (SURVEY.md §2.10) ──────────────────────────────
@@ -43,6 +48,25 @@ object RefParityQueries {
         Sources.lineitem(s, dir), Sources.part(s, dir),
         factKey = "l_partkey", dimKey = "p_partkey", titleCol = "p_name",
         asc = false)),
+
+    // The literal MovieLens CSV ingest path end-to-end (S1 csv scan, P2
+    // header skip, P3 comma/quote-in-title parse per RFC-4180, then the
+    // MovieRank join+count+sort): reads the committed deterministic fixture
+    // (fixtures/movies.csv has quoted comma-titles and doubled-quote
+    // escapes — the rows the reference re-joins by hand, MovieRank.java:
+    // 40-47). Aggregate-before-join: the fact side shuffles only
+    // (movieId, count) pairs, then the dim join broadcasts — the 100 TB
+    // shape. Ratings of unknown movieIds drop via the inner join (the
+    // clean variant of J1a; the faithful "null"-title form is
+    // join_miss_null).
+    "q1_movielens_csv" -> q((s, _) => {
+      val movies = Sources.moviesCsv(s, s"$FixtureDir/movies.csv")
+      val ratings = Sources.ratingsCsv(s, s"$FixtureDir/ratings.csv")
+      ratings.groupBy(col("movieId")).agg(count(lit(1)).as("n_ratings"))
+        .join(broadcast(movies), Seq("movieId"))
+        .select(col("movieId"), col("title"), col("n_ratings"))
+        .orderBy(col("n_ratings"), col("movieId"))
+    }),
 
     // ── Scans / projections / filters (S1, P1, P2, P4) ────────────────────
     // Projection + predicate; both must reach the parquet scan (ReadSchema /
@@ -215,6 +239,20 @@ object RefParityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // DuckDB's RFC-4180 read_csv parses the same quoted/doubled-quote titles;
+    // explicit column types mirror Sources.moviesSchema/ratingsSchema.
+    "q1_movielens_csv" ->
+      s"""SELECT m.movieId, m.title, r.n_ratings
+        |FROM (SELECT movieId, count(*) AS n_ratings
+        |      FROM read_csv('$FixtureDir/ratings.csv', header=true,
+        |             columns={'userId':'INTEGER','movieId':'INTEGER',
+        |                      'rating':'DOUBLE','timestamp':'BIGINT'})
+        |      GROUP BY movieId) r
+        |JOIN read_csv('$FixtureDir/movies.csv', header=true,
+        |       columns={'movieId':'INTEGER','title':'VARCHAR','genres':'VARCHAR'}) m
+        |  USING (movieId)
+        |ORDER BY n_ratings, movieId""".stripMargin,
+
     "q1_movierank" ->
       """SELECT p.p_partkey AS key, p.p_name AS title, count(*) AS cnt
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
