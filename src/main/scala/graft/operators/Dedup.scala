@@ -182,6 +182,38 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** 48-bit md5-based SimHash signatures — the SQL-reproducible twin of the
+    * native 64-bit xxhash64 expression ([[graft.functions.SimHash64]]).
+    * Charikar semantics are identical: per bit position, +1 when a token's
+    * hash has the bit set else -1, summed over ALL token occurrences; output
+    * bit = (vote sum > 0); tokenless docs sign to 0.
+    *
+    * Shape: explode tokens → 48 parallel `sum()` vote aggregates with
+    * MAP-SIDE partial aggregation (the shuffle carries 48 longs per id per
+    * mapper, not per token), then a sign-pack projection — the same
+    * aggregation-boundary layout as the MinHash signature agg, for the same
+    * reason (projection collapse cannot re-inline the per-token hashing).
+    * Output: (idCol, sh: long). */
+  def simHashMd5Signatures(docs: DataFrame, idCol: String, textCol: String,
+                           bits: Int = 48): DataFrame = {
+    require(bits > 0 && bits <= 48, "md5Hash48 carries 48 hash bits")
+    val toks = docs
+      .select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("t"))
+      .select(col("id"), md5Hash48(col("t")).as("h"))
+    val votes = (0 until bits).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"c$j"))
+    val sigs = toks.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until bits).map(j =>
+          when(col(s"c$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sh"))
+    // tokenless docs (empty/whitespace text) vanish in the explode — restore
+    // them with the all-ties signature 0, as the native expression yields
+    docs.select(col(idCol).as("id")).join(sigs, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("sh"), lit(0L)).as("sh"))
+  }
+
   /** Connected components over an undirected pair list via min-label
     * propagation: every vertex starts labeled with itself; each round, every
     * vertex takes the min label among itself and its neighbors; fixpoint
@@ -267,10 +299,19 @@ object Dedup {
       .select(col(idCol))
   }
 
+  /** 48-bit token/shingle hash from the leading 12 hex chars of md5 —
+    * deliberately SQL-reproducible (DuckDB folds the same hex prefix), so
+    * MinHash/SimHash built on it are fully oracle-checkable. xxhash64 stays
+    * the at-scale default (one pass, no hex detour); md5-48 is the
+    * verifiability variant — signatures differ, semantics don't. */
+  def md5Hash48(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 12), 16, 10).cast("bigint")
+
   /** Seeded MinHash parameters: k pairs (a, b) for h_i(x) = (a·x + b) mod p,
-    * p = 2^31 - 1 (a < p keeps a·(x mod p) + b inside Long). */
-  private val P = 2147483647L
-  private def minhashParams(k: Int, seed: Long): (Seq[Long], Seq[Long]) = {
+    * p = 2^31 - 1 (a < p keeps a·(x mod p) + b inside Long). Public so the
+    * oracle SQL generator embeds the identical constants. */
+  val P = 2147483647L
+  def minhashParams(k: Int, seed: Long): (Seq[Long], Seq[Long]) = {
     val rnd = new scala.util.Random(seed)
     (Seq.fill(k)(1L + rnd.nextInt(Int.MaxValue - 1).toLong),
       Seq.fill(k)(rnd.nextInt(Int.MaxValue).toLong))
@@ -297,10 +338,11 @@ object Dedup {
     * never re-inline the hashing work: Catalyst's projection collapse would
     * otherwise duplicate the full k×|shingles| hash evaluation into every
     * band expression (measured 18× slowdown at sf0.1). */
-  private def minHashSignatureAgg(ds: DataFrame, k: Int, seed: Long): DataFrame = {
+  private def minHashSignatureAgg(ds: DataFrame, k: Int, seed: Long,
+                                  tokenHash: Column => Column): DataFrame = {
     val (as, bs) = minhashParams(k, seed)
     val exploded = ds.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
-      .select(col("id"), col("n_sh"), pmod(xxhash64(col("s")), lit(P)).as("h"))
+      .select(col("id"), col("n_sh"), pmod(tokenHash(col("s")), lit(P)).as("h"))
     val mins = (0 until k).map(i =>
       min(pmod(lit(as(i)) * col("h") + lit(bs(i)), lit(P))).as(s"m$i"))
     exploded.groupBy("id", "n_sh")
@@ -316,17 +358,21 @@ object Dedup {
     *
     * With k=64, bands=16 (r=4): P[detect | j=0.8] = 1-(1-0.8^4)^16 ≈ 0.9997.
     */
+  /** @param tokenHash per-shingle hash feeding the signature permutations:
+    *   xxhash64 by default (fastest single-pass at scale); pass [[md5Hash48]]
+    *   for a signature basis the DuckDB oracle reproduces exactly. */
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
                  n: Int = 3, threshold: Double = 0.8,
                  k: Int = 64, bands: Int = 16, seed: Long = 42L,
-                 materializeShingles: Boolean = true): DataFrame = {
+                 materializeShingles: Boolean = true,
+                 tokenHash: Column => Column = c => xxhash64(c)): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
     val ds0 = docShingles(docs, idCol, textCol, n)
     // shingles feed the signature agg + both verify sides — same
     // materialization tradeoff as exactJaccardJoin
     val ds = if (materializeShingles) ds0.localCheckpoint(eager = false) else ds0
-    val sigs = minHashSignatureAgg(ds, k, seed)
+    val sigs = minHashSignatureAgg(ds, k, seed, tokenHash)
 
     val banded = sigs.select(col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>

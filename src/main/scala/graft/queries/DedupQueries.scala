@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.{Sources, Tuning}
-import graft.functions.SimHash64
 import graft.operators.{Dedup, TextOps}
 
 /** Deduplication query registry over `documents`: exact (hash-groupBy),
@@ -72,22 +71,25 @@ object DedupQueries {
         .orderBy(col("doc_id"))),
 
     // MinHash-LSH approximate near-dup (verified precision, approx recall).
-    // xxhash64-based → no SQL oracle; DedupSpec pins recall vs the exact join.
+    // Registered with the md5-48 token hash so the FULL pipeline — shingle
+    // hash, 64 seeded permutations, 16-band bucketing, jaccard verify — is
+    // hash-matched against DuckDB (the xxhash64 default stays the at-scale
+    // path; DedupSpec pins its recall vs the exact join).
     "dedup_minhash_lsh" -> q((s, dir) =>
       Dedup.minHashLsh(Sources.documents(s, dir), "doc_id", "text",
-        n = 3, threshold = JaccardThreshold)
+        n = 3, threshold = JaccardThreshold, tokenHash = Dedup.md5Hash48)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // SimHash near-dup: 64-bit signature per doc, pairs within hamming ≤ 5
+    // SimHash near-dup: signature per doc, pairs within hamming ≤ 5
     // (planted near-dups land at ≤5; the small shared vocabulary makes wider
     // radii noisy — simhash is the cheap candidate filter, jaccard verifies).
-    // Pigeonhole-banded hamming join (exact, no quadratic scan); native
-    // Catalyst expression (SimHash64) — no SQL oracle; spec pins ≡ the
-    // brute-force form.
+    // Pigeonhole-banded hamming join (exact, no quadratic scan). Registered
+    // over the md5-48 signature pipeline for full oracle parity; the native
+    // 64-bit codegen expression (SimHash64) remains the at-scale signature
+    // path, spec-pinned ≡ brute force in DedupSpec/SimHashSpec.
     "dedup_simhash_pairs" -> q((s, dir) => {
-      val sigs = Sources.documents(s, dir)
-        .select(col("doc_id"),
-          SimHash64.simhash64(TextOps.tokens(col("text"))).as("sh"))
+      val sigs = Dedup.simHashMd5Signatures(
+        Sources.documents(s, dir), "doc_id", "text")
       Dedup.simHashNearDupPairs(sigs, "doc_id", "sh", maxHamming = 5)
         .orderBy(col("id_a"), col("id_b"))
     })
@@ -109,6 +111,81 @@ object DedupQueries {
       |        FROM documents)""".stripMargin
 
   private val shingleCte = s"WITH sh AS (\n$shingleBody)"
+
+  /** DuckDB twin of Dedup.md5Hash48 over a column expression `e`: fold the
+    * first 12 md5 hex chars into a 48-bit BIGINT. */
+  private def hexFold48(e: String): String =
+    s"""list_reduce(list_transform(string_split(substr(md5($e), 1, 12), ''),
+       |                 c -> (strpos('0123456789abcdef', c) - 1)::BIGINT),
+       |                 (x, y) -> x * 16 + y)""".stripMargin
+
+  private val jaccardExpr =
+    """round(len(list_intersect(a.s, b.s))::double
+      |             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)""".stripMargin
+
+  /** Full MinHash-LSH pipeline in SQL: identical permutation constants
+    * (embedded from Dedup.minhashParams(64, 42)), identical md5-48 shingle
+    * hash, band collision on the same 16×4 signature slices, exact-jaccard
+    * verify — so the driver hash-compares the whole approximate pipeline,
+    * not just its verified output shape. */
+  private def minhashOracle: String = {
+    val (as, bs) = Dedup.minhashParams(64, 42L)
+    val mins = (0 until 64)
+      .map(i => s"min((${as(i)} * h + ${bs(i)}) % ${Dedup.P}) AS m$i")
+      .mkString(",\n         ")
+    val sigList = (0 until 64).map(i => s"m$i").mkString("[", ", ", "]")
+    val bandEq = (0 until 16)
+      .map(b => s"x.sig[${4 * b + 1}:${4 * b + 4}] = y.sig[${4 * b + 1}:${4 * b + 4}]")
+      .mkString("\n      OR ")
+    s"""WITH sh AS (
+       |$shingleBody),
+       |hashed AS (
+       |  SELECT doc_id, ${hexFold48("s")} % ${Dedup.P} AS h
+       |  FROM (SELECT doc_id, unnest(s) AS s FROM sh)),
+       |mins AS (
+       |  SELECT doc_id, $mins
+       |  FROM hashed GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, $sigList AS sig FROM mins),
+       |cands AS (
+       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id AND ($bandEq))
+       |SELECT c.id_a, c.id_b, $jaccardExpr AS jaccard
+       |FROM cands c
+       |JOIN sh a ON a.doc_id = c.id_a
+       |JOIN sh b ON b.doc_id = c.id_b
+       |WHERE $jaccardExpr >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** 48-bit md5 SimHash in SQL: per-bit ±1 votes over all token occurrences,
+    * sign-pack, tokenless docs coalesce to 0, quadratic hamming join (the
+    * trusted form; the Spark side's banded join is exact by pigeonhole). */
+  private def simhashOracle: String = {
+    val votes = (0 until 48)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS c$j")
+      .mkString(",\n         ")
+    val pack = (0 until 48)
+      .map(j => s"CASE WHEN c$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END")
+      .mkString("\n         + ")
+    raw"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |hashed AS (
+       |  SELECT doc_id, ${hexFold48("t")} AS h
+       |  FROM toks),
+       |votes AS (
+       |  SELECT doc_id, $votes
+       |  FROM hashed GROUP BY doc_id),
+       |packed AS (SELECT doc_id, $pack AS sh FROM votes),
+       |sigs AS (
+       |  SELECT d.doc_id, coalesce(p.sh, 0) AS sh
+       |  FROM documents d LEFT JOIN packed p USING (doc_id))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       bit_count(xor(a.sh, b.sh))::int AS hamming
+       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** Recursive transitive closure over the ≥θ pairs → per-vertex min label.
     * (DuckDB evaluates the UNION-recursive CTE to fixpoint — the SQL twin of
@@ -150,6 +227,10 @@ object DedupQueries {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE c <> id)
         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash_lsh" -> minhashOracle,
+
+    "dedup_simhash_pairs" -> simhashOracle,
 
     "dedup_jaccard_pairs" ->
       raw"""$shingleCte
