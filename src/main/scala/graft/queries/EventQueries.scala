@@ -72,6 +72,26 @@ object EventQueries {
           round(sum(col("l_extendedprice")), 2).as("revenue"))
         .orderBy(col("r_name"), col("n_name"))),
 
+    // As-of join: every purchase event enriched with the user's latest view
+    // event at-or-before it (union + one keyed window — no range-join pair
+    // explosion; see operators/Temporal.scala). Oracle: DuckDB's native
+    // ASOF LEFT JOIN — identical greatest-t'-≤-t semantics.
+    "events_asof_view" -> q((s, dir) => {
+      val ev = Sources.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.Temporal.asofJoin(
+        purchases, views, Seq("user_id"), "ts", "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          round(col("value"), 4).as("purchase_value"),
+          date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("last_view_ts"),
+          round(col("asof_value"), 4).as("last_view_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // Multimodal plumbing with an oracle: documents' text bytes as opaque
     // binary payloads — content hash + byte length before any decode.
     "multimodal_binary_meta" -> q((s, dir) =>
@@ -137,6 +157,19 @@ object EventQueries {
         |JOIN nation n ON s.s_nationkey = n.n_nationkey
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name""".stripMargin,
+
+    "events_asof_view" ->
+      """SELECT l.event_id, l.user_id,
+        |       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |       round(l.value, 4) AS purchase_value,
+        |       strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS last_view_ts,
+        |       round(r.value, 4) AS last_view_value
+        |FROM (SELECT event_id, user_id, ts, value FROM events
+        |      WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+        |                WHERE event_type = 'view') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY event_id""".stripMargin,
 
     // The mime CASE mirrors Multimodal.sniffMime over the same bytes: of the
     // five sniffed magics only the ASCII-representable ones (GIF8 / RIFF /
