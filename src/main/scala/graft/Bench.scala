@@ -57,6 +57,25 @@ object Bench {
         else times.sorted.apply(times.size / 2)
       name -> median
     }
+    // Shuffle-partitions sweep over the headline pipelines — the Spark twin
+    // of the reference's only tuning experiment (reducer counts per job via
+    // CLI args, MovieRank.java:174-177,200-203). Opt out with
+    // SPARK_GRAFT_SWEEP="".
+    val sweepCounts = sys.env.getOrElse("SPARK_GRAFT_SWEEP", "8,32")
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+    val sweep = sweepCounts.map { n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n)
+      val per = Seq("q1_movierank", "q2_movierating").flatMap { name =>
+        SparkEntry.queries.get(name).map { fn =>
+          val t0 = System.nanoTime()
+          try runOnce(fn, sfDir) catch { case _: Throwable => () }
+          name -> (System.nanoTime() - t0) / 1e9
+        }
+      }
+      n -> per
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", cpus)
+
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -65,7 +84,11 @@ object Bench {
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${errors.size},"reps":$Reps,"sf":"$sfDir"}""")
+    val sweepJson = sweep.map { case (n, per) =>
+      jstr(n.toString) + ":" +
+        per.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${errors.size},"reps":$Reps,"sweep_partitions":$sweepJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -200,8 +200,12 @@ object Dedup {
     * aggregation-boundary layout as the MinHash signature agg, for the same
     * reason (projection collapse cannot re-inline the per-token hashing).
     * Output: (idCol, sh: long). */
+  /** @param materialize pin the (tiny: one long per doc) signature output
+    *   with a lazy localCheckpoint — the banded hamming join downstream
+    *   references it twice, and the vote aggregation re-executes per side
+    *   otherwise. */
   def simHashMd5Signatures(docs: DataFrame, idCol: String, textCol: String,
-                           bits: Int = 48): DataFrame = {
+                           bits: Int = 48, materialize: Boolean = true): DataFrame = {
     require(bits > 0 && bits <= 48, "md5Hash48 carries 48 hash bits")
     val toks = docs
       .select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("t"))
@@ -216,8 +220,9 @@ object Dedup {
           .reduce(_ + _).as("sh"))
     // tokenless docs (empty/whitespace text) vanish in the explode — restore
     // them with the all-ties signature 0, as the native expression yields
-    docs.select(col(idCol).as("id")).join(sigs, Seq("id"), "left")
+    val out = docs.select(col(idCol).as("id")).join(sigs, Seq("id"), "left")
       .select(col("id").as(idCol), coalesce(col("sh"), lit(0L)).as("sh"))
+    if (materialize) out.localCheckpoint(eager = false) else out
   }
 
   /** Connected components over an undirected pair list via min-label
@@ -378,7 +383,14 @@ object Dedup {
     // shingles feed the signature agg + both verify sides — same
     // materialization tradeoff as exactJaccardJoin
     val ds = if (materializeShingles) ds0.localCheckpoint(eager = false) else ds0
-    val sigs = minHashSignatureAgg(ds, k, seed, tokenHash)
+    // The banded self-join references signatures on BOTH sides, and each
+    // side would re-execute the full signature aggregation (explode + k
+    // permutations per shingle — expensive with the md5 token hash). The
+    // signature table is only n_docs × k longs, so pinning it is near-free
+    // (unlike the banded/exploded form, whose checkpoint measured as a
+    // round-2 loss).
+    val sigs0 = minHashSignatureAgg(ds, k, seed, tokenHash)
+    val sigs = if (materializeShingles) sigs0.localCheckpoint(eager = false) else sigs0
 
     val banded = sigs.select(col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>

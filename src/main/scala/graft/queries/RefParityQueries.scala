@@ -68,6 +68,22 @@ object RefParityQueries {
         .orderBy(col("n_ratings"), col("movieId"))
     }),
 
+    // S4 tab-text sink driven end-to-end under the oracle: write a
+    // projection as `\t`-separated text (the reference's TextOutputFormat,
+    // MovieRank.java:169-171), read it back schema-declared, hash-compare
+    // against the original parquet source — proving the sink round-trips values
+    // exactly (ints, strings with spaces) through the text representation.
+    "sink_tab_roundtrip" -> q((s, dir) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_tab_sink_${Integer.toHexString(dir.hashCode)}"
+      Sources.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"), col("p_type"))
+        .write.mode("overwrite").option("sep", "\t").csv(out)
+      s.read.option("sep", "\t")
+        .schema("p_partkey BIGINT, p_brand STRING, p_type STRING")
+        .csv(out)
+        .orderBy(col("p_partkey"))
+    }),
+
     // ── Scans / projections / filters (S1, P1, P2, P4) ────────────────────
     // Projection + predicate; both must reach the parquet scan (ReadSchema /
     // PushedFilters — the reference prunes by hand, MovieRank.java:65-72).
@@ -252,6 +268,10 @@ object RefParityQueries {
         |       columns={'movieId':'INTEGER','title':'VARCHAR','genres':'VARCHAR'}) m
         |  USING (movieId)
         |ORDER BY n_ratings, movieId""".stripMargin,
+
+    "sink_tab_roundtrip" ->
+      """SELECT p_partkey, p_brand, p_type FROM part
+        |ORDER BY p_partkey""".stripMargin,
 
     "q1_movierank" ->
       """SELECT p.p_partkey AS key, p.p_name AS title, count(*) AS cnt

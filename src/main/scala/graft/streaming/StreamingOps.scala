@@ -74,15 +74,21 @@ object StreamingOps {
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        batch.withColumn("__batch_id", lit(id))
-          .write
-          .partitionBy("__batch_id")
-          .option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite")
-          .parquet(outDir)
-        ()
+        writeBatch(batch, id, outDir)
       }
       .start()
+
+  /** The per-batch body of [[toParquetBatches]], exposed so replay
+    * idempotency is directly testable: re-running a batch id overwrites
+    * exactly that batch's partition, leaving every other batch intact. */
+  def writeBatch(batch: Dataset[org.apache.spark.sql.Row], id: Long,
+                 outDir: String): Unit =
+    batch.withColumn("__batch_id", lit(id))
+      .write
+      .partitionBy("__batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(outDir)
 
   /** Input/output rows of the custom stateful op below. */
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -118,6 +118,30 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(landed.columns.contains("__batch_id"))
   }
 
+  test("toParquetBatches replay: re-writing the same batch id does not duplicate rows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_sink_replay").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_replay").toString
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    mem.addData(rows: _*)
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamingOps.toParquetBatches(df, out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    val once = spark.read.parquet(out)
+    val n = once.count()
+    // partition-dir column comes back type-inferred (int), not long
+    val lastBatch = once.agg(org.apache.spark.sql.functions.max("__batch_id"))
+      .collect()(0).get(0).asInstanceOf[Number].longValue
+    // simulate a post-crash replay of the final batch: same rows, same id
+    val replayRows = once.where(org.apache.spark.sql.functions.col("__batch_id") === lastBatch)
+      .drop("__batch_id")
+    StreamingOps.writeBatch(replayRows, lastBatch, out)
+    assert(spark.read.parquet(out).count() == n,
+      "a replayed batch must overwrite its own partition, not append a second copy")
+  }
+
   test("file-source streaming: readStream over the real events.parquet ≡ batch") {
     import org.apache.spark.sql.types._
     val dir = "/root/testdata/sf0.001"
