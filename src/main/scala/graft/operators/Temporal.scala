@@ -81,6 +81,45 @@ object Temporal {
           rightPayloadCols.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 
+  /** Time-band (range) join: all (left, right) pairs with equal keys and
+    * `rightTime` within `[leftTime - lookback, leftTime + lookahead]`.
+    *
+    * Spark plans a raw time-inequality join as a broadcast nested loop (a
+    * theta join) — dead at fact×fact scale. Here the band is turned into an
+    * EQUI key by time bucketing: bucket width = band span, left rows keep
+    * their bucket, right rows explode into {b-1, b, b+1} (any in-band pair
+    * differs by < one bucket width, so it must land in the same or an
+    * adjacent bucket — recall 1.0 by construction), then the exact band
+    * predicate filters inside the join condition. Each right row is
+    * replicated exactly 3×, independent of data size — a shuffled hash join
+    * with bounded fan-out, the standard interval-join layout (Flink's
+    * interval join uses the same keyed time-bucket state shape).
+    *
+    * Times are compared at microsecond precision (long epoch micros);
+    * lookback/lookahead are non-negative second counts. */
+  def timeBandJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                   leftTime: String, rightTime: String,
+                   lookbackSec: Long, lookaheadSec: Long = 0L): DataFrame = {
+    require(lookbackSec >= 0 && lookaheadSec >= 0,
+      "lookback/lookahead must be non-negative")
+    val spanUs = (lookbackSec + lookaheadSec).max(1L) * 1000000L
+    val lUs = unix_micros(col(s"l.$leftTime"))
+    val rUs = unix_micros(col(s"r.$rightTime"))
+    val l = left.withColumn("__bkt", floor(unix_micros(col(leftTime)) / spanUs)).as("l")
+    val r = right
+      .withColumn("__bkt0", floor(unix_micros(col(rightTime)) / spanUs))
+      .select(col("*"), explode(array(col("__bkt0") - 1, col("__bkt0"), col("__bkt0") + 1)).as("__bkt"))
+      .drop("__bkt0").as("r")
+    val keyCond = keyCols.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    val band = rUs >= lUs - lit(lookbackSec * 1000000L) &&
+      rUs <= lUs + lit(lookaheadSec * 1000000L)
+    l.join(r.hint("shuffle_hash"),
+        keyCond && col("l.__bkt") === col("r.__bkt") && band)
+      .select(
+        left.columns.map(c => col(s"l.$c").as(c)) ++
+          right.columns.map(c => col(s"r.$c").as(s"r_$c")): _*)
+  }
+
   /** Convenience: [[asofJoin]] bounded by a max lookback — matches older
     * than `tolerance` from the left time are nulled out (the "stale quote"
     * guard). Applied as a post-filter on the matched timestamp, so the

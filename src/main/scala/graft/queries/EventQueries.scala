@@ -92,6 +92,28 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Time-band (range) join: per purchase, the same user's error events in
+    // the preceding 30 minutes — bucketed equi-join with exact band filter
+    // (no theta-join nested loop; see Temporal.timeBandJoin). Inner join:
+    // purchases with no nearby error don't appear (oracle mirrors).
+    "events_errors_near_purchase" -> q((s, dir) => {
+      val ev = Sources.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.Temporal.timeBandJoin(
+        purchases, errors, Seq("user_id"), "ts", "ts",
+        lookbackSec = 1800L, lookaheadSec = 0L)
+        .groupBy(col("event_id"), col("user_id"), col("ts"))
+        .agg(count(lit(1)).as("n_errors"),
+          round(sum(col("r_value")), 4).as("error_value_sum"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          col("n_errors"), col("error_value_sum"))
+        .orderBy(col("event_id"))
+    }),
+
     // Multimodal plumbing with an oracle: documents' text bytes as opaque
     // binary payloads — content hash + byte length before any decode.
     "multimodal_binary_meta" -> q((s, dir) =>
@@ -170,6 +192,18 @@ object EventQueries {
         |                WHERE event_type = 'view') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY event_id""".stripMargin,
+
+    "events_errors_near_purchase" ->
+      """SELECT l.event_id, l.user_id,
+        |       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |       count(*) AS n_errors,
+        |       round(sum(r.value), 4) AS error_value_sum
+        |FROM events l JOIN events r
+        |  ON l.event_type = 'purchase' AND r.event_type = 'error'
+        | AND l.user_id = r.user_id
+        | AND r.ts >= l.ts - INTERVAL 30 MINUTE AND r.ts <= l.ts
+        |GROUP BY l.event_id, l.user_id, l.ts
+        |ORDER BY l.event_id""".stripMargin,
 
     // The mime CASE mirrors Multimodal.sniffMime over the same bytes: of the
     // five sniffed magics only the ASCII-representable ones (GIF8 / RIFF /

@@ -55,6 +55,30 @@ class TemporalSpec extends AnyFunSuite {
     assert(loose.getDouble(4) == 7.0)
   }
 
+  test("timeBandJoin: inclusive boundaries, key isolation, no duplicate matches") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq(
+      (1L, "a", ts("2024-01-01 10:00:00")),
+      (2L, "b", ts("2024-01-01 10:00:00"))).toDF("id", "k", "t")
+    val r = Seq(
+      ("a", ts("2024-01-01 09:30:00"), 1.0), // exactly at lookback boundary -> in
+      ("a", ts("2024-01-01 09:29:59"), 2.0), // one second too old -> out
+      ("a", ts("2024-01-01 10:00:00"), 3.0), // equal time, lookahead 0 -> in
+      ("a", ts("2024-01-01 10:00:01"), 4.0), // future -> out
+      ("b", ts("2024-01-01 09:45:00"), 5.0), // other key
+      ("c", ts("2024-01-01 09:45:00"), 6.0)).toDF("k", "t", "v")
+    val out = Temporal.timeBandJoin(l, r, Seq("k"), "t", "t",
+      lookbackSec = 1800L, lookaheadSec = 0L)
+    val got = out.collect().map(x => (x.getLong(0), x.getDouble(5))).toSeq.sorted
+    assert(got == Seq((1L, 1.0), (1L, 3.0), (2L, 5.0)),
+      s"got $got")
+    // each qualifying pair appears exactly once despite the 3-bucket explode
+    assert(got.distinct.size == got.size)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"banded range join must not plan as a theta join:\n$plan")
+  }
+
   test("asofJoin plans as window over union — no join operator, no explosion") {
     val df = Temporal.asofJoin(left, right, Seq("k"), "t", "t", Seq("v"))
     df.collect()
