@@ -61,6 +61,32 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(Skew.saltedJoin(fact, emptyDim, "k", 4, col("payload")).count() == 0)
   }
 
+  test("temporal joins on empty sides return sensible results, not errors") {
+    import graft.operators.Temporal
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq((1L, "a", ts("2024-01-01 10:00:00"))).toDF("id", "k", "t")
+    val emptyR = Seq.empty[(String, java.sql.Timestamp, Double)].toDF("k", "t", "v")
+    // empty right: every left row survives with null asof columns
+    val asof = Temporal.asofJoin(l, emptyR, Seq("k"), "t", "t", Seq("v")).collect()
+    assert(asof.length == 1 && asof(0).isNullAt(3) && asof(0).isNullAt(4))
+    // empty right: band join emits nothing (inner)
+    assert(Temporal.timeBandJoin(l, emptyR, Seq("k"), "t", "t", 60L).count() == 0)
+    // empty left: both empty
+    val emptyL = Seq.empty[(Long, String, java.sql.Timestamp)].toDF("id", "k", "t")
+    val r = Seq(("a", ts("2024-01-01 09:00:00"), 1.0)).toDF("k", "t", "v")
+    assert(Temporal.asofJoin(emptyL, r, Seq("k"), "t", "t", Seq("v")).count() == 0)
+    assert(Temporal.timeBandJoin(emptyL, r, Seq("k"), "t", "t", 60L).count() == 0)
+  }
+
+  test("md5-48 simhash signatures: empty corpus and tokenless docs") {
+    val sigs = Dedup.simHashMd5Signatures(emptyDocs, "doc_id", "text")
+    assert(sigs.count() == 0)
+    val blank = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val got = Dedup.simHashMd5Signatures(blank, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L), "tokenless docs sign to 0")
+  }
+
   test("multimodal expressions tolerate null payloads") {
     val df = Seq((1L, Some("x".getBytes("UTF-8"))), (2L, None))
       .toDF("id", "payload")
