@@ -20,6 +20,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // context cleaner GC cadence: stale localCheckpoint/shuffle blocks are
+      // only released after their RDDs are garbage-collected — at the default
+      // 30min the whole bench accrues dead blocks
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -43,6 +47,12 @@ object Bench {
     val Reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // Collect the GC debt of prior queries OUTSIDE the timed section —
+      // dead checkpoint blocks and array garbage otherwise land as a 10-20s
+      // full-GC pause inside whichever query runs next (the round-2/3
+      // roaming-outlier variance). Also lets the context cleaner reclaim
+      // blocks whose RDDs just became unreachable.
+      System.gc()
       val times = (1 to Reps).flatMap { _ =>
         val t0 = System.nanoTime()
         try { runOnce(fn, sfDir); Some((System.nanoTime() - t0) / 1e9) }

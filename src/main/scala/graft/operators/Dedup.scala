@@ -130,16 +130,18 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
 
     // Verify with exact jaccard from the full shingle sets: hash-partition
-    // on id, build the hash table on the (bounded) candidate side. The
-    // second hint matters: a hint on `candidates` does NOT survive the first
-    // join, and AQE then happily broadcasts `db` — the corpus-sized
-    // array-of-string projection the size estimator undercounts (round-2
-    // heap-churn lesson). Re-hint the joined intermediate so both verify
-    // joins stay shuffled with the bounded side as build.
+    // on id, build the hash table on the (bounded) candidate side for the
+    // first join. The second join is deliberately left to AQE: its runtime
+    // exchange size for `db` decides broadcast-vs-shuffle against the 64 MB
+    // threshold — actual bytes, not the compile-time array underestimates
+    // the round-2 lesson warned about — so locally the ~tens-of-MB side
+    // broadcasts (measured 6 s vs 56-92 s when force-shuffled: the extra
+    // exchanges + per-partition hash builds of array-heavy rows churn G1),
+    // while a corpus-scale side can never cross the threshold and falls
+    // back to a shuffled join automatically.
     val da = ds.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n_sh").as("na"))
     val db = ds.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n_sh").as("nb"))
-    candidates.hint("shuffle_hash").join(da, "id_a")
-      .hint("shuffle_hash").join(db, "id_b")
+    candidates.hint("shuffle_hash").join(da, "id_a").join(db, "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", round(
         col("inter").cast("double") /
@@ -407,11 +409,11 @@ object Dedup {
         col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
 
-    // same double-hint rationale as exactJaccardJoin's verify step
+    // same verify-join strategy rationale as exactJaccardJoin: pin the
+    // candidate build side, let AQE's runtime sizes decide the second join
     val da = ds.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n_sh").as("na"))
     val db = ds.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n_sh").as("nb"))
-    candidates.hint("shuffle_hash").join(da, "id_a")
-      .hint("shuffle_hash").join(db, "id_b")
+    candidates.hint("shuffle_hash").join(da, "id_a").join(db, "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", round(
         col("inter").cast("double") /
