@@ -86,4 +86,46 @@ object GraftProps extends Properties("graft") {
     val n = VecKernel.normSq(ad, aFloat = false)
     n >= 0.0 && n == VecKernel.dot(ad, ad, aFloat = false, bFloat = false)
   }
+
+  // (left rows, right rows) over a tiny key/time domain so as-of matches and
+  // same-timestamp collisions actually occur
+  private val asofGen: Gen[(List[(Long, Int, Int)], List[(Int, Int, Double)])] = for {
+    nl <- Gen.choose(0, 12)
+    nr <- Gen.choose(0, 12)
+    l <- Gen.listOfN(nl, Gen.zip(Gen.choose(1, 4), Gen.choose(0, 20)))
+    r <- Gen.listOfN(nr, Gen.zip(Gen.choose(1, 4), Gen.choose(0, 20), Gen.choose(0.0, 9.0)))
+  } yield (l.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }, r)
+
+  property("asofJoin ≡ in-memory latest-at-or-before reference") = forAll(asofGen) { case (ls, rs) =>
+    import spark.implicits._
+    val l = ls.toDF("id", "k", "t")
+    val r = rs.toDF("k", "t", "v")
+    val got = graft.operators.Temporal.asofJoin(l, r, Seq("k"), "t", "t", Seq("v"))
+      .collect().map(x => (x.getLong(0),
+        if (x.isNullAt(3)) None else Some(x.getInt(3)))).toMap
+    val expected = ls.map { case (id, k, t) =>
+      val cand = rs.filter(rr => rr._1 == k && rr._2 <= t)
+      // reference tie-break mirrors the operator: max (t', payload) pair
+      id -> (if (cand.isEmpty) None
+             else Some(cand.maxBy(c => (c._2, c._3))._2))
+    }.toMap
+    got == expected
+  }
+
+  property("timeBandJoin ≡ in-memory band-filter reference") = forAll(asofGen) { case (ls, rs) =>
+    import spark.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val l = ls.map { case (id, k, t) => (id, k, ts(t)) }.toDF("id", "k", "t")
+    val r = rs.map { case (k, t, v) => (k, ts(t), v) }.toDF("k", "t", "v")
+    val got = graft.operators.Temporal.timeBandJoin(
+      l, r, Seq("k"), "t", "t", lookbackSec = 5L, lookaheadSec = 3L)
+      .collect().map(x => (x.getLong(0), x.getTimestamp(4).getTime, x.getDouble(5)))
+      .toList.sorted
+    val expected = (for {
+      (id, k, t) <- ls
+      (rk, rt, rv) <- rs
+      if rk == k && rt >= t - 5 && rt <= t + 3
+    } yield (id, ts(rt).getTime, rv)).sorted
+    got == expected
+  }
 }
