@@ -65,7 +65,8 @@ object SimilarityQueries {
     }),
 
     // Random-hyperplane LSH top-k (seeded planes; scale path — only
-    // same-bucket pairs scored). Rows-only check + SimilaritySpec.
+    // same-bucket pairs scored). Fully oracle-checked: the same plane
+    // constants are embedded in generated DuckDB SQL (see lshOracle).
     "sim_topk_lsh" -> q((s, dir) => {
       val emb = Sources.embeddings(s, dir)
       Similarity.lshTopK(
@@ -81,7 +82,37 @@ object SimilarityQueries {
       |         list_transform(c.embedding, x -> x::double),
       |         list_transform(q.embedding, x -> x::double)), 6)""".stripMargin
 
+  /** DuckDB twin of VectorFunctions.hyperplaneBucket over `$tbl.embedding`,
+    * with the SAME seeded planes embedded as double literals (Double.toString
+    * round-trips exactly). Sign bits of sequential-order dot products — both
+    * engines accumulate left-to-right, so the comparison is bit-stable. */
+  private def bucketSql(tbl: String): String = {
+    val planes = graft.functions.VectorFunctions.randomPlanes(4, 64, 42L)
+    planes.zipWithIndex.map { case (p, i) =>
+      val lits = p.map(_.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(list_transform($tbl.embedding, v -> v::DOUBLE),\n" +
+        s"          $lits) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", "\n + ", ")")
+  }
+
+  /** Same shape as the brute-force oracle, restricted to same-bucket pairs —
+    * the full LSH pipeline (planes, sign buckets, candidate restriction,
+    * ranking) reproduced in SQL, so the approximate path is hash-matched,
+    * not just rows-counted. */
+  private def lshOracle: String =
+    s"""WITH cb AS (SELECT vec_id, embedding, ${bucketSql("embeddings")} AS b
+      |            FROM embeddings),
+      |qb AS (SELECT vec_id, embedding, b FROM cb WHERE vec_id < 10)
+      |SELECT query_id, neighbor_id, cosine, cast(rnk AS int) AS rank FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         $cosExpr AS cosine,
+      |         row_number() OVER (PARTITION BY q.vec_id
+      |           ORDER BY $cosExpr DESC, c.vec_id ASC) AS rnk
+      |  FROM qb q JOIN cb c ON c.b = q.b AND c.vec_id <> q.vec_id)
+      |WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "sim_topk_lsh" -> lshOracle,
     "sim_topk_bruteforce" ->
       s"""SELECT query_id, neighbor_id, cosine, cast(rnk AS int) AS rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
