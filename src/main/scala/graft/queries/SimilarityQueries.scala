@@ -111,7 +111,51 @@ object SimilarityQueries {
       |  FROM qb q JOIN cb c ON c.b = q.b AND c.vec_id <> q.vec_id)
       |WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  /** IVF oracle, generated AFTER the query has run: Verify executes every
+    * registered query (training + memoizing the IVF centroids for its sf
+    * dir) before dumping `oracleSql`, so by dump time the quantizer for
+    * exactly one dir sits in [[centroidCache]] and its centroid matrix can
+    * be embedded as SQL literals. The SQL then reproduces the full IVF
+    * pipeline: per-vector distances to all 16 centroids (‖v‖² − 2·v·c +
+    * ‖c‖², monotonic ≡ the Spark side's d² sort), argmin cell for the
+    * corpus, 4 smallest cells for each query, same-cell candidate
+    * restriction, cosine ranking. None when no quantizer has been trained
+    * yet (e.g. oracle dump without a query run) — the driver then records a
+    * rows-only check, same as before. */
+  private def ivfOracle: Option[String] = {
+    val cached = centroidCache.readOnlySnapshot().toSeq
+    if (cached.size != 1) None else Some {
+      val cents = cached.head._2
+      def distList: String =
+        cents.zipWithIndex.map { case (c, i) =>
+          val lits = c.map(_.toString).mkString("[", ", ", "]")
+          val c2 = c.map(x => x * x).sum
+          s"{'d': list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, $lits) + $c2, 'cell': $i}"
+        }.mkString("[", ",\n           ", "]")
+      s"""WITH vecs AS (
+        |  SELECT vec_id, embedding,
+        |         list_transform(embedding, x -> x::DOUBLE) AS e
+        |  FROM embeddings),
+        |dists AS (
+        |  SELECT vec_id, embedding,
+        |         list_sort($distList) AS ds
+        |  FROM vecs v),
+        |corpus AS (
+        |  SELECT vec_id, embedding, ds[1].cell AS cell FROM dists),
+        |queries AS (
+        |  SELECT vec_id, embedding, unnest(list_transform(ds[1:4], s -> s.cell)) AS cell
+        |  FROM dists WHERE vec_id < 10)
+        |SELECT query_id, neighbor_id, cosine, cast(rnk AS int) AS rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         $cosExpr AS cosine,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY $cosExpr DESC, c.vec_id ASC) AS rnk
+        |  FROM queries q JOIN corpus c ON c.cell = q.cell AND c.vec_id <> q.vec_id)
+        |WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
+    }
+  }
+
+  def oracles: Map[String, String] = Map(
     "sim_topk_lsh" -> lshOracle,
     "sim_topk_bruteforce" ->
       s"""SELECT query_id, neighbor_id, cosine, cast(rnk AS int) AS rank FROM (
@@ -128,5 +172,5 @@ object SimilarityQueries {
         |FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
         |WHERE $cosExpr >= 0.4
         |ORDER BY id_a, id_b""".stripMargin
-  )
+  ) ++ ivfOracle.map("sim_topk_ivf" -> _)
 }
