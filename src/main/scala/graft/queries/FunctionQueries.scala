@@ -171,7 +171,40 @@ object FunctionQueries {
       Sources.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
-        .orderBy(col("l_returnflag")))
+        .orderBy(col("l_returnflag"))),
+
+    // Higher-order array functions (transform/filter/aggregate/exists) —
+    // DuckDB mirrors with list lambdas; results stringified/int-cast for
+    // representation-stable compare.
+    "fn_hof_arrays" -> q((s, dir) =>
+      Sources.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
+        .select(
+          col("l_orderkey"),
+          array_join(transform(col("lines"), x => x * 2), ",").as("doubled"),
+          array_join(filter(col("lines"), x => x % 2 === 1), ",").as("odds"),
+          aggregate(col("lines"), lit(0), (acc, x) => acc + x).as("line_sum"),
+          exists(col("lines"), x => x > 5).cast("int").as("has_gt5"))
+        .orderBy(col("l_orderkey"))),
+
+    // Exact decimal money arithmetic: sums/extrema over DECIMAL(12,2) are
+    // exact in both engines (unlike double accumulation); final values
+    // compared as canonical strings because decimal dtype physical widths
+    // differ driver-side (Spark decimal(22,2) vs DuckDB decimal(38,2)).
+    "fn_decimal" -> q((s, dir) =>
+      Sources.lineitem(s, dir)
+        .select(col("l_orderkey"),
+          col("l_extendedprice").cast("decimal(12,2)").as("price"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("price")).as("t"), min(col("price")).as("mn"),
+          max(col("price")).as("mx"), count(lit(1)).as("n"))
+        .select(col("l_orderkey"),
+          col("t").cast("decimal(38,2)").cast("string").as("total"),
+          col("mn").cast("string").as("min_price"),
+          col("mx").cast("string").as("max_price"),
+          col("n"))
+        .orderBy(col("l_orderkey")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -274,6 +307,26 @@ object FunctionQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderpriority = '1-URGENT')
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    "fn_hof_arrays" ->
+      """WITH la AS (
+        |  SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |       coalesce(array_to_string(list_transform(lines, x -> x * 2), ','), '') AS doubled,
+        |       -- empty list stringifies to NULL in DuckDB, '' in Spark
+        |       coalesce(array_to_string(list_filter(lines, x -> x % 2 = 1), ','), '') AS odds,
+        |       coalesce(list_sum(lines), 0)::int AS line_sum,
+        |       (len(list_filter(lines, x -> x > 5)) > 0)::int AS has_gt5
+        |FROM la ORDER BY l_orderkey""".stripMargin,
+
+    "fn_decimal" ->
+      """SELECT l_orderkey,
+        |       sum(l_extendedprice::DECIMAL(12,2))::DECIMAL(38,2)::VARCHAR AS total,
+        |       min(l_extendedprice::DECIMAL(12,2))::VARCHAR AS min_price,
+        |       max(l_extendedprice::DECIMAL(12,2))::VARCHAR AS max_price,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
   )
 }

@@ -35,6 +35,18 @@ class RefParityQueriesSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), "dimension join must not shuffle the fact side")
   }
 
+  test("q1_movielens_csv plan: aggregate below the join, dimension broadcast") {
+    val df = RefParityQueries.queries("q1_movielens_csv")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"movies dim must broadcast:\n$plan")
+    // partial+final count on the ratings side BEFORE the join: the fact
+    // stream shuffles (movieId, count) pairs, never full rows post-join
+    val joinIdx = plan.indexOf("BroadcastHashJoin")
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(aggIdx > joinIdx, s"aggregate must sit below the join in:\n$plan")
+  }
+
   test("scan_project_filter plan: filter and projection pushed to parquet scan") {
     val df = RefParityQueries.queries("scan_project_filter")(spark, dir)
     val scan = df.queryExecution.executedPlan.toString
