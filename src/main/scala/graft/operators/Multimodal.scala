@@ -97,6 +97,51 @@ object Multimodal {
     unhex(substring(hexChain, 1, nBytes * 2))
   }
 
+  /** JVM twin of [[fakeFeatures]] for the per-partition decode path: the
+    * identical xxhash64 fold Spark's `xxhash64(payload, i)` performs (seed
+    * 42, then each child folded through XXH64), so the batched decoder below
+    * is bit-identical to the expression form — the equivalence test proves
+    * the batch plumbing transports bytes unchanged. */
+  def fakeDecode(payload: Array[Byte], dim: Int): Array[Float] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    Array.tabulate(dim) { i =>
+      var h = XXH64.hashUnsafeBytes(payload, Platform.BYTE_ARRAY_OFFSET, payload.length, 42L)
+      h = XXH64.hashInt(i, h) // the lambda index is IntegerType in the expression
+      val m = ((h % 1000000L) + 1000000L) % 1000000L // pmod
+      (m.toDouble / 500000.0 - 1.0).toFloat
+    }
+  }
+
+  /** Per-partition BATCHED decode plumbing — the Spark-side contract a real
+    * image/audio decoder plugs into (JNI codec, ONNX session, external
+    * process): payloads stream through `mapPartitions`, grouped into
+    * `batchSize` chunks so the decoder amortizes per-batch setup (model
+    * session, pinned buffers) exactly like a `mapInPandas` batch would,
+    * with asset_id alignment preserved and null payloads passed through as
+    * null feature rows. Output schema: (asset_id: long, features:
+    * array<float> of `dim`) — identical to [[fakeFeatures]]'s, so swapping
+    * the stub decoder changes no downstream plan. Payloads never leave the
+    * executor; nothing collects. */
+  def decodeBatched(assets: DataFrame, dim: Int, batchSize: Int = 64,
+                    decoder: (Array[Byte], Int) => Array[Float] = fakeDecode)
+  : DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    require(batchSize > 0, "batchSize must be positive")
+    assets.select(col("asset_id").cast(LongType), col("payload").cast(BinaryType))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // a real decoder would process `batch` as one unit here
+          batch.iterator.map { case (id, payload) =>
+            (id, Option(payload).map(p => decoder(p, dim)).orNull)
+          }
+        }
+      }
+      .toDF("asset_id", "features")
+  }
+
   /** Assemble an asset DataFrame from any table with an id and a binary-able
     * column — the ingest adapter used by tests and the registered queries
     * (the driver testdata has no native binary table, so `documents.text`

@@ -66,6 +66,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m(1L).toSeq != m(3L).toSeq)
   }
 
+  test("decodeBatched ≡ fakeFeatures expression bit-for-bit; nulls pass through") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val assets = Multimodal.ingest(docs, "doc_id", col("text"))
+    val viaExpr = assets
+      .select(col("asset_id"), Multimodal.fakeFeatures(col("payload"), 16).as("features"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val viaBatch = Multimodal.decodeBatched(assets, dim = 16, batchSize = 7)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(viaBatch == viaExpr,
+      "batched per-partition decode must equal the expression form exactly")
+    val withNull = Seq((1L, Some("x".getBytes("UTF-8"))), (2L, None))
+      .toDF("asset_id", "payload")
+    val out = Multimodal.decodeBatched(withNull, dim = 4)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(out == Map(1L -> false, 2L -> true))
+  }
+
   test("ingest: canonical asset schema with sniffed mime in meta") {
     val df = Seq((7, "hello")).toDF("doc_id", "text")
     val assets = Multimodal.ingest(df, "doc_id", col("text"))
