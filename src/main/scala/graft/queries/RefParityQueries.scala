@@ -68,6 +68,22 @@ object RefParityQueries {
         .orderBy(col("n_ratings"), col("movieId"))
     }),
 
+    // The MovieRating pipeline on the same CSV fixture: avg rating per
+    // movie with the reference's dual strict HAVING (count > 10 AND
+    // avg > 3.5 — MovieRating.java:97,100), ascending rating sort. Completes
+    // the literal-format pair with q1_movielens_csv.
+    "q2_movielens_csv" -> q((s, _) => {
+      val movies = Sources.moviesCsv(s, s"$FixtureDir/movies.csv")
+      val ratings = Sources.ratingsCsv(s, s"$FixtureDir/ratings.csv")
+      ratings.groupBy(col("movieId"))
+        .agg(count(lit(1)).as("n_ratings"),
+          round(avg(col("rating")), 4).as("avg_rating"))
+        .where(col("n_ratings") > 10 && col("avg_rating") > 3.5)
+        .join(broadcast(movies), Seq("movieId"))
+        .select(col("movieId"), col("title"), col("n_ratings"), col("avg_rating"))
+        .orderBy(col("avg_rating"), col("movieId"))
+    }),
+
     // S4 tab-text sink driven end-to-end under the oracle: write a
     // projection as `\t`-separated text (the reference's TextOutputFormat,
     // MovieRank.java:169-171), read it back schema-declared, hash-compare
@@ -268,6 +284,20 @@ object RefParityQueries {
         |       columns={'movieId':'INTEGER','title':'VARCHAR','genres':'VARCHAR'}) m
         |  USING (movieId)
         |ORDER BY n_ratings, movieId""".stripMargin,
+
+    "q2_movielens_csv" ->
+      s"""SELECT m.movieId, m.title, r.n_ratings, r.avg_rating
+        |FROM (SELECT movieId, count(*) AS n_ratings,
+        |             round(avg(rating), 4) AS avg_rating
+        |      FROM read_csv('$FixtureDir/ratings.csv', header=true,
+        |             columns={'userId':'INTEGER','movieId':'INTEGER',
+        |                      'rating':'DOUBLE','timestamp':'BIGINT'})
+        |      GROUP BY movieId
+        |      HAVING count(*) > 10 AND round(avg(rating), 4) > 3.5) r
+        |JOIN read_csv('$FixtureDir/movies.csv', header=true,
+        |       columns={'movieId':'INTEGER','title':'VARCHAR','genres':'VARCHAR'}) m
+        |  USING (movieId)
+        |ORDER BY avg_rating, movieId""".stripMargin,
 
     "sink_tab_roundtrip" ->
       """SELECT p_partkey, p_brand, p_type FROM part
