@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation.
+  *
+  * `df.sample()` / `sampleBy()` draw from a seeded RNG whose stream depends
+  * on partitioning — re-running after a repartition, a cluster resize, or an
+  * AQE re-plan yields a DIFFERENT sample, which poisons dataset
+  * reproducibility and dedup-across-snapshots. Content-hash sampling decides
+  * membership from the ROW KEY alone: `hash(key) mod 1000 < permille`. The
+  * same row lands in the same sample on any cluster, any partitioning, any
+  * engine — the standard technique for reproducible corpus subsetting (and
+  * for consistent train/eval splits by document/URL hash).
+  *
+  * Hash basis is [[Dedup.md5Hash48]], so the selection is exactly
+  * reproducible in the DuckDB oracle (and any other md5-capable system) —
+  * a seeded-RNG sample could only ever get a rows-only check.
+  *
+  * All operators are narrow scans (a predicate on a hash of existing
+  * columns): no shuffle, full pushdown of any surrounding filters, scan
+  * speed at 100 TB.
+  */
+object Sampling {
+
+  private def bucket(key: Column): Column =
+    pmod(Dedup.md5Hash48(key), lit(1000L))
+
+  /** Keep rows whose key hashes into the first `permille` of 1000 buckets.
+    * Deterministic, partitioning-independent; expected rate permille/1000
+    * with exact-membership stability. */
+  def hashSample(df: DataFrame, keyCol: String, permille: Int): DataFrame = {
+    require(permille >= 0 && permille <= 1000, "permille in [0, 1000]")
+    df.where(bucket(col(keyCol)) < permille)
+  }
+
+  /** Disjoint deterministic split: rows where hash lands in
+    * [loPermille, hiPermille) — `split(df, k, 0, 900)` / `split(df, k, 900,
+    * 1000)` give a reproducible 90/10 train/eval partition with no row in
+    * both sides, stable under corpus growth (old rows never migrate). */
+  def hashSplit(df: DataFrame, keyCol: String,
+                loPermille: Int, hiPermille: Int): DataFrame = {
+    require(0 <= loPermille && loPermille <= hiPermille && hiPermille <= 1000,
+      "need 0 <= lo <= hi <= 1000")
+    val b = bucket(col(keyCol))
+    df.where(b >= loPermille && b < hiPermille)
+  }
+
+  /** Per-stratum deterministic rates: `rates` maps stratum value →
+    * permille; strata absent from the map fall back to `defaultPermille`.
+    * The hash-mod variant of `sampleBy`, with the same reproducibility
+    * guarantees as [[hashSample]]. */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, strataCol: String,
+                           rates: Map[String, Int],
+                           defaultPermille: Int = 0): DataFrame = {
+    require((defaultPermille +: rates.values.toSeq).forall(r => r >= 0 && r <= 1000),
+      "permille in [0, 1000]")
+    val rate = rates.foldLeft(lit(defaultPermille)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.where(bucket(col(keyCol)) < rate)
+  }
+}

@@ -70,6 +70,23 @@ object DedupQueries {
         Sources.documents(s, dir), "doc_id", jaccardPairs(s, dir))
         .orderBy(col("doc_id"))),
 
+    // Deterministic content-hash sampling (reproducible corpus subsetting:
+    // membership from md5 of the text, stable across partitionings/engines
+    // — seeded Bernoulli would not survive an oracle compare BY DESIGN).
+    "sample_hash_docs" -> q((s, dir) =>
+      graft.operators.Sampling.hashSample(
+        Sources.documents(s, dir), "text", permille = 200)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // Stratified variant: per-language rates, hash-mod sampleBy.
+    "sample_stratified_lang" -> q((s, dir) =>
+      graft.operators.Sampling.stratifiedHashSample(
+        Sources.documents(s, dir), "text", "lang",
+        rates = Map("en" -> 500, "de" -> 100), defaultPermille = 50)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
     // MinHash-LSH approximate near-dup (verified precision, approx recall).
     // Registered with the md5-48 token hash so the FULL pipeline — shingle
     // hash, 64 seeded permutations, 16-band bucketing, jaccard verify — is
@@ -226,6 +243,18 @@ object DedupQueries {
       s"""$componentCtes
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE c <> id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_hash_docs" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+        |WHERE ${hexFold48("text")} % 1000 < 200
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified_lang" ->
+      s"""SELECT doc_id, lang FROM documents
+        |WHERE ${hexFold48("text")} % 1000 <
+        |      (CASE WHEN lang = 'de' THEN 100
+        |            WHEN lang = 'en' THEN 500 ELSE 50 END)
         |ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_lsh" -> minhashOracle,
