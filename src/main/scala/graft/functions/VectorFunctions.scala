@@ -62,4 +62,31 @@ object VectorFunctions {
     val rnd = new scala.util.Random(seed)
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
+
+  /** Max-abs scalar quantization scale: ‖v‖∞ / 127 — the int8 range fits
+    * [-127, 127] symmetrically (−128 unused, keeping dequant sign-symmetric).
+    * 0.0 for the zero vector (whose quantized form is all zeros). */
+  def quantScale(vec: Column): Column =
+    aggregate(vec, lit(0.0), (m, x) => greatest(m, abs(x.cast("double")))) / 127.0
+
+  /** Symmetric int8 quantization of an embedding: `round(v / scale)` per
+    * element, expressed as `floor(x + 0.5)` — written that way because
+    * "round" conventions differ across engines for negative halves
+    * (half-up vs half-away-from-zero), while floor(x+0.5) is one IEEE add
+    * + floor, bit-identical everywhere. Output array<int> in [-127, 127]
+    * (plus the boundary value from +0.5 landing on 127.5 → clamped by the
+    * scale definition). Reconstruction error ≤ scale/2 per element —
+    * spec-pinned. The standard 4× storage compression before ANN indexing;
+    * pair with [[quantScale]] stored per row. */
+  def quantizeInt8(vec: Column): Column = {
+    val s = quantScale(vec)
+    when(s === 0.0, transform(vec, _ => lit(0)))
+      .otherwise(transform(vec, x =>
+        floor(x.cast("double") / s + 0.5).cast("int")))
+  }
+
+  /** Dequantize: q * scale back to float — the lossy inverse used at scan
+    * time for coarse scoring (exact rescoring reads the original vectors). */
+  def dequantizeInt8(quantized: Column, scale: Column): Column =
+    transform(quantized, q => (q.cast("double") * scale).cast("float"))
 }

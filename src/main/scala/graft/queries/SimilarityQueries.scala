@@ -64,6 +64,19 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Symmetric int8 max-abs quantization of the embeddings (4x storage
+    // compression before ANN indexing): per-vector scale + quantized values,
+    // floor(x+0.5) rounding for cross-engine bit parity.
+    "sim_quantize_int8" -> q((s, dir) => {
+      import graft.functions.VectorFunctions
+      Sources.embeddings(s, dir)
+        .select(col("vec_id"),
+          round(VectorFunctions.quantScale(col("embedding")), 9).as("scale"),
+          concat_ws(",", VectorFunctions.quantizeInt8(col("embedding"))
+            .cast("array<string>")).as("q8"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Random-hyperplane LSH top-k (seeded planes; scale path — only
     // same-bucket pairs scored). Fully oracle-checked: the same plane
     // constants are embedded in generated DuckDB SQL (see lshOracle).
@@ -156,6 +169,22 @@ object SimilarityQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "sim_quantize_int8" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+        |  FROM embeddings),
+        |sc AS (
+        |  SELECT vec_id, e,
+        |         list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+        |  FROM v)
+        |SELECT vec_id, round(scale, 9) AS scale,
+        |       CASE WHEN scale = 0
+        |            THEN array_to_string(list_transform(e, x -> 0), ',')
+        |            ELSE array_to_string(
+        |                   list_transform(e, x -> floor(x / scale + 0.5)::int), ',')
+        |       END AS q8
+        |FROM sc ORDER BY vec_id""".stripMargin,
+
     "sim_topk_lsh" -> lshOracle,
     "sim_topk_bruteforce" ->
       s"""SELECT query_id, neighbor_id, cosine, cast(rnk AS int) AS rank FROM (

@@ -118,6 +118,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getDouble(2) >= 0.4))
   }
 
+  test("int8 quantization: values in [-127,127], reconstruction error ≤ scale/2") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val r = emb.select(col("embedding"),
+      VectorFunctions.quantScale(col("embedding")).as("s"),
+      VectorFunctions.quantizeInt8(col("embedding")).as("q"))
+      .withColumn("deq", VectorFunctions.dequantizeInt8(col("q"), col("s")))
+      .select(
+        aggregate(col("q"), lit(0), (m, x) => greatest(m, abs(x))).as("qmax"),
+        aggregate(zip_with(col("embedding"), col("deq"),
+            (a, b) => abs(a.cast("double") - b.cast("double"))),
+          lit(0.0), (m, x) => greatest(m, x)).as("err"),
+        col("s"))
+      .collect()
+    r.foreach { row =>
+      assert(row.getInt(0) <= 127, "quantized magnitude must fit int8 symmetric range")
+      // float round-trip of dequant adds ≤1 ulp on top of scale/2
+      assert(row.getDouble(1) <= row.getDouble(2) / 2 + 1e-4,
+        s"reconstruction error ${row.getDouble(1)} vs scale ${row.getDouble(2)}")
+    }
+  }
+
   test("cosineNearDupPairs: output ≡ quadratic baseline; plan is an equi-join (no BNLJ / cartesian)") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val got = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
