@@ -24,6 +24,10 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  // Key should be a STRING column for cross-engine reproducibility: md5
+  // runs over the key's binary cast, and binary encodings of numeric types
+  // differ between engines (Spark big-endian longs vs SQL varchar casts).
+  // For numeric ids, pass cast-to-string explicitly on both sides.
   private def bucket(key: Column): Column =
     pmod(Dedup.md5Hash48(key), lit(1000L))
 

@@ -36,7 +36,12 @@ import org.apache.spark.sql.types.StructType
   */
 object Temporal {
 
-  /** @param left       rows to enrich (all columns preserved in the output)
+  /** NULL-key note: the window partitions NULL keys into one group (GROUP
+    * BY semantics), so a null-keyed left row CAN match a null-keyed right
+    * row — unlike a SQL equi-join (and DuckDB's ASOF JOIN), where NULL never
+    * equals NULL. Pre-filter null keys if SQL-join semantics are required.
+    *
+    * @param left       rows to enrich (all columns preserved in the output)
     * @param right      lookup stream
     * @param keyCols    equi-key columns present in BOTH inputs
     * @param leftTime   event-time column in `left`
