@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{DotProduct, NGramShingles, SimHash64, VecNorm}
+import graft.functions.{CountInSet, DotProduct, NGramShingles, SimHash64, VecNorm}
 
 /** SQL-surface registration of the engine's native Catalyst expressions, so
   * `spark.sql("SELECT vec_dot(a, b) ...")` works anywhere DataFrame code
@@ -20,6 +20,8 @@ import graft.functions.{DotProduct, NGramShingles, SimHash64, VecNorm}
   *   - `ngram_shingles(array<string>, n)` — distinct word n-gram shingles
   *   - `vec_dot(array<float|double>, array<float|double>)`
   *   - `vec_norm(array<float|double>)`
+  *   - `count_in_set(array<string>, array('w1','w2',...))` — occurrences of
+  *     set members (words must be a foldable literal array)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -52,7 +54,18 @@ object GraftFunctions {
       val Seq(a, b) = arity("vec_dot", 2)(args)
       DotProduct(a, b)
     },
-    "vec_norm" -> (args => VecNorm(arity("vec_norm", 1)(args).head)))
+    "vec_norm" -> (args => VecNorm(arity("vec_norm", 1)(args).head)),
+    "count_in_set" -> { args =>
+      val Seq(toks, wordsExpr) = arity("count_in_set", 2)(args)
+      require(wordsExpr.foldable, "count_in_set: words must be a literal array")
+      val words = wordsExpr.eval() match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+        case other => throw new IllegalArgumentException(
+          s"count_in_set: expected array<string> literal, got $other")
+      }
+      CountInSet(toks, words)
+    })
 
   /** Register every engine function as a temp function on `spark`. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =

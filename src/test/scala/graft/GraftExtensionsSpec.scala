@@ -37,12 +37,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(viaCol == 11.0)
   }
 
+  test("count_in_set from SQL ≡ Column API; rejects non-literal word sets") {
+    GraftFunctions.registerAll(spark)
+    val viaSql = spark.sql(
+      "SELECT count_in_set(array('the','cat','the'), array('the','a')) AS c")
+      .collect()(0).getInt(0)
+    val viaCol = Seq(Seq("the", "cat", "the")).toDF("t")
+      .select(TextOps.countInSet(col("t"), Seq("the", "a")).as("c"))
+      .collect()(0).getInt(0)
+    assert(viaSql == 2 && viaCol == 2)
+    intercept[Exception] {
+      spark.sql("SELECT count_in_set(array('x'), array(concat('a', rand()::string)))").collect()
+    }
+  }
+
   test("extensions class wires the same builders (session-build path)") {
     // A second in-JVM session with withExtensions would collide with the
     // shared context's session state; instead assert the extension class
     // installs exactly the GraftFunctions.all set.
     val names = GraftFunctions.all.map(_._1).toSet
-    assert(names == Set("simhash64", "ngram_shingles", "vec_dot", "vec_norm"))
+    assert(names == Set("simhash64", "ngram_shingles", "vec_dot", "vec_norm", "count_in_set"))
     val ext = new GraftExtensions
     // smoke: applying to a fresh SparkSessionExtensions must not throw
     ext.apply(new org.apache.spark.sql.SparkSessionExtensions)
