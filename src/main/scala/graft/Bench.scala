@@ -91,14 +91,33 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    def jnum(v: Double, dp: Int): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
+    def headline(dp: Int): String = {
+      val qs = results.map { case (k, v) => jstr(k) + ":" + jnum(v, dp) }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${jnum(total, dp)},"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${errors.size},"reps":$Reps,"sf":"$sfDir"}"""
+    }
+    // Full-precision detail (incl. the partitions sweep) goes to a file; the
+    // stdout contract line stays SHORT. The consumer reads a bounded tail of
+    // this process's output (~2000 chars) and json-parses the result line —
+    // round 3's line hit 1927 chars with full Double digits + inlined sweep
+    // and lost its head to the tail boundary, so nothing parsed.
     val sweepJson = sweep.map { case (n, per) =>
       jstr(n.toString) + ":" +
         per.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${errors.size},"reps":$Reps,"sweep_partitions":$sweepJson,"sf":"$sfDir"}""")
+    val qsFull = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errs,"n_failed":${errors.size},"reps":$Reps,"sweep_partitions":$sweepJson,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
+    // Printed LAST (after spark.stop()'s shutdown logging) so the line sits
+    // inside the consumer's tail window; 3-decimal seconds, 2 if still long.
+    val line3 = headline(3)
+    println(if (line3.length <= 1800) line3 else headline(2))
   }
 }

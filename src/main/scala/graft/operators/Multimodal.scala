@@ -83,6 +83,25 @@ object Multimodal {
       (pmod(xxhash64(payload, i), lit(1000000L)).cast("double") / 500000.0 - 1.0)
         .cast("float"))
 
+  /** SQL-reproducible twin of [[fakeFeatures]]: integer feature basis points
+    * in [0, 1000) from the leading 48 md5 bits of (payload ‖ ":" ‖ i) — the
+    * same md5-48 fold MinHash/SimHash use for cross-engine verifiability
+    * ([[Dedup.md5Hash48]]), so the full fake-decode pipeline hash-matches a
+    * SQL oracle. xxhash64 [[fakeFeatures]] stays the at-scale single-pass
+    * default; this variant exists to make the decode-stub plumbing
+    * oracle-checkable end-to-end. */
+  def fakeFeatureBasisPoints(payload: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)), i =>
+      pmod(Dedup.md5Hash48(
+        concat(payload.cast(StringType), lit(":"), i.cast(StringType))), lit(1000L)))
+
+  /** Float features in [-1, 1) from [[fakeFeatureBasisPoints]]: one IEEE
+    * division + subtraction per element, so the floats are a pure function of
+    * the oracle-checked integers. */
+  def fakeFeaturesMd5(payload: Column, dim: Int): Column =
+    transform(fakeFeatureBasisPoints(payload, dim), bp =>
+      (bp.cast("double") / 500.0 - 1.0).cast("float"))
+
   /** DETERMINISTIC FAKE RESIZE — the thumbnail/resize stub: emits a
     * `targetW*targetH*3`-byte payload derived by chaining sha2 over the
     * content (stable, content-addressed, correct output SIZE so downstream

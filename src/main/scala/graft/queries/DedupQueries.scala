@@ -130,8 +130,9 @@ object DedupQueries {
   private val shingleCte = s"WITH sh AS (\n$shingleBody)"
 
   /** DuckDB twin of Dedup.md5Hash48 over a column expression `e`: fold the
-    * first 12 md5 hex chars into a 48-bit BIGINT. */
-  private def hexFold48(e: String): String =
+    * first 12 md5 hex chars into a 48-bit BIGINT. Shared with the other
+    * registries' oracles (multimodal md5 fake-decode). */
+  private[queries] def hexFold48(e: String): String =
     s"""list_reduce(list_transform(string_split(substr(md5($e), 1, 12), ''),
        |                 c -> (strpos('0123456789abcdef', c) - 1)::BIGINT),
        |                 (x, y) -> x * 16 + y)""".stripMargin

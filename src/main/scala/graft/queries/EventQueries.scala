@@ -124,20 +124,21 @@ object EventQueries {
           col("meta.mime").as("mime"))
         .orderBy(col("asset_id"))),
 
-    // Deterministic fake feature extraction (decode stub): rows-only check —
-    // xxhash64-derived features are not SQL-reproducible; MultimodalSpec
-    // pins shape + determinism on the raw array. The registered projection
-    // presents the vector as (dim, xxhash64 of its joined text form): scalar
-    // columns only, because the driver's rows-only checker sorts rows with
-    // pandas and crashes on unhashable array cells (round-2 err).
+    // Deterministic fake feature extraction (decode stub), registered over
+    // the md5-48 basis-point variant so the FULL pipeline hash-matches the
+    // DuckDB oracle (the xxhash64 fakeFeatures default stays the at-scale
+    // path, spec-pinned in MultimodalSpec). Output is scalar-only — the
+    // integer basis points as a CSV string — because (a) the driver's
+    // checker sorts rows with pandas and crashes on array cells and (b)
+    // integer basis points sidestep float-formatting divergence; the float
+    // features are bp/500-1, pinned ≡ in MultimodalSpec.
     "multimodal_fake_features" -> q((s, dir) =>
       Multimodal.ingest(Sources.documents(s, dir), "doc_id", col("text"))
         .select(col("asset_id"),
-          Multimodal.fakeFeatures(col("payload"), dim = 16).as("features"))
+          Multimodal.fakeFeatureBasisPoints(col("payload"), dim = 16).as("bp"))
         .select(col("asset_id"),
-          size(col("features")).as("dim"),
-          xxhash64(concat_ws(",", col("features").cast("array<string>")))
-            .as("feature_hash"))
+          size(col("bp")).as("dim"),
+          concat_ws(",", col("bp").cast("array<string>")).as("bp_csv"))
         .orderBy(col("asset_id")))
   )
 
@@ -218,6 +219,14 @@ object EventQueries {
         |            WHEN starts_with(text, 'RIFF') THEN 'audio/wav'
         |            WHEN starts_with(text, '%PDF') THEN 'application/pdf'
         |            ELSE 'application/octet-stream' END AS mime
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // md5-48 fold per feature index, mod 1000 — byte-identical inputs to the
+    // Spark side (payload is the UTF-8 text, index concatenated as ASCII).
+    "multimodal_fake_features" ->
+      s"""SELECT doc_id AS asset_id, 16 AS dim,
+        |       array_to_string(list_transform(range(0, 16),
+        |         i -> (${DedupQueries.hexFold48("text || ':' || i::VARCHAR")} % 1000)::VARCHAR), ',') AS bp_csv
         |FROM documents ORDER BY asset_id""".stripMargin
   )
 }

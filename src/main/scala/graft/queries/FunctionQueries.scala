@@ -165,12 +165,19 @@ object FunctionQueries {
           |FROM graft_customer c ORDER BY c_custkey""".stripMargin)
     }),
 
-    // HLL sketch distinct (rows-only: sketch estimates are engine-specific;
-    // FunctionQueriesSpec pins ±5% of exact).
+    // HLL sketch distinct. The raw estimate is engine-specific (DuckDB's
+    // sketch differs), so the ORACLE-compared output is (exact count,
+    // within_5pct flag): the oracle asserts the flag is 1, which pins the
+    // sketch's accuracy bound INSIDE the hash compare instead of leaving the
+    // query rows-only. FunctionQueriesSpec still checks the raw estimate.
     "agg_approx_distinct" -> q((s, dir) =>
       Sources.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double") /
+            col("exact_parts") <= 0.05).cast("int").as("within_5pct"))
         .orderBy(col("l_returnflag"))),
 
     // Higher-order array functions (transform/filter/aggregate/exists) —
@@ -204,10 +211,48 @@ object FunctionQueries {
           col("mn").cast("string").as("min_price"),
           col("mx").cast("string").as("max_price"),
           col("n"))
-        .orderBy(col("l_orderkey")))
+        .orderBy(col("l_orderkey"))),
+
+    // TPC-H Q3-shaped shipping-priority headline: the canonical selective
+    // fact⋈fact⋈dim analytics plan. The segment-filtered customer side is
+    // explicitly broadcast (a filtered dimension — always small relative to
+    // facts); orders⋈lineitem is the fact-fact hop, deliberately left to AQE
+    // so runtime exchange sizes pick broadcast locally and shuffle join at
+    // corpus scale. Both date predicates push down to the parquet scans.
+    // Top-20 by rounded revenue with a unique orderkey tie-break, so the
+    // LIMIT cuts identically in both engines.
+    "q3_shipping_priority" -> q((s, dir) => {
+      val cutoff = lit("1998-06-01").cast("timestamp")
+      val cust = Sources.customer(s, dir)
+        .where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = Sources.orders(s, dir)
+        .where(col("o_orderdate") < cutoff)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+      val li = Sources.lineitem(s, dir)
+        .where(col("l_shipdate") > cutoff)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_orderpriority").as("priority"), col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(20)
+    })
   )
 
   val oracles: Map[String, String] = Map(
+    // The oracle's literal within_5pct=1 asserts the Spark sketch landed
+    // within ±5% of exact — a hash MISMATCH here means the estimate drifted.
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS exact_parts,
+        |       1 AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "fn_strings" ->
       """SELECT p_partkey, upper(p_name) AS up,
         |       lpad(p_partkey::varchar, 8, '0') AS padded,
@@ -327,6 +372,21 @@ object FunctionQueries {
         |       min(l_extendedprice::DECIMAL(12,2))::VARCHAR AS min_price,
         |       max(l_extendedprice::DECIMAL(12,2))::VARCHAR AS max_price,
         |       count(*) AS n
-        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l.l_orderkey,
+        |       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+        |       o.o_orderpriority AS priority,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        |ORDER BY revenue DESC, l.l_orderkey
+        |LIMIT 20""".stripMargin
   )
 }

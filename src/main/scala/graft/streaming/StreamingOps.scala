@@ -54,6 +54,35 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream INNER interval join — the streaming twin of
+    * [[graft.operators.Temporal.timeBandJoin]]: pairs rows with equal keys
+    * and r.time within [l.time - lookback, l.time + lookahead]. Both inputs
+    * carry watermarks and the band lives in the JOIN CONDITION — exactly the
+    * two things Structured Streaming needs to evict join state on BOTH sides
+    * (the engine derives each side's state horizon from watermark + band, so
+    * state stays bounded at any input rate). Right columns emit as
+    * `r_<name>`, schema-compatible with the batch operator's output
+    * (StreamingOpsSpec proves stream ≡ batch on the same data). The batch
+    * form additionally rewrites the band into a bucketed equi-key for its
+    * shuffle join; streaming doesn't need that — the join state store is
+    * already keyed and time-indexed. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                   leftTime: String, rightTime: String,
+                   lookbackSec: Long, lookaheadSec: Long = 0L,
+                   watermark: String = "1 hour"): DataFrame = {
+    require(lookbackSec >= 0 && lookaheadSec >= 0,
+      "lookback/lookahead must be non-negative")
+    val l = left.withWatermark(leftTime, watermark).as("l")
+    val r = right.withWatermark(rightTime, watermark).as("r")
+    val keyCond = keyCols.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    val band =
+      col(s"r.$rightTime") >= col(s"l.$leftTime") - expr(s"INTERVAL $lookbackSec SECOND") &&
+        col(s"r.$rightTime") <= col(s"l.$leftTime") + expr(s"INTERVAL $lookaheadSec SECOND")
+    l.join(r, keyCond && band)
+      .select(left.columns.map(c => col(s"l.$c").as(c)) ++
+        right.columns.map(c => col(s"r.$c").as(s"r_$c")): _*)
+  }
+
   /** Stream-static enrichment join: the streaming fact side joins a static
     * dimension snapshot (re-read per micro-batch by Spark, broadcast when
     * small). The standard streaming ingest-enrichment shape — at scale the

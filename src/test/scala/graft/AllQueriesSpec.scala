@@ -12,8 +12,10 @@ class AllQueriesSpec extends AnyFunSuite {
   val dir = "/root/testdata/sf0.001"
 
   /** Queries whose exact results cannot be reproduced in DuckDB by design —
-    * every other query MUST carry oracle SQL. */
-  private val knownRowsOnly = Set("agg_approx_distinct", "multimodal_fake_features")
+    * every other query MUST carry oracle SQL. Empty since round 4: the
+    * approx-distinct query pins its ±5% bound inside the compared output and
+    * the fake-decode query registers its md5-48 variant. */
+  private val knownRowsOnly = Set.empty[String]
 
   test("every registered query returns rows on sf0.001") {
     val empty = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>

@@ -15,21 +15,25 @@ class FunctionQueriesSpec extends AnyFunSuite {
       assert(fn(spark, dir).count() > 0, s"$name empty on sf0.001")
     }
     val missing = FunctionQueries.queries.keySet -- FunctionQueries.oracles.keySet
-    assert(missing == Set("agg_approx_distinct"),
-      s"only the sketch query may omit an oracle, got: $missing")
+    assert(missing.isEmpty, s"every function query carries an oracle, got: $missing")
   }
 
   test("approx_count_distinct within 5% of exact per group") {
-    val approx = FunctionQueries.queries("agg_approx_distinct")(spark, dir)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-    val exact = graft.engine.Sources.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("n"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-    exact.foreach { case (k, e) =>
-      val a = approx(k)
-      assert(math.abs(a - e).toDouble / e <= 0.05, s"group $k: approx $a vs exact $e")
+    // the registered query folds this bound into its within_5pct output
+    // column (oracle-compared); this pins the RAW estimate independently
+    val li = graft.engine.Sources.lineitem(spark, dir)
+    val both = li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("a"),
+        countDistinct(col("l_partkey")).as("e"))
+      .collect()
+    both.foreach { r =>
+      val (a, e) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(a - e).toDouble / e <= 0.05,
+        s"group ${r.getString(0)}: approx $a vs exact $e")
     }
+    val flags = FunctionQueries.queries("agg_approx_distinct")(spark, dir)
+      .collect().map(_.getInt(2))
+    assert(flags.forall(_ == 1), "within_5pct flag must hold on every group")
   }
 
   test("TopKAggregator query ≡ window row_number form; partial agg in plan") {
@@ -80,6 +84,19 @@ class FunctionQueriesSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"query set must be the broadcast side:\n$plan")
     assert(!plan.contains("SortMergeJoin"), "corpus must not shuffle for the scoring join")
+  }
+
+  test("q3 plan: date filters pushed to scans, customer side broadcast") {
+    val plan = FunctionQueries.queries("q3_shipping_priority")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"filtered customer dim must broadcast:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate")
+      || plan.contains("LessThan(o_orderdate"),
+      s"order-date predicate must reach the parquet scan:\n$plan")
+    assert(plan.contains("GreaterThan(l_shipdate"),
+      s"ship-date predicate must reach the parquet scan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
   test("anti/semi joins plan as hash joins, not cartesian") {

@@ -56,6 +56,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m(1L) != m(3L), "different content → different features")
   }
 
+  test("fakeFeaturesMd5 floats are exactly bp/500-1 of the basis points") {
+    val df = Seq((1L, "doc one".getBytes("UTF-8")), (2L, "doc two".getBytes("UTF-8")))
+      .toDF("id", "payload")
+      .select(col("id"),
+        Multimodal.fakeFeatureBasisPoints(col("payload"), 16).as("bp"),
+        Multimodal.fakeFeaturesMd5(col("payload"), 16).as("f"))
+    df.collect().foreach { r =>
+      val bp = r.getSeq[Long](1); val f = r.getSeq[Float](2)
+      assert(bp.length == 16 && f.length == 16)
+      assert(bp.forall(b => b >= 0 && b < 1000), "basis points in [0,1000)")
+      assert(bp.map(b => (b.toDouble / 500.0 - 1.0).toFloat) == f,
+        "floats must be the pure /500-1 image of the oracle-checked ints")
+    }
+    // determinism across plans: same payload, separate evaluation
+    val again = Seq(Tuple1("doc one".getBytes("UTF-8"))).toDF("payload")
+      .select(Multimodal.fakeFeatureBasisPoints(col("payload"), 16).as("bp"))
+      .collect()(0).getSeq[Long](0)
+    assert(again == df.where(col("id") === 1L).collect()(0).getSeq[Long](1))
+  }
+
   test("fakeThumbnail: exact target byte size, content-deterministic") {
     val df = Seq((1L, "imgA".getBytes("UTF-8")), (2L, "imgA".getBytes("UTF-8")),
       (3L, "imgB".getBytes("UTF-8"))).toDF("id", "payload")

@@ -102,6 +102,37 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(spark.table("s_enrich").count() == rows.size)
   }
 
+  test("intervalJoin: stream-stream join ≡ batch timeBandJoin on the same data") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // left: purchases (event_id, user_id, ts); right: errors (user_id, ts, value)
+    val lRows = Seq((1L, 1L, ts(30)), (2L, 2L, ts(45)), (3L, 1L, ts(120)))
+    val rRows = Seq((1L, ts(10), 5.0), (1L, ts(25), 6.0), (2L, ts(44), 7.0),
+      (1L, ts(115), 8.0), (2L, ts(150), 9.0))
+    val lMem = MemoryStream[(Long, Long, Timestamp)]
+    val rMem = MemoryStream[(Long, Timestamp, Double)]
+    lMem.addData(lRows: _*); rMem.addData(rRows: _*)
+    val q = StreamingOps.intervalJoin(
+        lMem.toDF().toDF("event_id", "user_id", "ts"),
+        rMem.toDF().toDF("user_id", "ts", "value"),
+        Seq("user_id"), "ts", "ts", lookbackSec = 1800L)
+      .writeStream.format("memory").queryName("s_interval")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("s_interval").select("event_id", "r_value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val batch = graft.operators.Temporal.timeBandJoin(
+        lRows.toDF("event_id", "user_id", "ts"),
+        rRows.toDF("user_id", "ts", "value"),
+        Seq("user_id"), "ts", "ts", lookbackSec = 1800L)
+      .select("event_id", "r_value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == batch)
+    // errors at t10/t25 precede the t30 purchase within 30min; t44→t45; t115→t120
+    assert(got == Set((1L, 5.0), (1L, 6.0), (2L, 7.0), (3L, 8.0)))
+  }
+
   test("toParquetBatches: foreachBatch parquet sink lands every row with batch id") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
