@@ -43,6 +43,18 @@ object Similarity {
       .select(col("query_id"), col("id").as("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Per-group mean embedding (class centroids) — the average-pooling op of
+    * an embedding pipeline (cluster seeding, per-class drift monitoring,
+    * nearest-class-mean dedup QA). posexplode to (group, pos, value), then
+    * ONE hash aggregate: map-side partial (sum, count) means the shuffle
+    * carries |groups|×dim partial rows per mapper regardless of corpus size —
+    * the exploded |rows|×dim intermediate never crosses the wire.
+    * Output: (groupCol, pos, n_vecs, mean: double), one row per dimension. */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(count(lit(1)).as("n_vecs"), avg(col("v").cast("double")).as("mean"))
+
   /** Approximate top-k via random-hyperplane LSH: score only same-bucket
     * pairs. Same output shape as [[bruteForceTopK]]; rank is within the
     * bucket-restricted candidate set. */

@@ -77,6 +77,16 @@ object SimilarityQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Per-label mean embedding (class centroids), one row per dimension.
+    // Means emit as integer basis points via floor(x·1e4 + 0.5) — the
+    // cross-engine-stable rounding — so the compare never touches float
+    // formatting.
+    "sim_label_centroids" -> q((s, dir) =>
+      Similarity.groupCentroids(Sources.embeddings(s, dir), "label", "embedding")
+        .select(col("label"), col("pos"), col("n_vecs"),
+          floor(col("mean") * 10000 + 0.5).cast("bigint").as("mean_bp"))
+        .orderBy(col("label"), col("pos"))),
+
     // Random-hyperplane LSH top-k (seeded planes; scale path — only
     // same-bucket pairs scored). Fully oracle-checked: the same plane
     // constants are embedded in generated DuckDB SQL (see lshOracle).
@@ -169,6 +179,18 @@ object SimilarityQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // parallel unnests zip elementwise; pos from range(len) is 0-based like
+    // Spark's posexplode
+    "sim_label_centroids" ->
+      """WITH x AS (
+        |  SELECT label,
+        |         unnest(range(len(embedding))) AS pos,
+        |         unnest(embedding) AS v
+        |  FROM embeddings)
+        |SELECT label, pos::int AS pos, count(*) AS n_vecs,
+        |       floor(avg(v::DOUBLE) * 10000 + 0.5)::BIGINT AS mean_bp
+        |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
     "sim_quantize_int8" ->
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e

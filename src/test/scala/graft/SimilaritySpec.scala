@@ -35,6 +35,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cs.toSeq == Seq(0.0, 0.0, 1.0))
   }
 
+  test("groupCentroids: exact per-group elementwise means, partial agg in plan") {
+    val df = Seq(
+      (0, Array(1.0f, 2.0f)), (0, Array(3.0f, 6.0f)),
+      (1, Array(10.0f, 0.0f))).toDF("label", "embedding")
+    val out = Similarity.groupCentroids(df, "label", "embedding")
+      .orderBy("label", "pos")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((0, 0, 2L, 2.0), (0, 1, 2L, 4.0), (1, 0, 1L, 10.0), (1, 1, 1L, 0.0)))
+    val plan = Similarity.groupCentroids(df, "label", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"centroid agg must combine map-side:\n$plan")
+  }
+
   test("bruteForceTopK: correct neighbors and deterministic rank on a known set") {
     // corpus on the unit circle: angles 0°, 60°, 90°, 180°
     val corpus = Seq(
