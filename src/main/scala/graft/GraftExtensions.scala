@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CountInSet, DotProduct, NGramShingles, SimHash64, VecNorm}
+import graft.functions.{CountInSet, DotProduct, Md5Hash48, NGramShingles, SimHash64, VecNorm}
 
 /** SQL-surface registration of the engine's native Catalyst expressions, so
   * `spark.sql("SELECT vec_dot(a, b) ...")` works anywhere DataFrame code
@@ -22,6 +22,8 @@ import graft.functions.{CountInSet, DotProduct, NGramShingles, SimHash64, VecNor
   *   - `vec_norm(array<float|double>)`
   *   - `count_in_set(array<string>, array('w1','w2',...))` — occurrences of
   *     set members (words must be a foldable literal array)
+  *   - `md5_hash48(binary)` — first 48 md5 bits as BIGINT (the engine's
+  *     cross-engine-reproducible hash basis)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -55,6 +57,7 @@ object GraftFunctions {
       DotProduct(a, b)
     },
     "vec_norm" -> (args => VecNorm(arity("vec_norm", 1)(args).head)),
+    "md5_hash48" -> (args => Md5Hash48(arity("md5_hash48", 1)(args).head)),
     "count_in_set" -> { args =>
       val Seq(toks, wordsExpr) = arity("count_in_set", 2)(args)
       require(wordsExpr.foldable, "count_in_set: words must be a literal array")

@@ -312,12 +312,19 @@ object Dedup {
       .select(col(idCol))
   }
 
-  /** 48-bit token/shingle hash from the leading 12 hex chars of md5 —
-    * deliberately SQL-reproducible (DuckDB folds the same hex prefix), so
+  /** 48-bit token/shingle hash from the leading 48 md5 bits — deliberately
+    * SQL-reproducible (DuckDB folds the same 12-hex-char prefix), so
     * MinHash/SimHash built on it are fully oracle-checkable. xxhash64 stays
-    * the at-scale default (one pass, no hex detour); md5-48 is the
-    * verifiability variant — signatures differ, semantics don't. */
+    * the at-scale default (one pass, non-cryptographic); md5-48 is the
+    * verifiability variant — signatures differ, semantics don't. Native
+    * codegen expression ([[graft.functions.Md5Hash48]]: digest → six shifts,
+    * no hex-string round-trip); [[md5Hash48Hex]] is the built-in twin kept
+    * as the differential-tested executable spec. */
   def md5Hash48(c: Column): Column =
+    graft.functions.Md5Hash48.md5hash48(c.cast("binary"))
+
+  /** Hex/conv built-in composition of [[md5Hash48]] (executable spec). */
+  def md5Hash48Hex(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 12), 16, 10).cast("bigint")
 
   /** Seeded MinHash parameters: k pairs (a, b) for h_i(x) = (a·x + b) mod p,

@@ -51,12 +51,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("md5_hash48 from SQL ≡ Column API ≡ hex/conv twin") {
+    GraftFunctions.registerAll(spark)
+    val viaSql = spark.sql(
+      "SELECT md5_hash48(cast('hello graft' AS binary)) AS h")
+      .collect()(0).getLong(0)
+    val viaCol = Seq("hello graft").toDF("t")
+      .select(Dedup.md5Hash48(col("t")).as("h"), Dedup.md5Hash48Hex(col("t")).as("hx"))
+      .collect()(0)
+    assert(viaSql == viaCol.getLong(0) && viaSql == viaCol.getLong(1))
+  }
+
   test("extensions class wires the same builders (session-build path)") {
     // A second in-JVM session with withExtensions would collide with the
     // shared context's session state; instead assert the extension class
     // installs exactly the GraftFunctions.all set.
     val names = GraftFunctions.all.map(_._1).toSet
-    assert(names == Set("simhash64", "ngram_shingles", "vec_dot", "vec_norm", "count_in_set"))
+    assert(names == Set("simhash64", "ngram_shingles", "vec_dot", "vec_norm",
+      "count_in_set", "md5_hash48"))
     val ext = new GraftExtensions
     // smoke: applying to a fresh SparkSessionExtensions must not throw
     ext.apply(new org.apache.spark.sql.SparkSessionExtensions)

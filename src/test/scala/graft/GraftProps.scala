@@ -67,6 +67,16 @@ object GraftProps extends Properties("graft") {
     java.lang.Long.bitCount(s ^ s) == 0
   }
 
+  property("native md5_hash48 ≡ hex/conv twin for arbitrary strings") =
+    forAll(Gen.listOfN(8, Gen.asciiPrintableStr)) { texts =>
+      import spark.implicits._
+      val rows = (texts :+ "" :+ "äöü €→ 中文").toDF("t")
+        .select(Dedup.md5Hash48(col("t")).as("native"),
+          Dedup.md5Hash48Hex(col("t")).as("hex"))
+        .collect()
+      rows.forall(r => r.getLong(0) == r.getLong(1) && r.getLong(0) >= 0L)
+    }
+
   private val vecGen: Gen[(List[Double], List[Double])] = for {
     n <- Gen.choose(0, 32)
     a <- Gen.listOfN(n, Gen.choose(-100.0, 100.0))
