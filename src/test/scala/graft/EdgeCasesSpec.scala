@@ -87,6 +87,30 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0L, 2L -> 0L), "tokenless docs sign to 0")
   }
 
+  test("groupCentroids: empty input and single-vector groups") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("label", IntegerType),
+        StructField("embedding", ArrayType(FloatType)))))
+    assert(Similarity.groupCentroids(empty, "label", "embedding").count() == 0)
+    val one = Seq((7, Array(1.5f, -2.5f))).toDF("label", "embedding")
+    val got = Similarity.groupCentroids(one, "label", "embedding")
+      .orderBy("pos")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((0, 1L, 1.5), (1, 1L, -2.5)),
+      "single-vector group mean is the vector itself")
+  }
+
+  test("md5Hash48 native vs hex twin on empty and null input") {
+    val df = Seq(Some(""), Some("x"), None).toDF("t")
+      .select(Dedup.md5Hash48(col("t")).as("n"), Dedup.md5Hash48Hex(col("t")).as("h"))
+      .collect()
+    df.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), "null propagation must match")
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1))
+    }
+  }
+
   test("multimodal expressions tolerate null payloads") {
     val df = Seq((1L, Some("x".getBytes("UTF-8"))), (2L, None))
       .toDF("id", "payload")
