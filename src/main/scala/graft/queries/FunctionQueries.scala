@@ -213,6 +213,42 @@ object FunctionQueries {
           col("n"))
         .orderBy(col("l_orderkey"))),
 
+    // FULL OUTER join with unmatched rows on BOTH sides (customers under
+    // the key cutoff vs urgent-order counts): completes the join-kind
+    // surface (inner/left/semi/anti/asof/band/salted already covered). The
+    // coalesced key is unique and non-null, so the sort is total — and the
+    // is-null flags pin outer-row behavior into the hash compare.
+    "join_full_outer" -> q((s, dir) => {
+      val cust = Sources.customer(s, dir).where(col("c_custkey") < 800)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val urgent = Sources.orders(s, dir)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_urgent"))
+      cust.join(urgent, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("key"),
+          coalesce(col("c_mktsegment"), lit("-")).as("segment"),
+          coalesce(col("n_urgent"), lit(0L)).as("n_urgent"),
+          col("c_custkey").isNull.cast("int").as("cust_missing"),
+          col("o_custkey").isNull.cast("int").as("orders_missing"))
+        .orderBy(col("key"))
+    }),
+
+    // Distribution window functions (ntile / percent_rank / cume_dist) via
+    // the SQL front-end; both rank ratios are a single exact division, so
+    // round(x, 6) is bit-stable across engines.
+    "fn_window_ranks" -> q((s, dir) => {
+      Sources.orders(s, dir).createOrReplaceTempView("graft_orders_w")
+      s.sql(
+        """SELECT o_custkey, o_orderkey,
+          |       cast(ntile(4) OVER w AS int) AS quartile,
+          |       round(percent_rank() OVER w, 6) AS pr,
+          |       round(cume_dist() OVER w, 6) AS cd
+          |FROM graft_orders_w
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+          |ORDER BY o_custkey, o_orderkey""".stripMargin)
+    }),
+
     // TPC-H Q3-shaped shipping-priority headline: the canonical selective
     // fact⋈fact⋈dim analytics plan. The segment-filtered customer side is
     // explicitly broadcast (a filtered dimension — always small relative to
@@ -373,6 +409,28 @@ object FunctionQueries {
         |       max(l_extendedprice::DECIMAL(12,2))::VARCHAR AS max_price,
         |       count(*) AS n
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "join_full_outer" ->
+      """SELECT coalesce(c.c_custkey, o.o_custkey) AS key,
+        |       coalesce(c.c_mktsegment, '-') AS segment,
+        |       coalesce(o.n_urgent, 0) AS n_urgent,
+        |       (c.c_custkey IS NULL)::int AS cust_missing,
+        |       (o.o_custkey IS NULL)::int AS orders_missing
+        |FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey < 800) c
+        |FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_urgent FROM orders
+        |                 WHERE o_orderpriority = '1-URGENT'
+        |                 GROUP BY o_custkey) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY key""".stripMargin,
+
+    "fn_window_ranks" ->
+      """SELECT o_custkey, o_orderkey,
+        |       cast(ntile(4) OVER w AS int) AS quartile,
+        |       round(percent_rank() OVER w, 6) AS pr,
+        |       round(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q3_shipping_priority" ->
       """SELECT l.l_orderkey,
