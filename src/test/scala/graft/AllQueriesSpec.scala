@@ -24,6 +24,24 @@ class AllQueriesSpec extends AnyFunSuite {
     assert(empty.isEmpty, s"queries with empty results: $empty")
   }
 
+  test("no registered query plans an all-pairs join (cartesian / BNLJ)") {
+    // sim_topk_bruteforce is the one deliberate exception: its scoring join
+    // broadcasts the (small by definition) QUERY set against the corpus
+    // scan with a non-equi self-exclusion — a bounded broadcast nested
+    // loop, not a corpus×corpus blowup. Everything else must stay equi.
+    val allowed = Set("sim_topk_bruteforce")
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      if (allowed(name)) None
+      else {
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"))
+          Some(name)
+        else None
+      }
+    }
+    assert(offenders.isEmpty, s"all-pairs plans detected: $offenders")
+  }
+
   test("oracle coverage is total outside the documented rows-only set") {
     // sim_topk_ivf's oracle appears once its quantizer has trained (Verify
     // always runs queries before the oracle dump; in a bare test JVM the
