@@ -65,20 +65,28 @@ object StreamingOps {
     * (StreamingOpsSpec proves stream ≡ batch on the same data). The batch
     * form additionally rewrites the band into a bucketed equi-key for its
     * shuffle join; streaming doesn't need that — the join state store is
-    * already keyed and time-indexed. */
+    * already keyed and time-indexed.
+    *
+    * @param joinType "inner" (default) or "left_outer": outer emits a
+    *   null-padded row for an unmatched left row ONCE the watermark proves
+    *   no in-band right row can still arrive — correctness of the outer
+    *   result is exactly what the state horizon guarantees. */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                    leftTime: String, rightTime: String,
                    lookbackSec: Long, lookaheadSec: Long = 0L,
-                   watermark: String = "1 hour"): DataFrame = {
+                   watermark: String = "1 hour",
+                   joinType: String = "inner"): DataFrame = {
     require(lookbackSec >= 0 && lookaheadSec >= 0,
       "lookback/lookahead must be non-negative")
+    require(Set("inner", "left_outer")(joinType),
+      s"joinType must be inner or left_outer, got $joinType")
     val l = left.withWatermark(leftTime, watermark).as("l")
     val r = right.withWatermark(rightTime, watermark).as("r")
     val keyCond = keyCols.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
     val band =
       col(s"r.$rightTime") >= col(s"l.$leftTime") - expr(s"INTERVAL $lookbackSec SECOND") &&
         col(s"r.$rightTime") <= col(s"l.$leftTime") + expr(s"INTERVAL $lookaheadSec SECOND")
-    l.join(r, keyCond && band)
+    l.join(r, keyCond && band, joinType)
       .select(left.columns.map(c => col(s"l.$c").as(c)) ++
         right.columns.map(c => col(s"r.$c").as(s"r_$c")): _*)
   }

@@ -133,6 +133,35 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got == Set((1L, 5.0), (1L, 6.0), (2L, 7.0), (3L, 8.0)))
   }
 
+  test("intervalJoin left_outer: unmatched left rows emit null-padded after watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // purchase 2 (user 2) has no error in its 30-min band; sentinels a day
+    // ahead advance both watermarks so the outer result flushes
+    val lRows = Seq((1L, 1L, ts(30)), (2L, 2L, ts(45)))
+    val rRows = Seq((1L, ts(25), 6.0), (2L, ts(150), 9.0))
+    val far = Timestamp.valueOf("2024-01-02 10:00:00")
+    val lMem = MemoryStream[(Long, Long, Timestamp)]
+    val rMem = MemoryStream[(Long, Timestamp, Double)]
+    lMem.addData(lRows :+ ((99L, 99L, far)): _*)
+    rMem.addData(rRows :+ ((99L, far, 0.0)): _*)
+    val q = StreamingOps.intervalJoin(
+        lMem.toDF().toDF("event_id", "user_id", "ts"),
+        rMem.toDF().toDF("user_id", "ts", "value"),
+        Seq("user_id"), "ts", "ts", lookbackSec = 1800L,
+        joinType = "left_outer")
+      .writeStream.format("memory").queryName("s_interval_outer")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("s_interval_outer")
+      .where(col("event_id") < 99L)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+      .toSet
+    assert(got == Set((1L, Some(6.0)), (2L, None)),
+      "matched row keeps its pair; unmatched left row must flush null-padded")
+  }
+
   test("toParquetBatches: foreachBatch parquet sink lands every row with batch id") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
