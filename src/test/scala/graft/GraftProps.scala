@@ -67,6 +67,29 @@ object GraftProps extends Properties("graft") {
     java.lang.Long.bitCount(s ^ s) == 0
   }
 
+  private val labeledVecGen: Gen[List[(Int, List[Float])]] = for {
+    n <- Gen.choose(1, 20)
+    rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0, 3),
+      Gen.listOfN(4, Gen.choose(-10.0f, 10.0f))))
+  } yield rows
+
+  property("groupCentroids ≡ in-memory per-label elementwise means") =
+    forAll(labeledVecGen) { rows =>
+      import spark.implicits._
+      val df = rows.map { case (l, v) => (l, v.toArray) }.toDF("label", "embedding")
+      val got = graft.operators.Similarity.groupCentroids(df, "label", "embedding")
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getDouble(3)))).toMap
+      val expected = rows.groupBy(_._1).flatMap { case (l, vs) =>
+        (0 until 4).map { pos =>
+          val col = vs.map(_._2(pos).toDouble)
+          (l, pos) -> (vs.size.toLong, col.sum / col.size)
+        }
+      }
+      got.keySet == expected.keySet && expected.forall { case (k, (n, m)) =>
+        got(k)._1 == n && math.abs(got(k)._2 - m) < 1e-9
+      }
+    }
+
   property("native md5_hash48 ≡ hex/conv twin for arbitrary strings") =
     forAll(Gen.listOfN(8, Gen.asciiPrintableStr)) { texts =>
       import spark.implicits._
