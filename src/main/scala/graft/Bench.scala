@@ -10,11 +10,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     before anything is timed;
   *   - each query is timed MEDIAN-OF-3 at the target sf, so a single GC/JIT
   *     stall cannot define the recorded number;
-  *   - host-stall guard: a bimodal rep set (median > 5× min) means an
-  *     external ~minute-long freeze spanned most reps (see BASELINE.md);
-  *     the query reports its unstalled min, is counted in `n_stalls`, and
-  *     its raw reps land in BENCH_SELF.json — disclosed outlier rejection,
-  *     never silent;
+  *   - every rep records independent host/process counters alongside wall
+  *     time: JVM GC time delta (GarbageCollectorMXBean), /proc/stat
+  *     steal+iowait deltas (normalized to per-CPU seconds), and process CPU
+  *     seconds — all of it lands in BENCH_SELF.json `rep_times`;
+  *   - host-stall guard, EVIDENCE-GATED: a bimodal rep set (median > 5× min)
+  *     only reports the unstalled min when every slow rep's measured host
+  *     interference (steal + iowait seconds) covers ≥30% of its excess over
+  *     the min — i.e. the stall is CORROBORATED by an independent host
+  *     signal, not inferred from shape (round-4 advice). A bimodal set
+  *     WITHOUT host evidence keeps its median (the slowness is charged to
+  *     the query) and is counted in `n_guard_vetoed`. JVM GC time is
+  *     recorded for diagnosis but deliberately does NOT qualify as evidence:
+  *     GC churn is a cost of the query's own allocation behavior. Guarded
+  *     queries count in `n_stalls`; raw reps + counters always land in
+  *     BENCH_SELF.json — disclosed outlier rejection, never silent;
   *   - failures are never silently folded into timings: a failed query
   *     reports -1 in `queries` and its exception in `errors`.
   */
@@ -52,7 +62,40 @@ object Bench {
     val Reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val stalls = scala.collection.mutable.ArrayBuffer[String]()
-    val repDetail = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val guardVetoed = scala.collection.mutable.ArrayBuffer[String]()
+
+    // ── Per-rep host/process counters (independent stall evidence) ─────────
+    // wall: rep seconds. gc: JVM GC time delta (stop-the-world cost — ours).
+    // host: /proc/stat (steal + iowait) tick delta normalized to per-CPU
+    // seconds (external interference — not ours). cpu: process CPU seconds.
+    case class Rep(wall: Double, gc: Double, host: Double, cpu: Double)
+    def gcMillis(): Long = {
+      val it = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.iterator()
+      var s = 0L
+      while (it.hasNext) s += math.max(it.next().getCollectionTime, 0L)
+      s
+    }
+    // (steal + iowait) summed over all CPUs, in USER_HZ (=100) ticks.
+    def hostTicks(): Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try {
+          val f = src.getLines().next().trim.split("\\s+")
+          // cpu user nice system idle iowait irq softirq steal ...
+          (if (f.length > 5) f(5).toLong else 0L) +
+            (if (f.length > 8) f(8).toLong else 0L)
+        } finally src.close()
+      } catch { case _: Throwable => 0L }
+    val nCpus = math.max(Runtime.getRuntime.availableProcessors, 1)
+    def cpuSeconds(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean =>
+          os.getProcessCpuTime / 1e9
+        case _ => 0.0
+      }
+
+    val repDetail = scala.collection.mutable.LinkedHashMap[String, Seq[Rep]]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       // Collect the GC debt of prior queries OUTSIDE the timed section —
       // dead checkpoint blocks and array garbage otherwise land as a 10-20s
@@ -60,29 +103,42 @@ object Bench {
       // roaming-outlier variance). Also lets the context cleaner reclaim
       // blocks whose RDDs just became unreachable.
       System.gc()
-      val times = (1 to Reps).flatMap { _ =>
+      val reps = (1 to Reps).flatMap { _ =>
+        val gc0 = gcMillis(); val h0 = hostTicks(); val c0 = cpuSeconds()
         val t0 = System.nanoTime()
-        try { runOnce(fn, sfDir); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
+        try {
+          runOnce(fn, sfDir)
+          val wall = (System.nanoTime() - t0) / 1e9
+          Some(Rep(wall,
+            gc = (gcMillis() - gc0) / 1e3,
+            host = (hostTicks() - h0).toDouble / 100.0 / nCpus,
+            cpu = cpuSeconds() - c0))
+        } catch { case e: Throwable =>
           errors.getOrElseUpdate(name,
             s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
           None
         }
       }
-      repDetail(name) = times
-      // Stall guard (disclosed outlier rejection): this host occasionally
-      // freezes ONE random query for ~a minute (CPU steal / dropped page
-      // cache — observed on three different sub-2s queries across seven
-      // otherwise-identical runs; see BASELINE.md). When a stall spans most
-      // reps, the median is the stall, not the query — a bimodal rep set
-      // (median > 5× min) therefore reports the unstalled min and flags the
-      // query in `stalls`; raw reps always land in BENCH_SELF.json.
-      val value = times.sorted match {
+      repDetail(name) = reps
+      // Evidence-gated stall guard (disclosed outlier rejection): this host
+      // occasionally freezes queries for ~a minute (CPU steal / dropped page
+      // cache; see BASELINE.md). A bimodal rep set (median > 5× min) reports
+      // the unstalled min ONLY when every slow rep's measured host
+      // interference covers ≥30% of its excess wall time over the min —
+      // otherwise the median stands (bimodality without host evidence means
+      // the query itself is bimodal and must own its cost; the veto is
+      // recorded in `guard_vetoed`). GC time never qualifies as evidence.
+      val value = reps.map(_.wall).sorted match {
         case s if s.isEmpty => -1.0
         case s =>
           val median = s(s.size / 2)
-          if (median > 5 * s.head && s.head > 0.05) { stalls += name; s.head }
-          else median
+          if (median > 5 * s.head && s.head > 0.05) {
+            val slow = reps.filter(_.wall > 5 * s.head)
+            val evidenced = slow.nonEmpty &&
+              slow.forall(r => r.host >= 0.3 * (r.wall - s.head))
+            if (evidenced) { stalls += name; s.head }
+            else { guardVetoed += name; median }
+          } else median
       }
       name -> value
     }

@@ -235,15 +235,19 @@ object FunctionQueries {
     }),
 
     // Distribution window functions (ntile / percent_rank / cume_dist) via
-    // the SQL front-end; both rank ratios are a single exact division, so
-    // round(x, 6) is bit-stable across engines.
+    // the SQL front-end. The rank ratios emit as micro-basis-points via
+    // floor(x*1e6 + 0.5) — Spark round() goes through BigDecimal HALF_UP
+    // while DuckDB rounds the binary double half-away-from-zero, so a ratio
+    // whose decimal expansion hits ...5 at the 7th digit could differ by
+    // 1e-6; floor(x+0.5) is one IEEE add + floor, bit-identical everywhere
+    // (the same convention as sim_label_centroids / quantizeInt8).
     "fn_window_ranks" -> q((s, dir) => {
       Sources.orders(s, dir).createOrReplaceTempView("graft_orders_w")
       s.sql(
         """SELECT o_custkey, o_orderkey,
           |       cast(ntile(4) OVER w AS int) AS quartile,
-          |       round(percent_rank() OVER w, 6) AS pr,
-          |       round(cume_dist() OVER w, 6) AS cd
+          |       cast(floor(percent_rank() OVER w * 1000000 + 0.5) AS bigint) AS pr_ubp,
+          |       cast(floor(cume_dist() OVER w * 1000000 + 0.5) AS bigint) AS cd_ubp
           |FROM graft_orders_w
           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
           |ORDER BY o_custkey, o_orderkey""".stripMargin)
@@ -271,7 +275,14 @@ object FunctionQueries {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        // Per-item revenue is cast to DECIMAL before summing: double summation
+        // order differs between engines, so a group within an ULP of a
+        // half-cent could round differently and flip the top-20 cut. The
+        // decimal sum is exact (same fix as fn_decimal); the final double cast
+        // of the same exact decimal is bit-identical on both sides.
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)"))
+          .cast("decimal(18,2)").cast("double").as("revenue"))
         .select(col("l_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
           col("o_orderpriority").as("priority"), col("revenue"))
@@ -426,8 +437,8 @@ object FunctionQueries {
     "fn_window_ranks" ->
       """SELECT o_custkey, o_orderkey,
         |       cast(ntile(4) OVER w AS int) AS quartile,
-        |       round(percent_rank() OVER w, 6) AS pr,
-        |       round(cume_dist() OVER w, 6) AS cd
+        |       floor(percent_rank() OVER w * 1000000 + 0.5)::BIGINT AS pr_ubp,
+        |       floor(cume_dist() OVER w * 1000000 + 0.5)::BIGINT AS cd_ubp
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
@@ -436,7 +447,7 @@ object FunctionQueries {
       """SELECT l.l_orderkey,
         |       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
         |       o.o_orderpriority AS priority,
-        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |       sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,4))::DECIMAL(18,2)::DOUBLE AS revenue
         |FROM customer c
         |JOIN orders o ON c.c_custkey = o.o_custkey
         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
