@@ -275,14 +275,18 @@ object FunctionQueries {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        // Per-item revenue is cast to DECIMAL before summing: double summation
-        // order differs between engines, so a group within an ULP of a
-        // half-cent could round differently and flip the top-20 cut. The
-        // decimal sum is exact (same fix as fn_decimal); the final double cast
-        // of the same exact decimal is bit-identical on both sides.
-        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(18,4)"))
-          .cast("decimal(18,2)").cast("double").as("revenue"))
+        // Per-item revenue goes through integer micro-units (the repo's
+        // proven determinism convention — fn_window_ranks, sim_label_centroids):
+        // floor(x*1e4 + 0.5) per item as BIGINT, exact integer sum, ONE final
+        // double division. Double summation order differs between engines, and
+        // decimal scale-reduction casts diverge too (DuckDB ::DECIMAL(18,2)
+        // truncates toward zero, Spark's cast rounds HALF_UP — the r5 cast
+        // chain differed by one cent on 11 of 20 rows). The per-item double
+        // expression is IEEE-identical on both sides, floor+add is exact, and
+        // bigint summation is order-independent.
+        .agg((sum(floor((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            * lit(10000.0) + lit(0.5)))
+          / lit(10000.0)).as("revenue"))
         .select(col("l_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
           col("o_orderpriority").as("priority"), col("revenue"))
@@ -447,7 +451,7 @@ object FunctionQueries {
       """SELECT l.l_orderkey,
         |       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
         |       o.o_orderpriority AS priority,
-        |       sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,4))::DECIMAL(18,2)::DOUBLE AS revenue
+        |       sum(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5)::BIGINT) / 10000.0 AS revenue
         |FROM customer c
         |JOIN orders o ON c.c_custkey = o.o_custkey
         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
