@@ -11,24 +11,80 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - each query is timed MEDIAN-OF-3 at the target sf, so a single GC/JIT
   *     stall cannot define the recorded number;
   *   - every rep records independent host/process counters alongside wall
-  *     time: JVM GC time delta (GarbageCollectorMXBean), /proc/stat
-  *     steal+iowait deltas (normalized to per-CPU seconds), and process CPU
-  *     seconds — all of it lands in BENCH_SELF.json `rep_times`;
+  *     time: JVM GC time delta (GarbageCollectorMXBean), /proc/stat steal
+  *     and iowait deltas (each normalized to per-CPU seconds using the host
+  *     CPU count parsed from /proc/stat's cpuN lines — container-safe, the
+  *     aggregate line is host-wide while availableProcessors can be
+  *     cgroup-limited), and process CPU seconds — all of it lands in
+  *     BENCH_SELF.json `rep_times` as JSON objects;
   *   - host-stall guard, EVIDENCE-GATED: a bimodal rep set (median > 5× min)
-  *     only reports the unstalled min when every slow rep's measured host
-  *     interference (steal + iowait seconds) covers ≥30% of its excess over
-  *     the min — i.e. the stall is CORROBORATED by an independent host
-  *     signal, not inferred from shape (round-4 advice). A bimodal set
-  *     WITHOUT host evidence keeps its median (the slowness is charged to
-  *     the query) and is counted in `n_guard_vetoed`. JVM GC time is
-  *     recorded for diagnosis but deliberately does NOT qualify as evidence:
-  *     GC churn is a cost of the query's own allocation behavior. Guarded
-  *     queries count in `n_stalls`; raw reps + counters always land in
-  *     BENCH_SELF.json — disclosed outlier rejection, never silent;
+  *     only reports the unstalled min when every slow rep's measured CPU
+  *     STEAL covers ≥30% of its excess over the min — i.e. the stall is
+  *     CORROBORATED by a truly-external host signal, not inferred from
+  *     shape (round-4/5 advice). iowait is recorded for diagnosis but does
+  *     NOT qualify as evidence: a query's own disk reads and spills accrue
+  *     iowait, so an I/O-bound query could otherwise self-certify its cold
+  *     reps as "stalled". JVM GC time likewise does not qualify (GC churn
+  *     is the query's own allocation behavior). A bimodal set WITHOUT steal
+  *     evidence keeps its median (the slowness is charged to the query) and
+  *     is listed in `guard_vetoed` / counted in `n_guard_vetoed`. When
+  *     /proc/stat is unreadable (non-Linux host) no evidence exists, so the
+  *     guard can never fire; that state is disclosed as
+  *     `host_counters_available:false` rather than silently zeroed.
+  *     Guarded queries count in `n_stalls`; raw reps + counters always land
+  *     in BENCH_SELF.json — disclosed outlier rejection, never silent;
+  *   - a failed detail write is disclosed too: stderr warning +
+  *     `detail_write_failed:true` in the stdout headline;
   *   - failures are never silently folded into timings: a failed query
   *     reports -1 in `queries` and its exception in `errors`.
   */
 object Bench {
+  /** Per-rep counters. wall: rep seconds. gc: JVM GC time delta (stop-the-
+    * world cost — ours). steal: /proc/stat steal delta in per-CPU seconds
+    * (external interference — not ours; the ONLY stall-guard evidence).
+    * iowait: /proc/stat iowait delta in per-CPU seconds (diagnostic only —
+    * the query's own reads/spills land here). cpu: process CPU seconds. */
+  final case class Rep(wall: Double, gc: Double, steal: Double,
+                       iowait: Double, cpu: Double)
+
+  private[graft] def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+  /** JSON-safe double: NaN/Inf (unrepresentable in JSON) become null. */
+  private[graft] def jd(v: Double): String =
+    if (v.isNaN || v.isInfinite) "null" else v.toString
+  private[graft] def repJson(r: Rep): String =
+    s"""{"wall":${jd(r.wall)},"gc":${jd(r.gc)},"steal":${jd(r.steal)},"iowait":${jd(r.iowait)},"cpu":${jd(r.cpu)}}"""
+  private[graft] def repsJson(reps: collection.Seq[(String, Seq[Rep])]): String =
+    reps.map { case (k, ts) =>
+      jstr(k) + ":" + ts.map(repJson).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+
+  /** (steal ticks, iowait ticks, host CPU count) from /proc/stat, summed
+    * over all CPUs in USER_HZ (=100) ticks; None when unreadable (non-Linux
+    * or restricted /proc) so the caller can disclose "no host counters"
+    * instead of silently reading zeros. CPU count comes from the cpuN lines
+    * — the aggregate line is host-wide, and normalizing it by a
+    * cgroup-limited availableProcessors would overstate per-CPU seconds. */
+  private[graft] def hostCounters(): Option[(Long, Long, Int)] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val lines = src.getLines().toVector
+        // cpu user nice system idle iowait irq softirq steal ...
+        val f = lines.head.trim.split("\\s+")
+        if (!f.head.equals("cpu")) None
+        else {
+          val iowait = if (f.length > 5) f(5).toLong else 0L
+          val steal = if (f.length > 8) f(8).toLong else 0L
+          val n = lines.count(_.matches("cpu\\d+\\s.*"))
+          Some((steal, iowait, math.max(n, 1)))
+        }
+      } finally src.close()
+    } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -63,12 +119,8 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val stalls = scala.collection.mutable.ArrayBuffer[String]()
     val guardVetoed = scala.collection.mutable.ArrayBuffer[String]()
+    val hostAvailable = hostCounters().isDefined
 
-    // ── Per-rep host/process counters (independent stall evidence) ─────────
-    // wall: rep seconds. gc: JVM GC time delta (stop-the-world cost — ours).
-    // host: /proc/stat (steal + iowait) tick delta normalized to per-CPU
-    // seconds (external interference — not ours). cpu: process CPU seconds.
-    case class Rep(wall: Double, gc: Double, host: Double, cpu: Double)
     def gcMillis(): Long = {
       val it = java.lang.management.ManagementFactory
         .getGarbageCollectorMXBeans.iterator()
@@ -76,18 +128,6 @@ object Bench {
       while (it.hasNext) s += math.max(it.next().getCollectionTime, 0L)
       s
     }
-    // (steal + iowait) summed over all CPUs, in USER_HZ (=100) ticks.
-    def hostTicks(): Long =
-      try {
-        val src = scala.io.Source.fromFile("/proc/stat")
-        try {
-          val f = src.getLines().next().trim.split("\\s+")
-          // cpu user nice system idle iowait irq softirq steal ...
-          (if (f.length > 5) f(5).toLong else 0L) +
-            (if (f.length > 8) f(8).toLong else 0L)
-        } finally src.close()
-      } catch { case _: Throwable => 0L }
-    val nCpus = math.max(Runtime.getRuntime.availableProcessors, 1)
     def cpuSeconds(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
         case os: com.sun.management.OperatingSystemMXBean =>
@@ -104,15 +144,21 @@ object Bench {
       // blocks whose RDDs just became unreachable.
       System.gc()
       val reps = (1 to Reps).flatMap { _ =>
-        val gc0 = gcMillis(); val h0 = hostTicks(); val c0 = cpuSeconds()
+        val gc0 = gcMillis(); val h0 = hostCounters(); val c0 = cpuSeconds()
         val t0 = System.nanoTime()
         try {
           runOnce(fn, sfDir)
           val wall = (System.nanoTime() - t0) / 1e9
-          Some(Rep(wall,
-            gc = (gcMillis() - gc0) / 1e3,
-            host = (hostTicks() - h0).toDouble / 100.0 / nCpus,
-            cpu = cpuSeconds() - c0))
+          // Both /proc/stat reads must succeed for a host delta; a one-sided
+          // read would fabricate a huge (or negative) delta.
+          val (st, io) = (h0, hostCounters()) match {
+            case (Some((s0, i0, _)), Some((s1, i1, n))) =>
+              (math.max(s1 - s0, 0L).toDouble / 100.0 / n,
+                math.max(i1 - i0, 0L).toDouble / 100.0 / n)
+            case _ => (0.0, 0.0)
+          }
+          Some(Rep(wall, gc = (gcMillis() - gc0) / 1e3, steal = st,
+            iowait = io, cpu = cpuSeconds() - c0))
         } catch { case e: Throwable =>
           errors.getOrElseUpdate(name,
             s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
@@ -121,21 +167,23 @@ object Bench {
       }
       repDetail(name) = reps
       // Evidence-gated stall guard (disclosed outlier rejection): this host
-      // occasionally freezes queries for ~a minute (CPU steal / dropped page
-      // cache; see BASELINE.md). A bimodal rep set (median > 5× min) reports
-      // the unstalled min ONLY when every slow rep's measured host
-      // interference covers ≥30% of its excess wall time over the min —
-      // otherwise the median stands (bimodality without host evidence means
-      // the query itself is bimodal and must own its cost; the veto is
-      // recorded in `guard_vetoed`). GC time never qualifies as evidence.
+      // occasionally freezes queries for ~a minute (CPU steal; see
+      // BASELINE.md). A bimodal rep set (median > 5× min) reports the
+      // unstalled min ONLY when every slow rep's measured STEAL covers ≥30%
+      // of its excess wall time over the min — otherwise the median stands
+      // (bimodality without external evidence means the query itself is
+      // bimodal — e.g. its own cold-cache I/O — and must own its cost; the
+      // veto is recorded in `guard_vetoed`). iowait and GC time never
+      // qualify as evidence. Without /proc/stat the guard can never fire;
+      // `host_counters_available:false` in BENCH_SELF.json discloses why.
       val value = reps.map(_.wall).sorted match {
         case s if s.isEmpty => -1.0
         case s =>
           val median = s(s.size / 2)
           if (median > 5 * s.head && s.head > 0.05) {
             val slow = reps.filter(_.wall > 5 * s.head)
-            val evidenced = slow.nonEmpty &&
-              slow.forall(r => r.host >= 0.3 * (r.wall - s.head))
+            val evidenced = hostAvailable && slow.nonEmpty &&
+              slow.forall(r => r.steal >= 0.3 * (r.wall - s.head))
             if (evidenced) { stalls += name; s.head }
             else { guardVetoed += name; median }
           } else median
@@ -161,19 +209,10 @@ object Bench {
     }
     spark.conf.set("spark.sql.shuffle.partitions", cpus)
 
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
     def jnum(v: Double, dp: Int): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    def headline(dp: Int): String = {
-      val qs = results.map { case (k, v) => jstr(k) + ":" + jnum(v, dp) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${jnum(total, dp)},"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${errors.size},"n_stalls":${stalls.size},"reps":$Reps,"sf":"$sfDir"}"""
-    }
     // Full-precision detail (incl. the partitions sweep) goes to a file; the
     // stdout contract line stays SHORT. The consumer reads a bounded tail of
     // this process's output (~2000 chars) and json-parses the result line —
@@ -181,18 +220,24 @@ object Bench {
     // and lost its head to the tail boundary, so nothing parsed.
     val sweepJson = sweep.map { case (n, per) =>
       jstr(n.toString) + ":" +
-        per.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+        per.map { case (k, v) => jstr(k) + ":" + jd(v) }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
-    val qsFull = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
-    val repsJson = repDetail.map { case (k, ts) =>
-      jstr(k) + ":" + ts.mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
+    val qsFull = results.map { case (k, v) => jstr(k) + ":" + jd(v) }.mkString("{", ",", "}")
     val stallsJson = stalls.map(jstr).mkString("[", ",", "]")
+    val vetoedJson = guardVetoed.map(jstr).mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errs,"n_failed":${errors.size},"stalls":$stallsJson,"rep_times":$repsJson,"reps":$Reps,"sweep_partitions":$sweepJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${jd(total)},"unit":"sec","queries":$qsFull,"errors":$errs,"n_failed":${errors.size},"stalls":$stallsJson,"guard_vetoed":$vetoedJson,"host_counters_available":$hostAvailable,"rep_times":${repsJson(repDetail.toSeq)},"reps":$Reps,"sweep_partitions":$sweepJson,"sf":"$sfDir"}"""
+    var detailWriteFailed = false
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
       (detail + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    catch { case e: Throwable =>
+      detailWriteFailed = true
+      System.err.println(s"[bench] BENCH_SELF.json write failed: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+    }
+    def headline(dp: Int): String = {
+      val qs = results.map { case (k, v) => jstr(k) + ":" + jnum(v, dp) }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${jnum(total, dp)},"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${errors.size},"n_stalls":${stalls.size},"n_guard_vetoed":${guardVetoed.size},"detail_write_failed":$detailWriteFailed,"reps":$Reps,"sf":"$sfDir"}"""
+    }
     spark.stop()
     // Printed LAST (after spark.stop()'s shutdown logging) so the line sits
     // inside the consumer's tail window; 3-decimal seconds, 2 if still long.
