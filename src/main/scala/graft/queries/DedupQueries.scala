@@ -97,6 +97,19 @@ object DedupQueries {
         n = 3, threshold = JaccardThreshold, tokenHash = Dedup.md5Hash48)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // The AT-SCALE default MinHash-LSH path: xxhash64 token hash (one
+    // non-cryptographic pass — what a 100 TB corpus actually runs) instead
+    // of the md5-48 basis above. DuckDB cannot reproduce xxhash64, but the
+    // pipeline ENDS in an exact-jaccard verify, so its output is the exact
+    // pair set whenever recall holds (P[miss | j≥0.9] ≈ 4e-8 per pair, and
+    // hashes are deterministic — no per-run randomness). Oracle: the exact
+    // all-pairs jaccard SQL — a full hash compare asserting recall 1.0 on
+    // the default basis, not just a rows-only count.
+    "dedup_minhash_xxhash" -> q((s, dir) =>
+      Dedup.minHashLsh(Sources.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = JaccardThreshold)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // SimHash near-dup: signature per doc, pairs within hamming ≤ 5
     // (planted near-dups land at ≤5; the small shared vocabulary makes wider
     // radii noisy — simhash is the cheap candidate filter, jaccard verifies).
@@ -107,6 +120,23 @@ object DedupQueries {
     "dedup_simhash_pairs" -> q((s, dir) => {
       val sigs = Dedup.simHashMd5Signatures(
         Sources.documents(s, dir), "doc_id", "text")
+      Dedup.simHashNearDupPairs(sigs, "doc_id", "sh", maxHamming = 5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // The AT-SCALE default SimHash path: the native 64-bit codegen
+    // expression (SimHash64 over xxhash64'd tokens) + the same pigeonhole
+    // banded hamming join. Unlike the minhash twin there is NO exact verify
+    // step — pairs are defined BY the signature bits, and DuckDB cannot
+    // reproduce xxhash64 — so this is a rows-only CORRECTNESS entry by
+    // design; DedupSpec pins the banded join ≡ brute-force hamming on these
+    // exact signatures, and GraftExtensionsSpec pins the expression against
+    // its SQL-registered form.
+    "dedup_simhash_xxhash" -> q((s, dir) => {
+      val sigs = Sources.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.SimHash64.simhash64(TextOps.tokens(col("text"))).as("sh"))
+        .localCheckpoint(eager = false)
       Dedup.simHashNearDupPairs(sigs, "doc_id", "sh", maxHamming = 5)
         .orderBy(col("id_a"), col("id_b"))
     })
@@ -259,6 +289,18 @@ object DedupQueries {
         |ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_lsh" -> minhashOracle,
+
+    // The xxhash64 LSH output is jaccard-verified, so equality with the
+    // EXACT all-pairs form is precisely the recall-1.0 claim (see the query
+    // comment). dedup_simhash_xxhash has no oracle on purpose: its pairs are
+    // defined by irreproducible-in-SQL signature bits (rows-only check).
+    "dedup_minhash_xxhash" ->
+      raw"""$shingleCte
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       $jaccardExpr AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE $jaccardExpr >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_simhash_pairs" -> simhashOracle,
 
