@@ -20,6 +20,18 @@ object EventQueries {
   private def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tuning.tune(s), dir)
 
+  /** Explicit schema for the streaming file source over events.parquet —
+    * streaming sources cannot infer schemas. `ts` reads as long: the column
+    * is parquet TIMESTAMP(NANOS) (nanosAsLong), rebuilt to µs by the
+    * callers exactly as Sources.events does. */
+  private val eventsStreamSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Tumbling 1-hour event-time windows per event_type: the batch form of
@@ -46,6 +58,46 @@ object EventQueries {
           date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           col("n_events"), col("sum_value"))
         .orderBy(col("user_id"), col("session_start"))),
+
+    // Structured Streaming, driver-oracle-checked END-TO-END: a real
+    // readStream file source over the events parquet runs the watermarked
+    // tumbling-window aggregation through the full streaming runtime
+    // (micro-batch planner, state store, watermark tracking) to completion
+    // under Trigger.AvailableNow, and the memory-sink table is what the
+    // driver hash-compares against DuckDB. Complete output mode (bounded
+    // aggregate: hours × event types). The value sum uses exact integer
+    // micro-units because a streaming run adds a THIRD summation order
+    // beyond batch-Spark and DuckDB (see hourlyCountsExact). The ts column
+    // is parquet TIMESTAMP(NANOS): the streaming schema reads it as long
+    // (nanosAsLong) and rebuilds µs exactly, same as Sources.events.
+    "stream_events_hourly" -> q((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.streaming.StreamingOps.runToMemorySink(s, dir, "events.parquet",
+        eventsStreamSchema,
+        src => graft.streaming.StreamingOps.hourlyCountsExact(
+          src.withColumn("ts", timestamp_micros(expr("ts div 1000")))))
+        .select(
+          date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy(col("hour_start"), col("event_type"))
+    }),
+
+    // Session windows through the streaming runtime: same end-to-end
+    // readStream → memory-sink harness as stream_events_hourly, with the
+    // merging-session state path exercised instead of tumbling windows.
+    // Complete mode keeps all sessions (bounded: users × sessions at test
+    // scale); production uses append + watermark-closed sessions.
+    "stream_events_sessionize" -> q((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.streaming.StreamingOps.runToMemorySink(s, dir, "events.parquet",
+        eventsStreamSchema,
+        src => graft.streaming.StreamingOps.sessionizeExact(
+          src.withColumn("ts", timestamp_micros(expr("ts div 1000")))))
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
 
     // JSON property extraction from the props column (get_json_object).
     "events_json_agg" -> q((s, dir) =>
@@ -148,6 +200,14 @@ object EventQueries {
         |       event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
 
+    // Same grouping as events_hourly; the sum uses the micro-units
+    // convention because the Spark side streamed (see the query comment).
+    "stream_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |       event_type, count(*) AS n_events,
+        |       sum(floor(value * 10000.0 + 0.5)::BIGINT) / 10000.0 AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
     // lag+cumsum sessionization; a gap of exactly 30:00 starts a new session
     // (session_window's half-open [ts, ts+gap) semantics → strict >=).
     "events_sessionize" ->
@@ -164,6 +224,26 @@ object EventQueries {
         |SELECT user_id,
         |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |       count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // Same lag+cumsum reconstruction as events_sessionize; micro-units sum
+    // because the Spark side streamed (see the query comment).
+    "stream_events_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+        |              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       count(*) AS n_events,
+        |       sum(floor(value * 10000.0 + 0.5)::BIGINT) / 10000.0 AS sum_value
         |FROM sessions GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
 

@@ -30,6 +30,35 @@ object StreamingOps {
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** [[hourlyCounts]] with the value sum carried in integer micro-units
+    * (floor(x*1e4+0.5) per row, exact integer sum, one final division) —
+    * identical results under ANY summation order. The driver-checked
+    * streaming entry uses this form: a streaming run sums in micro-batch
+    * arrival order, a third ordering beyond batch-Spark and DuckDB, and
+    * `round(sum(double), 4)` is only order-stable until a group lands
+    * within an ULP of a rounding boundary. Exactness holds while
+    * |value|·1e4 < 2^53 — any realistic per-event metric. */
+  def hourlyCountsExact(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(floor(col("value") * lit(10000.0) + lit(0.5))) / lit(10000.0)).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** [[sessionize]] with the exact micro-units value sum — same
+    * any-summation-order rationale as [[hourlyCountsExact]]. */
+  def sessionizeExact(events: DataFrame, gap: String = "30 minutes",
+                      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(floor(col("value") * lit(10000.0) + lit(0.5))) / lit(10000.0)).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+
   /** Gap-based sessionization (30-minute idle gap) per user — the streaming
     * session_window path; state per open session, closed by the watermark. */
   def sessionize(events: DataFrame, gap: String = "30 minutes",
@@ -99,6 +128,39 @@ object StreamingOps {
              eventKey: String, dimKey: String): DataFrame =
     events.join(broadcast(dim), col(eventKey) === col(dimKey), "left_outer")
       .drop(dimKey)
+
+  private val memSinkId = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Execute a streaming transform END-TO-END inside a batch-callable query:
+    * file-source `readStream` over `path` with an explicit schema, the
+    * transform, a memory sink, `Trigger.AvailableNow` — processes every
+    * existing file through the full streaming runtime (micro-batch planner,
+    * state store, watermark tracking) and stops, then returns the sink
+    * contents as a batch DataFrame. This is what makes `readStream` itself
+    * driver-oracle-checkable: the sink table hash-compares against the
+    * batch SQL oracle, instead of streaming coverage resting on scalatest
+    * alone. The memory sink is the HARNESS adapter (bounded aggregate
+    * output only) — the operators under test are the watermarked
+    * aggregations, whose state-store scaling is the production path;
+    * production sinks are Kafka/parquet (`toParquetBatches`). */
+  /** @param dir  directory the file source monitors (streaming sources
+    *   list directories, not files)
+    *  @param glob file-name filter within `dir` (e.g. `"events.parquet"`) */
+  def runToMemorySink(s: org.apache.spark.sql.SparkSession, dir: String,
+                      glob: String,
+                      schema: org.apache.spark.sql.types.StructType,
+                      transform: DataFrame => DataFrame,
+                      mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val name = s"graft_mem_sink_${memSinkId.incrementAndGet()}"
+    val q = transform(s.readStream.schema(schema)
+        .option("pathGlobFilter", glob).parquet(dir))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    s.table(name)
+  }
 
   /** Exactly-once-per-batch parquet sink via foreachBatch: rows land
     * partitioned by `__batch_id`, written with DYNAMIC partition overwrite —
