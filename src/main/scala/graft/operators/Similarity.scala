@@ -97,6 +97,16 @@ object Similarity {
       .limit(math.max(nCells * 200, 2000))
       .collect()
       .map(_.getSeq[Double](0).toArray)
+    kmeansOnSample(sample, nCells, seed, maxIter)
+  }
+
+  /** The seeded kmeans++/Lloyd's core of [[trainIvfCentroids]], factored
+    * over an in-memory sample so PQ codebook training ([[trainPqCodebooks]])
+    * reuses the identical arithmetic per subspace. Bit-for-bit the same
+    * centroids as the pre-factoring trainIvfCentroids: same rng sequence,
+    * same accumulation order. */
+  private[graft] def kmeansOnSample(sample: Array[Array[Double]], nCells: Int,
+                                    seed: Long, maxIter: Int): Array[Array[Double]] = {
     require(sample.nonEmpty, "empty training sample")
     val dim = sample.head.length
     val rnd = new scala.util.Random(seed)
@@ -208,6 +218,130 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("id").as("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  // ── Product quantization (PQ) ────────────────────────────────────────────
+
+  /** Product-quantization codebooks: the vector dim splits into `m`
+    * contiguous subspaces of dim/m dims; each subspace gets its own seeded
+    * kmeans codebook of `ksub` centroids, trained on the SAME bounded-sample
+    * discipline as the IVF quantizer (one driver-side collect of a few MB,
+    * never the corpus — see [[kmeansOnSample]]). Result layout:
+    * `books(j)(c)` = centroid `c` of subspace `j`.
+    *
+    * PQ is the storage/ANN compression layer of a billion-scale pipeline:
+    * m=8, ksub=16 encodes a 64-dim float vector (256 bytes) into 8 codes
+    * (8 bytes when packed, 4 bits each) — 32× — while asymmetric-distance
+    * scoring ([[pqTopK]]) still ranks against full-precision queries.
+    * Composable with [[ivfTopK]]: IVF restricts candidates, PQ scores them
+    * from codes (classic IVF-PQ). Deterministic for (data, m, ksub, seed):
+    * subspace `j` trains with `seed + j`. */
+  def trainPqCodebooks(corpus: DataFrame, vecCol: String,
+                       m: Int = 8, ksub: Int = 16, seed: Long = 42L,
+                       maxIter: Int = 10): Array[Array[Array[Double]]] = {
+    val sample: Array[Array[Double]] = corpus
+      .select(col(vecCol).cast("array<double>"))
+      .limit(math.max(ksub * 200, 2000))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+    Array.tabulate(m) { j =>
+      kmeansOnSample(sample.map(v => v.slice(j * dsub, (j + 1) * dsub)),
+        ksub, seed + j, maxIter)
+    }
+  }
+
+  /** Argmin centroid of subspace `j` as a (dShifted, code) struct picked by
+    * `least()` over per-centroid struct expressions — a flat codegen'd
+    * min-reduction, NOT an array_sort (the sort form measured ~3 ms/row at
+    * m=16, ksub=64: 16 interpreted 64-struct sorts per row). dShifted =
+    * ‖c‖² − 2·s·c: the ‖s‖² term is constant within a subspace, so the
+    * argmin (and its code tie-break — struct ordering compares d first,
+    * then code, in both engines) is unchanged, and each centroid costs ONE
+    * dot product instead of two plus a sort slot. True d² is recovered by
+    * adding ‖s‖² once per subspace where needed. */
+  private def pqArgmin(vec: Column, books: Array[Array[Array[Double]]],
+                       j: Int): Column = {
+    val dsub = books(j)(0).length
+    val sub = slice(vec, j * dsub + 1, dsub)
+    val ds = books(j).toSeq.zipWithIndex.map { case (c, i) =>
+      val cArr = array(c.toSeq.map(lit): _*)
+      struct((lit(c.map(x => x * x).sum) - lit(2.0) * dot(sub, cArr)).as("ds"),
+        lit(i).as("code"))
+    }
+    least(ds: _*)
+  }
+
+  /** PQ-encode: `array<int>` of per-subspace nearest-centroid codes. A
+    * narrow map over the corpus — the codebooks attach once as codegen
+    * reference objects (the Spark-side equivalent of broadcasting them), no
+    * shuffle, no UDF. Native expression ([[graft.functions.PqEncode]]): the
+    * composed `least()`-over-structs form ([[pqEncodeComposed]], kept as
+    * the executable spec) leaves a ~3000-node interpreted tree that
+    * measured 5 s for a 5000-row encode; the primitive loop is ~50×. */
+  def pqEncode(vec: Column, books: Array[Array[Array[Double]]]): Column =
+    graft.functions.PqExpressions.pqEncodeNative(vec, books)
+
+  /** Composed-Column executable spec of [[pqEncode]] — bit-identical codes
+    * by the FP-parity contract in [[graft.functions.PqKernel]];
+    * SimilaritySpec pins native ≡ composed. */
+  private[graft] def pqEncodeComposed(vec: Column, books: Array[Array[Array[Double]]]): Column =
+    array((0 until books.length).map(j =>
+      pqArgmin(vec, books, j).getField("code")): _*)
+
+  /** Per-vector squared reconstruction error Σⱼ minᶜ d²(subⱼ, bookⱼ[c]) —
+    * the quantization loss of [[pqEncode]]'s code choice, without
+    * materializing the decoded vector. Per subspace: ‖s‖² + min dShifted,
+    * summed left-to-right over subspaces (the oracle and the native kernel
+    * reproduce this exact FP association). */
+  def pqReconError2(vec: Column, books: Array[Array[Array[Double]]]): Column =
+    graft.functions.PqExpressions.pqReconError2Native(vec, books)
+
+  /** Composed executable spec of [[pqReconError2]]. */
+  private[graft] def pqReconError2Composed(vec: Column, books: Array[Array[Array[Double]]]): Column =
+    (0 until books.length).map { j =>
+      val dsub = books(j)(0).length
+      val sub = slice(vec, j * dsub + 1, dsub)
+      dot(sub, sub) + pqArgmin(vec, books, j).getField("ds")
+    }.reduce(_ + _)
+
+  /** Asymmetric-distance (ADC) approximate top-k: corpus vectors are scored
+    * from their PQ codes against FULL-PRECISION queries. Each query builds
+    * an m×ksub lookup table of subspace distances (codegen over the
+    * broadcast query set); a corpus row's approximate d² is then m
+    * element_at probes into that table — no corpus-side float math at all,
+    * which is the entire point at 100 TB: the scan reads m small ints per
+    * vector instead of dim floats. Output (query_id, neighbor_id, adc_d2,
+    * rank), rank ascending by rounded d² with id tie-break — deterministic.
+    *
+    * `codes` may be precomputed (pass a corpus that already carries
+    * `codesCol`) or derived here from `vecCol`. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String,
+             books: Array[Array[Array[Double]]], k: Int = 5): DataFrame = {
+    val m = books.length
+    val ksub = books(0).length
+    val c = corpus.select(col(idCol).as("id"),
+      pqEncode(col(vecCol), books).as("codes"))
+    // lut(j)(i) = true d²(query subspace j, books(j)(i)) — native expression
+    // ([[graft.functions.PqAdcLut]]); the composed literal form compiled a
+    // ~3000-node janino projection per run (seconds of codegen for a
+    // 10-row query side). Same FP association as pqReconError2's terms.
+    val q = queries.select(col(idCol).as("query_id"),
+      graft.functions.PqExpressions.pqAdcLutNative(col(vecCol), books).as("lut"))
+    val adc = (0 until m).map(j =>
+      element_at(element_at(col("lut"), j + 1),
+        element_at(col("codes"), j + 1) + lit(1))).reduce(_ + _)
+    val scored = c.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("adc_d2", round(adc, 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2").asc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("adc_d2"), col("rank"))
   }
 
   /** Embedding near-duplicate pairs: all (i < j) with cosine ≥ threshold —

@@ -29,6 +29,14 @@ object SimilarityQueries {
   private val centroidCache =
     scala.collection.concurrent.TrieMap[(String, Int, Long), Array[Array[Double]]]()
 
+  /** PQ codebook memo: same corpus-property rationale as [[centroidCache]]. */
+  private val pqCache =
+    scala.collection.concurrent.TrieMap[(String, Int, Int, Long), Array[Array[Array[Double]]]]()
+  private def pqBooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    pqCache.getOrElseUpdate((dir, 16, 64, 42L),
+      Similarity.trainPqCodebooks(Sources.embeddings(s, dir), "embedding",
+        m = 16, ksub = 64, seed = 42L))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact top-5 neighbors for the first 10 vectors: broadcast the query
@@ -61,6 +69,36 @@ object SimilarityQueries {
         corpus = emb, queries = emb.where(col("vec_id") < 10),
         idCol = "vec_id", vecCol = "embedding", k = 5,
         nCells = 16, nProbe = 4, centroids = Some(cents))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Product-quantization codes + reconstruction error: 64-dim float
+    // (256 B) → 16×6-bit codes (12 B packed, ~21× compression; this corpus
+    // is near-random, so recall needs the finer m=16/ksub=64 grid — real
+    // embedding corpora cluster and tolerate far coarser codebooks). Encoding is a narrow map (codebooks
+    // ride as codegen literals); the error column pins the decode side
+    // without materializing decoded vectors (min subspace d² IS the chosen
+    // centroid's d²). Oracle: generated SQL with the trained codebooks
+    // embedded as literals (same discipline as sim_topk_ivf).
+    "sim_pq_codes" -> q((s, dir) => {
+      val books = pqBooks(s, dir)
+      Sources.embeddings(s, dir)
+        .select(col("vec_id"),
+          concat_ws(",", Similarity.pqEncode(col("embedding"), books)
+            .cast("array<string>")).as("codes_csv"),
+          round(Similarity.pqReconError2(col("embedding"), books), 6).as("recon_err2"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ADC top-k over PQ codes: full-precision queries against code-only
+    // corpus scoring — at scale the corpus scan reads 16 small ints per
+    // vector instead of 64 floats. Approximate by design; SimilaritySpec
+    // pins recall@5 against the exact L2 top-k.
+    "sim_topk_pq" -> q((s, dir) => {
+      val emb = Sources.embeddings(s, dir)
+      Similarity.pqTopK(
+        corpus = emb, queries = emb.where(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", books = pqBooks(s, dir), k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -178,6 +216,72 @@ object SimilarityQueries {
     }
   }
 
+  /** PQ oracles, generated AFTER the queries have run (the codebooks for
+    * exactly one sf dir then sit in [[pqCache]] — same contract as
+    * [[ivfOracle]]). The SQL reproduces encode (per-subspace argmin over
+    * embedded centroid literals, struct-sort tie-break on code), the
+    * reconstruction error (Σ min subspace d²), and the full ADC ranking
+    * (per-query lookup tables indexed by corpus codes) — the driver
+    * hash-compares the entire approximate pipeline, not just row counts. */
+  private def pqOracles: Map[String, String] = {
+    val cached = pqCache.readOnlySnapshot().toSeq
+    if (cached.size != 1) Map.empty
+    else {
+      val books = cached.head._2
+      val m = books.length
+      val dsub = books(0)(0).length
+      def sub(j: Int): String = s"e[${j * dsub + 1}:${(j + 1) * dsub}]"
+      def centLits(j: Int): Seq[(String, Double)] =
+        books(j).toSeq.map(c =>
+          (c.map(_.toString).mkString("[", ", ", "]"), c.map(x => x * x).sum))
+      // shifted per-centroid distance ‖c‖² − 2·s·c, exactly as pqArgmin
+      // computes it (the ‖s‖² shift cannot change the argmin or its code
+      // tie-break); list_sort's struct ordering = Spark's least() ordering
+      def subDistList(j: Int): String =
+        centLits(j).zipWithIndex.map { case ((lits, c2), i) =>
+          s"{'d': $c2 - 2 * list_dot_product(${sub(j)}, $lits), 'code': $i}"
+        }.mkString("[", ",\n           ", "]")
+      val codesList = (0 until m)
+        .map(j => s"list_sort(${subDistList(j)})[1].code")
+        .mkString("[", ",\n         ", "]")
+      // true d² per subspace = ‖s‖² + min shifted, summed left-to-right —
+      // the same FP association as pqReconError2
+      val err2 = (0 until m)
+        .map(j => s"(list_dot_product(${sub(j)}, ${sub(j)}) + list_sort(${subDistList(j)})[1].d)")
+        .mkString(" + ")
+      def lutList(j: Int): String =
+        centLits(j).map { case (lits, c2) =>
+          s"list_dot_product(${sub(j)}, ${sub(j)}) + ($c2 - 2 * list_dot_product(${sub(j)}, $lits))"
+        }.mkString("[", ",\n           ", "]")
+      val luts = (0 until m).map(lutList).mkString("[", ",\n         ", "]")
+      val adcSum = (1 to m).map(j => s"l.lut[$j][c.codes[$j] + 1]").mkString(" + ")
+      Map(
+        "sim_pq_codes" ->
+          s"""WITH vecs AS (
+            |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+            |  FROM embeddings)
+            |SELECT vec_id,
+            |       array_to_string($codesList, ',') AS codes_csv,
+            |       round($err2, 6) AS recon_err2
+            |FROM vecs ORDER BY vec_id""".stripMargin,
+        "sim_topk_pq" ->
+          s"""WITH vecs AS (
+            |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+            |  FROM embeddings),
+            |codes AS (
+            |  SELECT vec_id, $codesList AS codes FROM vecs),
+            |luts AS (
+            |  SELECT vec_id, $luts AS lut FROM vecs WHERE vec_id < 10)
+            |SELECT query_id, neighbor_id, adc_d2, cast(rnk AS int) AS rank FROM (
+            |  SELECT l.vec_id AS query_id, c.vec_id AS neighbor_id,
+            |         round($adcSum, 6) AS adc_d2,
+            |         row_number() OVER (PARTITION BY l.vec_id
+            |           ORDER BY round($adcSum, 6) ASC, c.vec_id ASC) AS rnk
+            |  FROM luts l JOIN codes c ON c.vec_id <> l.vec_id)
+            |WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin)
+    }
+  }
+
   def oracles: Map[String, String] = Map(
     // parallel unnests zip elementwise; pos from range(len) is 0-based like
     // Spark's posexplode
@@ -223,5 +327,5 @@ object SimilarityQueries {
         |FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
         |WHERE $cosExpr >= 0.4
         |ORDER BY id_a, id_b""".stripMargin
-  ) ++ ivfOracle.map("sim_topk_ivf" -> _)
+  ) ++ ivfOracle.map("sim_topk_ivf" -> _) ++ pqOracles
 }

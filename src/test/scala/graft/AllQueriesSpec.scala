@@ -29,11 +29,12 @@ class AllQueriesSpec extends AnyFunSuite {
   }
 
   test("no registered query plans an all-pairs join (cartesian / BNLJ)") {
-    // sim_topk_bruteforce is the one deliberate exception: its scoring join
-    // broadcasts the (small by definition) QUERY set against the corpus
-    // scan with a non-equi self-exclusion — a bounded broadcast nested
-    // loop, not a corpus×corpus blowup. Everything else must stay equi.
-    val allowed = Set("sim_topk_bruteforce")
+    // Deliberate exceptions: both scoring joins broadcast the (small by
+    // definition) QUERY set against one corpus scan with a non-equi
+    // self-exclusion — a bounded broadcast nested loop, not a corpus×corpus
+    // blowup (sim_topk_pq reads only the m code ints per corpus row).
+    // Everything else must stay equi.
+    val allowed = Set("sim_topk_bruteforce", "sim_topk_pq")
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       if (allowed(name)) None
       else {
@@ -51,8 +52,11 @@ class AllQueriesSpec extends AnyFunSuite {
     // always runs queries before the oracle dump; in a bare test JVM the
     // cache may be empty) — tolerate its absence, never anything else's.
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert((missing - "sim_topk_ivf") == knownRowsOnly,
-      s"oracle-less queries changed: got $missing, expected $knownRowsOnly (+ sim_topk_ivf pre-training)")
+    // trained-quantizer oracles (IVF centroids, PQ codebooks) only exist
+    // after their queries have run — tolerate their absence in a bare JVM.
+    val trainedOracles = Set("sim_topk_ivf", "sim_pq_codes", "sim_topk_pq")
+    assert((missing -- trainedOracles) == knownRowsOnly,
+      s"oracle-less queries changed: got $missing, expected $knownRowsOnly (+ $trainedOracles pre-training)")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle SQL without a registered query: $orphans")
   }
