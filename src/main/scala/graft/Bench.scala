@@ -236,12 +236,23 @@ object Bench {
     }
     def headline(dp: Int): String = {
       val qs = results.map { case (k, v) => jstr(k) + ":" + jnum(v, dp) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${jnum(total, dp)},"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${errors.size},"n_stalls":${stalls.size},"n_guard_vetoed":${guardVetoed.size},"detail_write_failed":$detailWriteFailed,"reps":$Reps,"sf":"$sfDir"}"""
+      // Empty `errors` and false `detail_write_failed` are omitted — the
+      // line competes for a ~2000-char tail window (see below) and
+      // `n_failed` already carries the empty-errors signal.
+      val err = if (errors.isEmpty) "" else s""""errors":$errs,"""
+      val dwf = if (detailWriteFailed) s""""detail_write_failed":true,""" else ""
+      s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","queries":$qs,$err"n_failed":${errors.size},"n_stalls":${stalls.size},"n_guard_vetoed":${guardVetoed.size},$dwf"reps":$Reps,"sf":"$sfDir"}"""
     }
     spark.stop()
     // Printed LAST (after spark.stop()'s shutdown logging) so the line sits
-    // inside the consumer's tail window; 3-decimal seconds, 2 if still long.
-    val line3 = headline(3)
-    println(if (line3.length <= 1800) line3 else headline(2))
+    // inside the consumer's ~2000-char tail window — and sbt's own
+    // "[success] Total time" epilogue (~60 chars) lands AFTER it, so the
+    // line itself must stay ≤ ~1700 chars or its head falls off the tail
+    // (round 3 lost the whole round to this at 1927 chars). Per-query
+    // precision degrades 3 → 2 → 1 decimals as the registry grows; the
+    // full-precision numbers are always in BENCH_SELF.json.
+    val line = Seq(3, 2, 1).map(headline).find(_.length <= 1700)
+      .getOrElse(headline(1))
+    println(line)
   }
 }
