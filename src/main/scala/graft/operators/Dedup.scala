@@ -428,4 +428,69 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  // ── Duplicated-span detection (substring-level corpus dedup) ─────────────
+
+  /** (doc id, span_hash) rows: each document split into contiguous
+    * `spanTokens`-token chunks (stride = span, full chunks only — a partial
+    * tail chunk would hash differently per doc length and never match),
+    * each chunk keyed by the md5 of its space-joined tokens. The chunk-hash
+    * table IS the scalable stand-in for suffix-array substring dedup (the
+    * ExactSubstr step of published dedup pipelines): at 100 TB it is a
+    * narrow map + explode producing n_tokens/span rows per doc — no
+    * shuffle until the consumer aggregates. */
+  private def docSpans(docs: DataFrame, idCol: String, textCol: String,
+                       spanTokens: Int): DataFrame = {
+    require(spanTokens > 0, "spanTokens must be positive")
+    val toks = TextOps.tokens(col(textCol))
+    docs.select(col(idCol).as("id"), toks.as("tk"))
+      .withColumn("nChunks", (size(col("tk")) / spanTokens).cast("int"))
+      .where(col("nChunks") > 0)
+      .select(col("id"),
+        explode(transform(sequence(lit(0), col("nChunks") - 1),
+          i => md5(concat_ws(" ",
+            slice(col("tk"), i * spanTokens + 1, lit(spanTokens))).cast("binary"))))
+          .as("span_hash"))
+  }
+
+  /** Corpus-level duplicated spans: chunk hashes appearing in ≥ `minDocs`
+    * DISTINCT documents, with occurrence counts — the boilerplate /
+    * repeated-passage detector of a training-data pipeline. One hash
+    * aggregate over the exploded span table (map-side partial on span_hash;
+    * the distinct-doc count rewrites to a two-level aggregate, both levels
+    * partitioned on span_hash — a single shuffle). Output
+    * (span_hash, n_docs, n_occurrences, min_doc_id), min_doc_id for audit. */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     spanTokens: Int = 8, minDocs: Int = 2): DataFrame =
+    docSpans(docs, idCol, textCol, spanTokens)
+      .groupBy(col("span_hash"))
+      .agg(countDistinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("id")).as("min_doc_id"))
+      .where(col("n_docs") >= minDocs)
+
+  /** Per-document duplicated-span rate: the fraction of a doc's spans whose
+    * hash also occurs in ANOTHER document — the doc-level filter signal
+    * ("drop docs that are mostly boilerplate"). Two hash aggregates and one
+    * equi-join, all partitioned on span_hash / id; the span table feeds both
+    * sides so it is localCheckpoint-pinned (same rationale as the LSH
+    * signature table). Emitted as integer basis points. Docs shorter than
+    * one span carry no spans and are reported with span_count = 0. */
+  def docDuplicateSpanRates(docs: DataFrame, idCol: String, textCol: String,
+                            spanTokens: Int = 8): DataFrame = {
+    val spans = docSpans(docs, idCol, textCol, spanTokens)
+      .localCheckpoint(eager = false)
+    // n_docs per hash (tiny relative to the span table after aggregation)
+    val hashDocs = spans.groupBy(col("span_hash"))
+      .agg(countDistinct(col("id")).as("n_docs"))
+    val flagged = spans.join(hashDocs, "span_hash")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("span_count"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("dup_spans"))
+    docs.select(col(idCol).as("id")).join(flagged, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("span_count"), lit(0L)).as("span_count"),
+        coalesce(floor(col("dup_spans") * 10000L / col("span_count"))
+          .cast("long"), lit(0L)).as("dup_span_bp"))
+  }
 }

@@ -183,6 +183,19 @@ object Similarity {
     * neighbor id. Pass `centroids` to reuse a trained quantizer across
     * queries (training per call is wasted work — centroids depend only on
     * the corpus). */
+  /** Distance to every IVF centroid as codegen'd expressions over literal
+    * centroid arrays, ascending (d², cell) structs; cell = element 1's cell,
+    * probes = the first nProbe cells. */
+  private def cellDists(vec: Column, cents: Seq[Seq[Double]]): Column = {
+    val ds = cents.zipWithIndex.map { case (c, i) =>
+      val cArr = array(c.map(lit): _*)
+      val d2 = dot(vec, vec) - lit(2.0) * dot(vec, cArr) +
+        lit(c.map(x => x * x).sum)
+      struct(d2.as("d"), lit(i).as("cell"))
+    }
+    array_sort(array(ds: _*))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int = 5,
               nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
@@ -191,22 +204,11 @@ object Similarity {
       centroids.getOrElse(trainIvfCentroids(corpus, vecCol, nCells, seed))
         .map(_.toSeq).toSeq
 
-    // Distance to every centroid as codegen'd expressions over literal
-    // centroid arrays; cell = argmin, probes = nProbe smallest.
-    def cellDists(vec: Column): Column = {
-      val ds = cents.zipWithIndex.map { case (c, i) =>
-        val cArr = array(c.map(lit): _*)
-        val d2 = dot(vec, vec) - lit(2.0) * dot(vec, cArr) +
-          lit(c.map(x => x * x).sum)
-        struct(d2.as("d"), lit(i).as("cell"))
-      }
-      array_sort(array(ds: _*))
-    }
     val c = prep(corpus, idCol, vecCol)
-      .withColumn("cell", element_at(cellDists(col("vec")), 1).getField("cell"))
+      .withColumn("cell", element_at(cellDists(col("vec"), cents), 1).getField("cell"))
     val q = prep(queries, idCol, vecCol)
       .select(col("id").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"),
-        explode(transform(slice(cellDists(col("vec")), 1, nProbe),
+        explode(transform(slice(cellDists(col("vec"), cents), 1, nProbe),
           s => s.getField("cell"))).as("cell"))
 
     val scored = c.as("c").join(broadcast(q.as("q")),
@@ -336,6 +338,46 @@ object Similarity {
       element_at(element_at(col("lut"), j + 1),
         element_at(col("codes"), j + 1) + lit(1))).reduce(_ + _)
     val scored = c.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("adc_d2", round(adc, 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2").asc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("adc_d2"), col("rank"))
+  }
+
+  /** Classic IVF-PQ: the IVF coarse quantizer restricts candidates to each
+    * query's `nProbe` nearest cells, and PQ asymmetric-distance scoring ranks
+    * those candidates from codes alone. THE billion-scale ANN layout
+    * (IVF-PQ/FAISS lineage): at 100 TB the corpus is stored as
+    * (cell, m small ints) per vector — cell assignment and codes are one
+    * narrow encode pass at ingest — and a query touches nProbe/nCells of the
+    * corpus reading no floats at all. The join key is the cell (equi,
+    * broadcast query side), candidate scoring is m LUT probes, the top-k
+    * window is bounded per query.
+    *
+    * Both trained structures arrive as parameters (they are corpus
+    * properties; see [[trainIvfCentroids]] / [[trainPqCodebooks]]).
+    * Deterministic: rounded ADC d², id tie-break. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String,
+                centroids: Array[Array[Double]],
+                books: Array[Array[Array[Double]]],
+                k: Int = 5, nProbe: Int = 4): DataFrame = {
+    val cents: Seq[Seq[Double]] = centroids.map(_.toSeq).toSeq
+    val m = books.length
+    val c = corpus.select(col(idCol).as("id"),
+      element_at(cellDists(col(vecCol), cents), 1).getField("cell").as("cell"),
+      pqEncode(col(vecCol), books).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+      graft.functions.PqExpressions.pqAdcLutNative(col(vecCol), books).as("lut"),
+      explode(transform(slice(cellDists(col(vecCol), cents), 1, nProbe),
+        s => s.getField("cell"))).as("cell"))
+    val adc = (0 until m).map(j =>
+      element_at(element_at(col("lut"), j + 1),
+        element_at(col("codes"), j + 1) + lit(1))).reduce(_ + _)
+    val scored = c.as("c").join(broadcast(q.as("q")),
+        col("c.cell") === col("q.cell") && col("c.id") =!= col("q.query_id"))
       .withColumn("adc_d2", round(adc, 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_d2").asc, col("id").asc)

@@ -117,6 +117,81 @@ object TextOps {
     }.getField("lang")
   }
 
+  /** Adjacent token 2-grams ("a b") over a token-ARRAY column — empty below
+    * 2 tokens. Two subtleties:
+    *   - Spark's `sequence(1, n-1)` DESCENDS for n < 2 (sequence(1,-1) =
+    *     [1,0,-1]) where DuckDB's range() is empty, so the short-doc case
+    *     must never reach the sequence;
+    *   - `tk` should be a bound ATTRIBUTE, not an expression: every
+    *     `element_at(tk, i)` inside the lambda re-evaluates whatever tree
+    *     `tk` is per element, so passing `tokens(text)` directly turns an
+    *     O(n) bigram build into O(n²) re-tokenizations (measured 54 s for
+    *     the corpus annotation pass at sf0.1 before the staging fix). */
+  def tokenBigramsOf(tk: Column): Column =
+    when(size(tk) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(tk) - 1),
+        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
+
+  /** [[tokenBigramsOf]] applied to freshly-split tokens — single-expression
+    * convenience for unit tests; see the attribute caveat above before using
+    * it in a corpus-scale projection. */
+  def tokenBigrams(text: Column): Column = tokenBigramsOf(tokens(text))
+
+  /** Metric columns of [[repetitionSignals]] over pre-materialized token /
+    * bigram array columns (pass attributes — see [[tokenBigramsOf]]). */
+  def repetitionSignalsFrom(tk: Column, bi: Column): Seq[(String, Column)] = {
+    val n = size(tk).cast("long")
+    val u = size(array_distinct(tk)).cast("long")
+    val n2 = size(bi).cast("long")
+    val u2 = size(array_distinct(bi)).cast("long")
+    val topCnt = array_max(transform(array_distinct(tk),
+      t => size(filter(tk, x => x === t))))
+    Seq(
+      "token_count" -> n,
+      "dup_token_bp" -> when(n === 0, lit(0L))
+        .otherwise(floor((n - u) * 10000L / n).cast("long")),
+      "dup_2gram_bp" -> when(n2 === 0, lit(0L))
+        .otherwise(floor((n2 - u2) * 10000L / n2).cast("long")),
+      "top_token_bp" -> when(n === 0, lit(0L))
+        .otherwise(floor(topCnt.cast("long") * 10000L / n).cast("long")))
+  }
+
+  /** Within-document repetition signals (the Gopher/C4 repetition filters,
+    * re-based on tokens because this corpus has no line structure): fraction
+    * of repeated tokens, fraction of repeated adjacent 2-grams, and the
+    * share of the single most frequent token. All emitted as integer basis
+    * points (floor(frac·10⁴)) — integer division is bit-identical across
+    * engines while a rounded double blend is not (same convention as
+    * [[qualityScore]]).
+    *
+    * Output: (idCol, token_count, dup_token_bp, dup_2gram_bp, top_token_bp).
+    * Staged as THREE projections so tokens and bigrams materialize as array
+    * attributes evaluated once per row (CollapseProject keeps non-cheap
+    * aliases referenced more than once in their own stage); the lambdas then
+    * index attributes in O(1) and the row cost is O(n·distinct) comparisons
+    * — still a narrow no-shuffle map that annotates at scan speed. */
+  def repetitionSignals(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol), tokens(col(textCol)).as("tk"))
+      .select(col(idCol), col("tk"), tokenBigramsOf(col("tk")).as("bi"))
+      .select(col(idCol) +: repetitionSignalsFrom(col("tk"), col("bi"))
+        .map { case (name, c) => c.as(name) }: _*)
+
+  /** Corpus vocabulary with document frequencies — the canonical
+    * wordcount/DF aggregation of a training-data pipeline (vocab builds,
+    * IDF weights, stopword discovery). One explode + one hash aggregate:
+    * map-side partials mean the shuffle carries |vocab| rows per mapper,
+    * not |tokens|; the distinct-doc count rewrites to a two-level aggregate
+    * both partitioned on the token. Output (token, n_occurrences, n_docs).
+    * Consumers bound it with a deterministic top-k
+    * (count desc, token asc) — see `text_vocab_topk`. */
+  def vocabulary(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("id")).as("n_docs"))
+
   /** Content fingerprint: md5 hex of the raw text — exact-dup grouping key
     * that both engines compute identically. */
   def fingerprintMd5(text: Column): Column = md5(text.cast("binary"))

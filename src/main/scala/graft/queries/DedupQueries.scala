@@ -139,7 +139,22 @@ object DedupQueries {
         .localCheckpoint(eager = false)
       Dedup.simHashNearDupPairs(sigs, "doc_id", "sh", maxHamming = 5)
         .orderBy(col("id_a"), col("id_b"))
-    })
+    }),
+
+    // Duplicated spans across the corpus: 8-token chunk hashes occurring in
+    // ≥2 distinct docs — the chunk-hash stand-in for suffix-array substring
+    // dedup (detects copied passages that whole-doc fingerprints miss).
+    "dedup_span_hashes" -> q((s, dir) =>
+      Dedup.duplicateSpans(Sources.documents(s, dir), "doc_id", "text",
+        spanTokens = 8, minDocs = 2)
+        .orderBy(col("span_hash"))),
+
+    // Doc-level boilerplate rate: fraction of each doc's spans shared with
+    // another doc, in basis points — the "mostly duplicated content" filter.
+    "dedup_span_doc_rates" -> q((s, dir) =>
+      Dedup.docDuplicateSpanRates(Sources.documents(s, dir), "doc_id", "text",
+        spanTokens = 8)
+        .orderBy(col("doc_id")))
   )
 
   /** Shingle CTE body mirroring Dedup.shingles(n=3) INCLUDING the short-doc
@@ -170,6 +185,18 @@ object DedupQueries {
   private val jaccardExpr =
     """round(len(list_intersect(a.s, b.s))::double
       |             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)""".stripMargin
+
+  /** DuckDB twin of Dedup.docSpans(spanTokens=8): contiguous full 8-token
+    * chunks, md5 over the space-joined chunk text. */
+  private val spanCte =
+    raw"""WITH t AS (
+      |  SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS tk
+      |  FROM documents),
+      |idx AS (
+      |  SELECT id, tk, unnest(range(0, len(tk) // 8)) AS i FROM t),
+      |spans AS (
+      |  SELECT id, md5(array_to_string(tk[i*8+1 : i*8+8], ' ')) AS span_hash
+      |  FROM idx)""".stripMargin
 
   /** Full MinHash-LSH pipeline in SQL: identical permutation constants
     * (embedded from Dedup.minhashParams(64, 42)), identical md5-48 shingle
@@ -312,6 +339,31 @@ object DedupQueries {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE round(len(list_intersect(a.s, b.s))::double
         |            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.8
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Span CTE shared by both span-dedup oracles: full 8-token chunks only
+    // (DuckDB range() is half-open; list slice is inclusive 1-based).
+    "dedup_span_hashes" ->
+      s"""$spanCte
+        |SELECT span_hash, count(DISTINCT id) AS n_docs,
+        |       count(*) AS n_occurrences, min(id) AS min_doc_id
+        |FROM spans GROUP BY span_hash
+        |HAVING count(DISTINCT id) >= 2
+        |ORDER BY span_hash""".stripMargin,
+
+    "dedup_span_doc_rates" ->
+      s"""$spanCte,
+        |hd AS (
+        |  SELECT span_hash, count(DISTINCT id) AS n_docs
+        |  FROM spans GROUP BY span_hash),
+        |flagged AS (
+        |  SELECT s.id, count(*) AS span_count,
+        |         sum(CASE WHEN hd.n_docs >= 2 THEN 1 ELSE 0 END) AS dup_spans
+        |  FROM spans s JOIN hd USING (span_hash) GROUP BY s.id)
+        |SELECT d.doc_id,
+        |       coalesce(f.span_count, 0)::bigint AS span_count,
+        |       coalesce(f.dup_spans * 10000 // f.span_count, 0)::bigint AS dup_span_bp
+        |FROM documents d LEFT JOIN flagged f ON f.id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

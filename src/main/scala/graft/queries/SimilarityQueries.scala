@@ -125,6 +125,22 @@ object SimilarityQueries {
           floor(col("mean") * 10000 + 0.5).cast("bigint").as("mean_bp"))
         .orderBy(col("label"), col("pos"))),
 
+    // Classic IVF-PQ composition: coarse-quantizer candidate restriction +
+    // ADC ranking from codes — the billion-scale ANN layout end-to-end.
+    // Both trained structures are memoized corpus properties; the generated
+    // oracle embeds both (cells + codebooks) and reproduces the whole
+    // pipeline in SQL.
+    "sim_topk_ivfpq" -> q((s, dir) => {
+      val emb = Sources.embeddings(s, dir)
+      val cents = centroidCache.getOrElseUpdate((dir, 16, 42L),
+        Similarity.trainIvfCentroids(emb, "embedding", nCells = 16, seed = 42L))
+      Similarity.ivfPqTopK(
+        corpus = emb, queries = emb.where(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding",
+        centroids = cents, books = pqBooks(s, dir), k = 5, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Random-hyperplane LSH top-k (seeded planes; scale path — only
     // same-bucket pairs scored). Fully oracle-checked: the same plane
     // constants are embedded in generated DuckDB SQL (see lshOracle).
@@ -183,16 +199,19 @@ object SimilarityQueries {
     * restriction, cosine ranking. None when no quantizer has been trained
     * yet (e.g. oracle dump without a query run) — the driver then records a
     * rows-only check, same as before. */
+  /** Per-vector (d², cell) struct list over embedded centroid literals —
+    * shared by the IVF and IVF-PQ oracles; expects the vector as `v.e`. */
+  private def centDistList(cents: Array[Array[Double]]): String =
+    cents.zipWithIndex.map { case (c, i) =>
+      val lits = c.map(_.toString).mkString("[", ", ", "]")
+      val c2 = c.map(x => x * x).sum
+      s"{'d': list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, $lits) + $c2, 'cell': $i}"
+    }.mkString("[", ",\n           ", "]")
+
   private def ivfOracle: Option[String] = {
     val cached = centroidCache.readOnlySnapshot().toSeq
     if (cached.size != 1) None else Some {
-      val cents = cached.head._2
-      def distList: String =
-        cents.zipWithIndex.map { case (c, i) =>
-          val lits = c.map(_.toString).mkString("[", ", ", "]")
-          val c2 = c.map(x => x * x).sum
-          s"{'d': list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, $lits) + $c2, 'cell': $i}"
-        }.mkString("[", ",\n           ", "]")
+      val distList = centDistList(cached.head._2)
       s"""WITH vecs AS (
         |  SELECT vec_id, embedding,
         |         list_transform(embedding, x -> x::DOUBLE) AS e
@@ -223,38 +242,47 @@ object SimilarityQueries {
     * reconstruction error (Σ min subspace d²), and the full ADC ranking
     * (per-query lookup tables indexed by corpus codes) — the driver
     * hash-compares the entire approximate pipeline, not just row counts. */
+  /** The PQ SQL fragments (codes / recon error / LUTs / ADC probe sum) over
+    * embedded codebook literals; expects the double-cast vector as `e`.
+    * Shared by the PQ and IVF-PQ oracles. */
+  private final case class PqSqlFragments(codesList: String, err2: String,
+                                          luts: String, adcSum: String)
+  private def pqFragments(books: Array[Array[Array[Double]]]): PqSqlFragments = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    def sub(j: Int): String = s"e[${j * dsub + 1}:${(j + 1) * dsub}]"
+    def centLits(j: Int): Seq[(String, Double)] =
+      books(j).toSeq.map(c =>
+        (c.map(_.toString).mkString("[", ", ", "]"), c.map(x => x * x).sum))
+    // shifted per-centroid distance ‖c‖² − 2·s·c, exactly as pqArgmin
+    // computes it (the ‖s‖² shift cannot change the argmin or its code
+    // tie-break); list_sort's struct ordering = Spark's least() ordering
+    def subDistList(j: Int): String =
+      centLits(j).zipWithIndex.map { case ((lits, c2), i) =>
+        s"{'d': $c2 - 2 * list_dot_product(${sub(j)}, $lits), 'code': $i}"
+      }.mkString("[", ",\n           ", "]")
+    val codesList = (0 until m)
+      .map(j => s"list_sort(${subDistList(j)})[1].code")
+      .mkString("[", ",\n         ", "]")
+    // true d² per subspace = ‖s‖² + min shifted, summed left-to-right —
+    // the same FP association as pqReconError2
+    val err2 = (0 until m)
+      .map(j => s"(list_dot_product(${sub(j)}, ${sub(j)}) + list_sort(${subDistList(j)})[1].d)")
+      .mkString(" + ")
+    def lutList(j: Int): String =
+      centLits(j).map { case (lits, c2) =>
+        s"list_dot_product(${sub(j)}, ${sub(j)}) + ($c2 - 2 * list_dot_product(${sub(j)}, $lits))"
+      }.mkString("[", ",\n           ", "]")
+    val luts = (0 until m).map(lutList).mkString("[", ",\n         ", "]")
+    val adcSum = (1 to m).map(j => s"l.lut[$j][c.codes[$j] + 1]").mkString(" + ")
+    PqSqlFragments(codesList, err2, luts, adcSum)
+  }
+
   private def pqOracles: Map[String, String] = {
     val cached = pqCache.readOnlySnapshot().toSeq
     if (cached.size != 1) Map.empty
     else {
-      val books = cached.head._2
-      val m = books.length
-      val dsub = books(0)(0).length
-      def sub(j: Int): String = s"e[${j * dsub + 1}:${(j + 1) * dsub}]"
-      def centLits(j: Int): Seq[(String, Double)] =
-        books(j).toSeq.map(c =>
-          (c.map(_.toString).mkString("[", ", ", "]"), c.map(x => x * x).sum))
-      // shifted per-centroid distance ‖c‖² − 2·s·c, exactly as pqArgmin
-      // computes it (the ‖s‖² shift cannot change the argmin or its code
-      // tie-break); list_sort's struct ordering = Spark's least() ordering
-      def subDistList(j: Int): String =
-        centLits(j).zipWithIndex.map { case ((lits, c2), i) =>
-          s"{'d': $c2 - 2 * list_dot_product(${sub(j)}, $lits), 'code': $i}"
-        }.mkString("[", ",\n           ", "]")
-      val codesList = (0 until m)
-        .map(j => s"list_sort(${subDistList(j)})[1].code")
-        .mkString("[", ",\n         ", "]")
-      // true d² per subspace = ‖s‖² + min shifted, summed left-to-right —
-      // the same FP association as pqReconError2
-      val err2 = (0 until m)
-        .map(j => s"(list_dot_product(${sub(j)}, ${sub(j)}) + list_sort(${subDistList(j)})[1].d)")
-        .mkString(" + ")
-      def lutList(j: Int): String =
-        centLits(j).map { case (lits, c2) =>
-          s"list_dot_product(${sub(j)}, ${sub(j)}) + ($c2 - 2 * list_dot_product(${sub(j)}, $lits))"
-        }.mkString("[", ",\n           ", "]")
-      val luts = (0 until m).map(lutList).mkString("[", ",\n         ", "]")
-      val adcSum = (1 to m).map(j => s"l.lut[$j][c.codes[$j] + 1]").mkString(" + ")
+      val PqSqlFragments(codesList, err2, luts, adcSum) = pqFragments(cached.head._2)
       Map(
         "sim_pq_codes" ->
           s"""WITH vecs AS (
@@ -279,6 +307,41 @@ object SimilarityQueries {
             |           ORDER BY round($adcSum, 6) ASC, c.vec_id ASC) AS rnk
             |  FROM luts l JOIN codes c ON c.vec_id <> l.vec_id)
             |WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin)
+    }
+  }
+
+  /** IVF-PQ oracle: needs BOTH trained structures (same one-dir contract as
+    * [[ivfOracle]]/[[pqOracles]]). Cell assignment and probe list come from
+    * the embedded centroid matrix, candidate scoring from the embedded
+    * codebooks — the full composed pipeline reproduced in SQL. */
+  private def ivfPqOracle: Option[String] = {
+    val cents = centroidCache.readOnlySnapshot().toSeq
+    val books = pqCache.readOnlySnapshot().toSeq
+    if (cents.size != 1 || books.size != 1) None
+    else {
+      val distList = centDistList(cents.head._2)
+      val PqSqlFragments(codesList, _, luts, adcSum) = pqFragments(books.head._2)
+      Some(
+        s"""WITH vecs AS (
+          |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+          |  FROM embeddings),
+          |dists AS (
+          |  SELECT vec_id, e, list_sort($distList) AS ds
+          |  FROM vecs v),
+          |corpus AS (
+          |  SELECT vec_id, $codesList AS codes, ds[1].cell AS cell
+          |  FROM dists),
+          |queries AS (
+          |  SELECT vec_id, $luts AS lut,
+          |         unnest(list_transform(ds[1:4], s -> s.cell)) AS cell
+          |  FROM dists WHERE vec_id < 10)
+          |SELECT query_id, neighbor_id, adc_d2, cast(rnk AS int) AS rank FROM (
+          |  SELECT l.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |         round($adcSum, 6) AS adc_d2,
+          |         row_number() OVER (PARTITION BY l.vec_id
+          |           ORDER BY round($adcSum, 6) ASC, c.vec_id ASC) AS rnk
+          |  FROM queries l JOIN corpus c ON c.cell = l.cell AND c.vec_id <> l.vec_id)
+          |WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin)
     }
   }
 
@@ -327,5 +390,6 @@ object SimilarityQueries {
         |FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
         |WHERE $cosExpr >= 0.4
         |ORDER BY id_a, id_b""".stripMargin
-  ) ++ ivfOracle.map("sim_topk_ivf" -> _) ++ pqOracles
+  ) ++ ivfOracle.map("sim_topk_ivf" -> _) ++ pqOracles ++
+    ivfPqOracle.map("sim_topk_ivfpq" -> _)
 }

@@ -55,7 +55,21 @@ object TextQueries {
         col("doc_id"),
         TextOps.fingerprintMd5(col("text")).as("fp_md5"),
         TextOps.fingerprintRolling(col("text")).as("fp_roll"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Within-doc repetition signals (Gopher/C4 repetition filters on a
+    // line-less corpus): repeated-token / repeated-2gram / top-token shares
+    // in integer basis points.
+    "text_repetition" -> q((s, dir) =>
+      TextOps.repetitionSignals(Sources.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Corpus vocabulary with document frequencies, deterministic top 100
+    // (count desc, token asc) — the canonical wordcount/IDF aggregation.
+    "text_vocab_topk" -> q((s, dir) =>
+      TextOps.vocabulary(Sources.documents(s, dir), "doc_id", "text")
+        .orderBy(col("n_occurrences").desc, col("token").asc)
+        .limit(100))
   )
 
   // DuckDB twins. `len()` is BIGINT in DuckDB vs Spark size() INT → ::int.
@@ -106,6 +120,40 @@ object TextQueries {
       raw"""SELECT doc_id, md5(text) AS fp_md5,
         |  list_reduce(list_transform(string_split(text, ''), c -> ascii(c)::bigint),
         |              (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Repetition signals: same integer-bp floor-division basis as the Spark
+    // side. DuckDB range(1, n) is half-open [1, n) = Spark sequence(1, n-1);
+    // `//` is integer floor-div on BIGINTs.
+    "text_repetition" ->
+      raw"""WITH t AS (
+        |  SELECT doc_id, $toks AS tk FROM documents),
+        |g AS (
+        |  SELECT doc_id, tk,
+        |    CASE WHEN len(tk) < 2 THEN []::varchar[]
+        |         ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+        |    END AS bi
+        |  FROM t)
+        |SELECT doc_id,
+        |  len(tk)::bigint AS token_count,
+        |  CASE WHEN len(tk) = 0 THEN 0
+        |       ELSE (len(tk) - len(list_distinct(tk))) * 10000 // len(tk)
+        |  END::bigint AS dup_token_bp,
+        |  CASE WHEN len(bi) = 0 THEN 0
+        |       ELSE (len(bi) - len(list_distinct(bi))) * 10000 // len(bi)
+        |  END::bigint AS dup_2gram_bp,
+        |  CASE WHEN len(tk) = 0 THEN 0
+        |       ELSE list_max(list_transform(list_distinct(tk),
+        |              t -> len(list_filter(tk, x -> x = t)))) * 10000 // len(tk)
+        |  END::bigint AS top_token_bp
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "text_vocab_topk" ->
+      raw"""SELECT token, count(*) AS n_occurrences,
+        |       count(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, unnest($toks) AS token FROM documents)
+        |GROUP BY token
+        |ORDER BY n_occurrences DESC, token ASC
+        |LIMIT 100""".stripMargin
   )
 }

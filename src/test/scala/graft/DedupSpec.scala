@@ -152,6 +152,38 @@ class DedupSpec extends AnyFunSuite {
     assert(survivors.size < all.size, "some near-dups must be dropped")
   }
 
+  test("duplicateSpans: detects a shared 8-token span, ignores tail fragments") {
+    import spark.implicits._
+    val span = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"$span alpha beta gamma delta eps zeta eta theta"), // span at chunk 0
+      (2L, s"$span iota kappa"),                                // same chunk 0, tail <8 dropped
+      (3L, s"unrelated $span")                                  // span NOT chunk-aligned
+    ).toDF("doc_id", "text")
+    val dups = Dedup.duplicateSpans(docs, "doc_id", "text", spanTokens = 8)
+      .collect()
+    assert(dups.length == 1, "exactly the aligned shared chunk is a duplicate")
+    val r = dups(0)
+    assert(r.getLong(r.fieldIndex("n_docs")) == 2L)       // docs 1 and 2, not 3
+    assert(r.getLong(r.fieldIndex("n_occurrences")) == 2L)
+    assert(r.getLong(r.fieldIndex("min_doc_id")) == 1L)
+  }
+
+  test("docDuplicateSpanRates: basis points per doc, short docs report 0 spans") {
+    import spark.implicits._
+    val span = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"$span a b c d e f g h"), // 2 spans, 1 duplicated → 5000 bp
+      (2L, span),                     // 1 span, duplicated → 10000 bp
+      (3L, "too short")               // 0 spans
+    ).toDF("doc_id", "text")
+    val rates = Dedup.docDuplicateSpanRates(docs, "doc_id", "text", spanTokens = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rates(1L) == (2L, 5000L))
+    assert(rates(2L) == (1L, 10000L))
+    assert(rates(3L) == (0L, 0L))
+  }
+
   test("minHashSignature: deterministic across runs, k-wide") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").limit(10)
       .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))

@@ -25,6 +25,13 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(Dedup.nearDedupSurvivors(emptyDocs, "doc_id", "text").count() == 0)
   }
 
+  test("span dedup / vocabulary / repetition on an empty corpus return empty, not errors") {
+    assert(Dedup.duplicateSpans(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.docDuplicateSpanRates(emptyDocs, "doc_id", "text").count() == 0)
+    assert(graft.operators.TextOps.vocabulary(emptyDocs, "doc_id", "text").count() == 0)
+    assert(graft.operators.TextOps.repetitionSignals(emptyDocs, "doc_id", "text").count() == 0)
+  }
+
   test("connectedComponents on empty pairs terminates with empty output") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(empty, "id_a", "id_b").count() == 0)

@@ -188,6 +188,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"PQ ADC recall@5 too low vs exact L2: $recall")
   }
 
+  test("ivfPqTopK: deterministic; ADC scores agree with pqTopK's on shared pairs; candidates respect probed cells") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 10)
+    val cents = Similarity.trainIvfCentroids(emb, "embedding", nCells = 16)
+    val books = Similarity.trainPqCodebooks(emb, "embedding", m = 16, ksub = 64)
+    def run() = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding",
+      cents, books, k = 5, nProbe = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val ivfpq = run()
+    assert(ivfpq == run(), "composed IVF-PQ must be run-to-run deterministic")
+    assert(ivfpq.nonEmpty && ivfpq.values.forall(_ >= 0.0))
+    // The ADC distance of any (query, neighbor) pair is a pure function of
+    // codes + query LUT — cell restriction must not change it. Compare
+    // against the full-ADC ranking on shared pairs (k relaxed so overlap is
+    // likely).
+    val fullAdc = Similarity.pqTopK(emb, q, "vec_id", "embedding", books, k = 50)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val shared = ivfpq.keySet.intersect(fullAdc.keySet)
+    assert(shared.nonEmpty, "expected overlap between IVF-PQ and full-ADC top lists")
+    shared.foreach { key =>
+      assert(ivfpq(key) == fullAdc(key),
+        s"ADC d² must be identical with and without IVF restriction at $key")
+    }
+    // Cell containment: every returned neighbor lives in one of its query's
+    // nProbe nearest cells (the composed pipeline actually restricts).
+    val ivfOnly = Similarity.ivfTopK(emb, q, "vec_id", "embedding", k = 500,
+      nCells = 16, nProbe = 4, centroids = Some(cents))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivfpq.keySet.subsetOf(ivfOnly),
+      "IVF-PQ candidates must be exactly the IVF-probed cell members")
+  }
+
   test("cosineNearDupPairs: i<j ordering, threshold respected") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4).collect()

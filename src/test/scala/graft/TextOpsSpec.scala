@@ -86,4 +86,62 @@ class TextOpsSpec extends AnyFunSuite {
     // fold semantics: ((0*31+97)%p)*31+98 = 97*31+98 = 3105
     assert(ab == 97L * 31 + 98)
   }
+
+  private val repNames =
+    Seq("token_count", "dup_token_bp", "dup_2gram_bp", "top_token_bp")
+  private def repSignals(text: String): Map[String, Long] = {
+    import SparkTestSession.spark.implicits._
+    TextOps.repetitionSignals(Seq((1L, text)).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect()(0).getValuesMap[Long](repNames).toMap
+  }
+
+  test("repetitionSignals: degenerate inputs (empty, one token, short-of-bigram)") {
+    assert(repSignals("") ==
+      Map("token_count" -> 0L, "dup_token_bp" -> 0L,
+        "dup_2gram_bp" -> 0L, "top_token_bp" -> 0L))
+    // single token: no bigrams (the sequence(1, n-1) descending trap), top = all
+    assert(repSignals("hello") ==
+      Map("token_count" -> 1L, "dup_token_bp" -> 0L,
+        "dup_2gram_bp" -> 0L, "top_token_bp" -> 10000L))
+  }
+
+  test("repetitionSignals: exact basis points on constructed repetition") {
+    // "a a a a": 4 tokens 1 distinct → dup 7500; 3 bigrams 1 distinct → 6666
+    assert(repSignals("a a a a") ==
+      Map("token_count" -> 4L, "dup_token_bp" -> 7500L,
+        "dup_2gram_bp" -> 6666L, "top_token_bp" -> 10000L))
+    // all-distinct prose: zero repetition, top token = 1/5
+    assert(repSignals("v w x y z") ==
+      Map("token_count" -> 5L, "dup_token_bp" -> 0L,
+        "dup_2gram_bp" -> 0L, "top_token_bp" -> 2000L))
+    // "a b a b a": dup_token (5-2)/5=6000; bigrams [a b, b a, a b, b a] →
+    // (4-2)/4=5000; top token a=3/5 → 6000
+    assert(repSignals("a b a b a") ==
+      Map("token_count" -> 5L, "dup_token_bp" -> 6000L,
+        "dup_2gram_bp" -> 5000L, "top_token_bp" -> 6000L))
+  }
+
+  test("repetitionSignals: staged DataFrame form ≡ inline expression form on the corpus") {
+    val docs = SparkTestSession.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val staged = TextOps.repetitionSignals(docs, "doc_id", "text")
+    // inline form: the same metric columns over unstaged expressions — the
+    // executable spec of what the staging must not change
+    val toksC = TextOps.tokens(col("text"))
+    val inline = docs.select(
+      col("doc_id") +: TextOps.repetitionSignalsFrom(
+        toksC, TextOps.tokenBigrams(col("text")))
+        .map { case (n, c) => c.as(n) }: _*)
+    assert(staged.except(inline).isEmpty && inline.except(staged).isEmpty,
+      "staging tokens/bigrams as attributes must not change any metric")
+  }
+
+  test("vocabulary: occurrence vs document frequency; empty docs contribute nothing") {
+    import SparkTestSession.spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "")).toDF("doc_id", "text")
+    val v = TextOps.vocabulary(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(v == Map("a" -> (3L, 2L), "b" -> (1L, 1L), "c" -> (1L, 1L)))
+  }
 }
