@@ -209,6 +209,8 @@ object Bench {
     }
     spark.conf.set("spark.sql.shuffle.partitions", cpus)
 
+    // dp=0 yields bare integers ("2", not "2.0") — the last defense level
+    // for the stdout line length (see below).
     def jnum(v: Double, dp: Int): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
@@ -234,25 +236,72 @@ object Bench {
       detailWriteFailed = true
       System.err.println(s"[bench] BENCH_SELF.json write failed: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
     }
-    def headline(dp: Int): String = {
-      val qs = results.map { case (k, v) => jstr(k) + ":" + jnum(v, dp) }.mkString("{", ",", "}")
-      // Empty `errors` and false `detail_write_failed` are omitted — the
-      // line competes for a ~2000-char tail window (see below) and
+    spark.stop()
+    // Printed LAST (after spark.stop()'s shutdown logging) so the line sits
+    // inside the consumer's ~2000-char tail window — see chooseHeadline.
+    println(chooseHeadline(results.toSeq, errors.toSeq, stalls.size,
+      guardVetoed.size, Reps, sfDir, detailWriteFailed))
+  }
+
+  /** The stdout contract line, degraded to fit the consumer's tail window.
+    * The consumer reads the LAST ~2000 chars of this process's output and
+    * json-parses the result line; sbt's "[success] Total time" epilogue
+    * (~70 chars) lands after it, so the line must stay ≤ ~1930 chars or its
+    * head falls off the tail (round 3 lost the whole round to this at 1927
+    * chars; at 79 queries the 1-decimal form measured 1959 chars — past the
+    * hard limit). Degradation ladder, full precision always in
+    * BENCH_SELF.json:
+    *   1. per-query decimals 3 → 2 → 1 → 0 (dp=0 = bare integers);
+    *   2. if even dp=0 overflows (the per-query map is name-dominated at
+    *      ~22 chars/query, so ~85-90 queries is the wall), the map keeps
+    *      only the SLOWEST k queries (the diagnostically-relevant ones)
+    *      and discloses the cut with "queries_omitted":N — a guaranteed
+    *      bound instead of a silent hope.
+    * BenchJsonSpec pins the line of the CURRENT registry under the hard
+    * limit at pessimistic (3-digit) per-query values. */
+  private[graft] def chooseHeadline(results: Seq[(String, Double)],
+                                    errors: Seq[(String, String)],
+                                    nStalls: Int, nVetoed: Int, reps: Int,
+                                    sfDir: String,
+                                    detailWriteFailed: Boolean): String = {
+    // dp=0 yields bare integers ("2", not "2.0").
+    def jnum(v: Double, dp: Int): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    def headline(dp: Int, keep: Int): String = {
+      // keep < n: slowest queries first (value desc, name asc tie-break) —
+      // the slow ones are what a reader of the headline needs; the cut is
+      // disclosed, never silent.
+      val kept =
+        if (keep >= results.size) results
+        else results.sortBy { case (k, v) => (-v, k) }.take(keep)
+      val omitted =
+        if (keep >= results.size) ""
+        else s""""queries_omitted":${results.size - keep},"""
+      val qs = kept.map { case (k, v) => jstr(k) + ":" + jnum(v, dp) }.mkString("{", ",", "}")
+      // Empty `errors` and false `detail_write_failed` are omitted —
       // `n_failed` already carries the empty-errors signal.
       val err = if (errors.isEmpty) "" else s""""errors":$errs,"""
       val dwf = if (detailWriteFailed) s""""detail_write_failed":true,""" else ""
-      s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","queries":$qs,$err"n_failed":${errors.size},"n_stalls":${stalls.size},"n_guard_vetoed":${guardVetoed.size},$dwf"reps":$Reps,"sf":"$sfDir"}"""
+      // sf as basename: the directory prefix is invariant noise.
+      val sfShort = new java.io.File(sfDir).getName
+      s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","queries":$qs,$omitted$err"n_failed":${errors.size},"n_stalls":$nStalls,"n_guard_vetoed":$nVetoed,$dwf"reps":$reps,"sf":"$sfShort"}"""
     }
-    spark.stop()
-    // Printed LAST (after spark.stop()'s shutdown logging) so the line sits
-    // inside the consumer's ~2000-char tail window — and sbt's own
-    // "[success] Total time" epilogue (~60 chars) lands AFTER it, so the
-    // line itself must stay ≤ ~1700 chars or its head falls off the tail
-    // (round 3 lost the whole round to this at 1927 chars). Per-query
-    // precision degrades 3 → 2 → 1 decimals as the registry grows; the
-    // full-precision numbers are always in BENCH_SELF.json.
-    val line = Seq(3, 2, 1).map(headline).find(_.length <= 1700)
-      .getOrElse(headline(1))
-    println(line)
+    // 1700 is the comfortable target; a FULL per-query map is worth
+    // stretching to 1860 (still ≤ ~70 chars of epilogue away from the
+    // ~1930 hard limit) before any truncation — a complete map at dp=0
+    // beats a truncated one at higher precision.
+    val n = results.size
+    val ladder = Seq(3, 2, 1, 0).map(headline(_, n))
+    ladder.find(_.length <= 1700)
+      .orElse(ladder.lastOption.filter(_.length <= 1860))
+      .getOrElse {
+        // dp=0 truncated ladder: drop 5 queries at a time until it fits;
+        // the floor (keep=0) is a constant-size line, so this always
+        // terminates under the hard limit.
+        Iterator.iterate(n - 5)(_ - 5).map(k => headline(0, math.max(k, 0)))
+          .find(_.length <= 1860).get
+      }
   }
 }

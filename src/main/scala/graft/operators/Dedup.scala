@@ -228,13 +228,19 @@ object Dedup {
   }
 
   /** Connected components over an undirected pair list via min-label
-    * propagation: every vertex starts labeled with itself; each round, every
-    * vertex takes the min label among itself and its neighbors; fixpoint
-    * after O(component diameter) rounds. Near-dup components are tiny
-    * (pairs → clusters of 2-5), so this converges in 2-3 rounds; each round
-    * is one hash-shuffle join + min-aggregate, and checkpointing truncates
-    * the growing lineage so plan size stays constant at scale (the standard
-    * DataFrame-only CC loop — no GraphX, no driver collect).
+    * propagation WITH POINTER JUMPING: every vertex starts labeled with
+    * itself; each round, every vertex takes the min label among itself and
+    * its neighbors (edge propagation), then re-labels to its label's label
+    * (path halving). Plain propagation converges in O(component diameter)
+    * rounds — fine for tight near-dup clusters (2-5 docs), but similarity
+    * graphs grow CHAINS (the sf0.1 cosine graph measured a 75-vertex
+    * component of BFS depth 16 → 17 propagation rounds); the jump step
+    * halves label-chain length every round, so convergence is
+    * O(log diameter) and a 10× deeper component costs ~3 more rounds, not
+    * 10× more. Each round is two hash-shuffle joins + a min-aggregate, and
+    * checkpointing truncates the growing lineage so plan size stays
+    * constant at scale (the standard DataFrame-only CC loop — no GraphX,
+    * no driver collect).
     *
     * Convergence is detected from the PER-ROUND LABEL SUM: labels only ever
     * decrease, over a fixed vertex set, so the sum is strictly decreasing
@@ -280,10 +286,27 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
-      val next = ckpt(labels.join(edges, col("id") === col("src"))
+      // checkpointed: both sides of the jump self-join read it, and an
+      // unpinned plan would run the propagate join+aggregate twice
+      val prop = ckpt(labels.join(edges, col("id") === col("src"))
         .select(col("dst").as("id"), col("comp"))
         .union(labels.select(col("id"), col("comp")))
         .groupBy("id").agg(min("comp").as("comp")))
+      // Pointer jump (path halving): comp := comp's comp. Labels are always
+      // existing vertex ids (initial = self, min only moves to other
+      // vertices), so the self-join is total; a label's own label is ≤ the
+      // label (monotone decrease), hence the jump only shortens chains.
+      // The right side is re-created with FRESH attribute ids
+      // (createDataFrame over the checkpointed RDD — no recompute): a
+      // direct self-join of the checkpointed plan shares exprIds across
+      // both sides and trips Union constraint rewriting downstream
+      // ("key not found" in AttributeMap) in Spark 4.1.
+      val r = {
+        val d = prop.select(col("id").as("cid"), col("comp").as("ccomp"))
+        d.sparkSession.createDataFrame(d.rdd, d.schema)
+      }
+      val next = ckpt(prop.join(r, col("comp") === col("cid"))
+        .select(col("id"), col("ccomp").as("comp")))
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum

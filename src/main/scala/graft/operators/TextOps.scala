@@ -192,6 +192,59 @@ object TextOps {
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("id")).as("n_docs"))
 
+  /** Classic tf·idf over precomputed counts — the library scoring form.
+    * NOT used in the oracle-compared query: `ln` is not correctly-rounded
+    * and differs in the last ulp between libm implementations (measured
+    * 4/5500 N/df ratios JVM vs DuckDB), so a cross-engine hash compare of
+    * any log-based score is representation-dependent by construction. */
+  def tfIdf(tf: Column, df: Column, nDocs: Column): Column =
+    tf.cast("double") * log(nDocs.cast("double") / df.cast("double"))
+
+  /** Per-document top-k characteristic terms, ranked by the exact-rational
+    * idf surrogate floor(tf·10⁴·N/df) (integer basis points — bit-identical
+    * in every engine; monotone in true idf for fixed tf, see [[tfIdf]] for
+    * why ln itself cannot be oracle-compared). The distributed shape of any
+    * TF-IDF pass at corpus scale:
+    *   - one explode + hash aggregate for per-doc term counts (tf),
+    *   - one hash aggregate for document frequencies (df) — |vocab| rows,
+    *     map-side combined,
+    *   - N as a 1-row broadcast cross join (stays a lazy plan — no driver
+    *     action),
+    *   - tf ⋈ df on the token (df side is vocab-sized — AQE broadcasts it
+    *     at any realistic vocab/corpus ratio),
+    *   - bounded per-doc top-k window.
+    * Output (idCol, token, tf, df, score_bp, rank), ties broken by token. */
+  def topTermsPerDoc(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, k: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("token"))
+    val tf = terms.groupBy(col("id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfq = terms.groupBy(col("token"))
+      .agg(countDistinct(col("id")).as("df"))
+    // N attaches as an UNCORRELATED SCALAR SUBQUERY (Dataset.scalar, Spark
+    // 4): executed once, its result inlined into the projection — no join
+    // node. A crossJoin of even a broadcast 1-row side plans as
+    // BroadcastNestedLoopJoin (the registry-wide no-all-pairs invariant
+    // rightly rejects it), and a literal-key equi join folds back to the
+    // same BNLJ when Catalyst simplifies the constant equality.
+    val nDocs = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    // `div`, not `/`: long `/` long is DOUBLE division in Spark, and
+    // floor-of-double near an integer boundary is not the integer floor-div
+    // the oracle's `//` computes. All values positive → div ≡ floor.
+    val scored = tf.join(dfq, "token")
+      .withColumn("n_docs", nDocs.scalar())
+      .withColumn("score_bp",
+        expr("(tf * 10000 * n_docs) div df").cast("long"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score_bp").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("id").as(idCol), col("token"), col("tf"), col("df"),
+        col("score_bp"), col("rank"))
+  }
+
   /** Content fingerprint: md5 hex of the raw text — exact-dup grouping key
     * that both engines compute identically. */
   def fingerprintMd5(text: Column): Column = md5(text.cast("binary"))

@@ -32,6 +32,18 @@ object SimilarityQueries {
   /** PQ codebook memo: same corpus-property rationale as [[centroidCache]]. */
   private val pqCache =
     scala.collection.concurrent.TrieMap[(String, Int, Int, Long), Array[Array[Array[Double]]]]()
+
+  /** Cosine pair-list memo (session-keyed, like DedupQueries.pairsCache):
+    * the exact block-matrix join feeds two registered queries — pin its
+    * (tiny, ~pairs-sized) output once instead of re-running the quadratic
+    * oracle-parity join per consumer. */
+  private val cosinePairsCache =
+    scala.collection.concurrent.TrieMap[(Int, String), org.apache.spark.sql.DataFrame]()
+  private def cosinePairs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    cosinePairsCache.getOrElseUpdate((System.identityHashCode(s), dir),
+      Similarity.cosineNearDupPairs(
+        Sources.embeddings(s, dir), "vec_id", "embedding", CosineThreshold)
+        .localCheckpoint())
   private def pqBooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
     pqCache.getOrElseUpdate((dir, 16, 64, 42L),
       Similarity.trainPqCodebooks(Sources.embeddings(s, dir), "embedding",
@@ -49,11 +61,23 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // Embedding near-duplicate pairs: all (i < j) with cosine ≥ θ.
+    // Embedding near-duplicate pairs: all (i < j) with cosine ≥ θ. The
+    // pair list feeds both the pairs query and the survivors query —
+    // computed once per (session, sf dir) and pinned, same rationale as
+    // DedupQueries.jaccardPairs.
     "sim_neardup_pairs" -> q((s, dir) =>
-      Similarity.cosineNearDupPairs(
-        Sources.embeddings(s, dir), "vec_id", "embedding", CosineThreshold)
+      cosinePairs(s, dir)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // Embedding dedup END-TO-END: cosine pairs → connected components →
+    // min-id survivor per component + all unpaired vectors — the same
+    // cluster/survivor machinery as the text path (Dedup
+    // .nearDedupSurvivorsFromPairs is pair-source-agnostic), driven by the
+    // embedding-space similarity join instead of shingle jaccard.
+    "sim_neardup_survivors" -> q((s, dir) =>
+      graft.operators.Dedup.nearDedupSurvivorsFromPairs(
+        Sources.embeddings(s, dir), "vec_id", cosinePairs(s, dir))
+        .orderBy(col("vec_id"))),
 
     // IVF-flat top-k (k-means coarse quantizer, nProbe cells per query) —
     // the billion-scale ANN layout. Seeded but not SQL-reproducible →
@@ -389,7 +413,28 @@ object SimilarityQueries {
       s"""SELECT q.vec_id AS id_a, c.vec_id AS id_b, $cosExpr AS cosine
         |FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
         |WHERE $cosExpr >= 0.4
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Recursive transitive closure over the ≥θ cosine pairs — the embedding
+    // twin of DedupQueries' component oracle; survivors = everything except
+    // non-min component members.
+    "sim_neardup_survivors" ->
+      s"""WITH RECURSIVE pairs AS (
+        |  SELECT q.vec_id AS id_a, c.vec_id AS id_b
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
+        |  WHERE $cosExpr >= 0.4),
+        |edges AS (
+        |  SELECT id_a AS s, id_b AS t FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(s, t) AS (
+        |  SELECT s, t FROM edges
+        |  UNION
+        |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+        |comp AS (
+        |  SELECT s AS id, least(s, min(t)) AS c FROM reach GROUP BY s)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT id FROM comp WHERE c <> id)
+        |ORDER BY vec_id""".stripMargin
   ) ++ ivfOracle.map("sim_topk_ivf" -> _) ++ pqOracles ++
     ivfPqOracle.map("sim_topk_ivfpq" -> _)
 }

@@ -69,7 +69,14 @@ object TextQueries {
     "text_vocab_topk" -> q((s, dir) =>
       TextOps.vocabulary(Sources.documents(s, dir), "doc_id", "text")
         .orderBy(col("n_occurrences").desc, col("token").asc)
-        .limit(100))
+        .limit(100)),
+
+    // Per-doc top-3 characteristic terms by the exact-rational tf·(N/df)
+    // score in basis points (ln is last-ulp engine-dependent — see
+    // TextOps.tfIdf scaladoc).
+    "text_tfidf_topterms" -> q((s, dir) =>
+      TextOps.topTermsPerDoc(Sources.documents(s, dir), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rank")))
   )
 
   // DuckDB twins. `len()` is BIGINT in DuckDB vs Spark size() INT → ::int.
@@ -154,6 +161,24 @@ object TextQueries {
         |FROM (SELECT doc_id, unnest($toks) AS token FROM documents)
         |GROUP BY token
         |ORDER BY n_occurrences DESC, token ASC
-        |LIMIT 100""".stripMargin
+        |LIMIT 100""".stripMargin,
+
+    "text_tfidf_topterms" ->
+      raw"""WITH terms AS (
+        |  SELECT doc_id, unnest($toks) AS token FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM terms GROUP BY doc_id, token),
+        |df AS (
+        |  SELECT token, count(DISTINCT doc_id) AS df FROM terms GROUP BY token),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |         (tf.tf * 10000 * n.n_docs) // df.df AS score_bp
+        |  FROM tf JOIN df USING (token) CROSS JOIN n)
+        |SELECT doc_id, token, tf, df, score_bp, cast(rnk AS int) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY score_bp DESC, token ASC) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 3 ORDER BY doc_id, rank""".stripMargin
   )
 }

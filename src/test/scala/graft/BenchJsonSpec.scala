@@ -45,6 +45,32 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(n >= 1 && n <= 4096)
   }
 
+  test("headline for the CURRENT registry parses and fits the consumer's tail window") {
+    // Worst-ish realistic values: every query at a 3-digit-integer second
+    // count. The consumer tails ~2000 chars and sbt's epilogue (~70 chars)
+    // follows the line, so the chosen line must stay ≤ 1930 — at 79 queries
+    // the pre-degradation 1-decimal form measured 1959 and would have cost
+    // the round its bench.
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 123.456789)
+    val line = Bench.chooseHeadline(results, Seq.empty, 0, 0, 3,
+      "/root/testdata/sf0.1", detailWriteFailed = false)
+    assert(line.length <= 1930,
+      s"headline ${line.length} chars exceeds the ~1930 tail-window budget")
+    val node = mapper.readTree(line)
+    // either the full map fits, or the cut is explicitly disclosed
+    val omitted = Option(node.get("queries_omitted")).map(_.asInt()).getOrElse(0)
+    assert(node.get("queries").size() + omitted === SparkEntry.queries.size)
+    assert(node.get("n_guard_vetoed") != null)
+    assert(node.get("sf").asText() === "sf0.1")
+    // realistic values (sub-10s queries) must keep the FULL per-query map
+    val realistic = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 1.234567)
+    val rline = Bench.chooseHeadline(realistic, Seq.empty, 0, 0, 3,
+      "/root/testdata/sf0.1", detailWriteFailed = false)
+    assert(rline.length <= 1930)
+    assert(mapper.readTree(rline).get("queries").size() === SparkEntry.queries.size,
+      "realistic-magnitude run must not truncate the per-query map")
+  }
+
   test("committed BENCH_SELF.json, when present, is valid JSON end-to-end") {
     val f = new java.io.File("BENCH_SELF.json")
     assume(f.isFile)

@@ -123,6 +123,22 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents: deep chain converges to one min label (pointer jumping)") {
+    // a 33-vertex path, worst case for plain propagation (diameter 32);
+    // with path halving this must converge in O(log) rounds — correctness
+    // here, the round count is the documented complexity claim
+    val chain = (0L until 32L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(chain, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(comps.length == 33)
+    assert(comps.forall(_._2 == 0L), "every chain vertex must label to the min id 0")
+    // reversed ids: min sits at the far end of the chain
+    val rev = (0L until 32L).map(i => (100L - i, 100L - i - 1)).toDF("id_a", "id_b")
+    val comps2 = Dedup.connectedComponents(rev, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(comps2.forall(_._2 == 68L))
+  }
+
   test("connectedComponents: reliable-checkpoint path ≡ localCheckpoint path") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L), (20L, 21L))
       .toDF("id_a", "id_b")

@@ -30,6 +30,7 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(Dedup.docDuplicateSpanRates(emptyDocs, "doc_id", "text").count() == 0)
     assert(graft.operators.TextOps.vocabulary(emptyDocs, "doc_id", "text").count() == 0)
     assert(graft.operators.TextOps.repetitionSignals(emptyDocs, "doc_id", "text").count() == 0)
+    assert(graft.operators.TextOps.topTermsPerDoc(emptyDocs, "doc_id", "text").count() == 0)
   }
 
   test("connectedComponents on empty pairs terminates with empty output") {

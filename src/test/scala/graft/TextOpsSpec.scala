@@ -137,6 +137,31 @@ class TextOpsSpec extends AnyFunSuite {
       "staging tokens/bigrams as attributes must not change any metric")
   }
 
+  test("topTermsPerDoc: rational-idf ranking, rare terms beat common ones, token tie-break") {
+    import SparkTestSession.spark.implicits._
+    // 3 docs; "x" appears only in doc 1 (df=1), "a" in all (df=3)
+    val docs = Seq(
+      (1L, "a a x"), (2L, "a b b"), (3L, "a b c")).toDF("doc_id", "text")
+    val top = TextOps.topTermsPerDoc(docs, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(5)) -> (r.getString(1), r.getLong(4)))
+      .toMap
+    // doc 1: x → tf=1·10⁴·3/1 = 30000 beats a → tf=2·10⁴·3/3 = 20000
+    assert(top((1L, 1)) == ("x", 30000L))
+    assert(top((1L, 2)) == ("a", 20000L))
+    // doc 2: b → 2·10⁴·3/2 = 30000 beats a → 10000
+    assert(top((2L, 1)) == ("b", 30000L))
+    // doc 3: c (df=1) → 30000; b (df=2) → 15000; tie-free here but rank
+    // ordering must be deterministic
+    assert(top((3L, 1)) == ("c", 30000L))
+    assert(top((3L, 2)) == ("b", 15000L))
+    // the true-log scoring form agrees on relative order for fixed tf
+    val s = Seq((1L, 1L, 3L), (1L, 3L, 3L)).toDF("tf", "df", "n")
+      .select(TextOps.tfIdf(col("tf"), col("df"), col("n")).as("v"))
+      .collect().map(_.getDouble(0))
+    assert(s(0) > s(1), "lower df must score higher at equal tf")
+  }
+
   test("vocabulary: occurrence vs document frequency; empty docs contribute nothing") {
     import SparkTestSession.spark.implicits._
     val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "")).toDF("doc_id", "text")
