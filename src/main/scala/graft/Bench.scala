@@ -27,7 +27,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     reps as "stalled". JVM GC time likewise does not qualify (GC churn
   *     is the query's own allocation behavior). A bimodal set WITHOUT steal
   *     evidence keeps its median (the slowness is charged to the query) and
-  *     is listed in `guard_vetoed` / counted in `n_guard_vetoed`. When
+  *     is listed in `guard_vetoed` / counted in `n_guard_vetoed` (the
+  *     headline omits zero-valued counters — omitted ≡ 0, presence means
+  *     nonzero; BENCH_SELF.json always carries every field). When
   *     /proc/stat is unreadable (non-Linux host) no evidence exists, so the
   *     guard can never fire; that state is disclosed as
   *     `host_counters_available:false` rather than silently zeroed.
@@ -280,13 +282,18 @@ object Bench {
         if (keep >= results.size) ""
         else s""""queries_omitted":${results.size - keep},"""
       val qs = kept.map { case (k, v) => jstr(k) + ":" + jnum(v, dp) }.mkString("{", ",", "}")
-      // Empty `errors` and false `detail_write_failed` are omitted —
-      // `n_failed` already carries the empty-errors signal.
-      val err = if (errors.isEmpty) "" else s""""errors":$errs,"""
+      // ZERO-valued disclosure counters are omitted (omitted ≡ 0; presence
+      // means nonzero), as are empty `errors` and false
+      // `detail_write_failed` — at 84 queries the three ":0" counters alone
+      // (32 chars) are the difference between a full dp=0 per-query map and
+      // a truncated one. BENCH_SELF.json always carries every field.
+      val err = if (errors.isEmpty) "" else s""""errors":$errs,"n_failed":${errors.size},"""
+      val stl = if (nStalls == 0) "" else s""""n_stalls":$nStalls,"""
+      val vet = if (nVetoed == 0) "" else s""""n_guard_vetoed":$nVetoed,"""
       val dwf = if (detailWriteFailed) s""""detail_write_failed":true,""" else ""
       // sf as basename: the directory prefix is invariant noise.
       val sfShort = new java.io.File(sfDir).getName
-      s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","queries":$qs,$omitted$err"n_failed":${errors.size},"n_stalls":$nStalls,"n_guard_vetoed":$nVetoed,$dwf"reps":$reps,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","queries":$qs,$omitted$err$stl$vet$dwf"reps":$reps,"sf":"$sfShort"}"""
     }
     // 1700 is the comfortable target; a FULL per-query map is worth
     // stretching to 1860 (still ≤ ~70 chars of epilogue away from the

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DedupQueries, EventQueries, FunctionQueries, RefParityQueries, SimilarityQueries, TextQueries}
+import graft.queries.{CurationQueries, DedupQueries, EventQueries, FunctionQueries, RefParityQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RefParityQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries ++ EventQueries.queries ++ FunctionQueries.queries
+      SimilarityQueries.queries ++ EventQueries.queries ++
+      FunctionQueries.queries ++ CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys (non-SQL-expressible ops — seeded
@@ -29,5 +30,6 @@ object SparkEntry {
     * weaker rows-only check and a scalatest spec instead. */
   def oracleSql: Map[String, String] =
     RefParityQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
-      SimilarityQueries.oracles ++ EventQueries.oracles ++ FunctionQueries.oracles
+      SimilarityQueries.oracles ++ EventQueries.oracles ++
+      FunctionQueries.oracles ++ CurationQueries.oracles
 }

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a pretraining-data pipeline runs after the
+  * per-document signals ([[TextOps]]) and dedup ([[Dedup]]) passes:
+  * benchmark decontamination, quantile-threshold quality gating, and
+  * sequence packing for context-window training layouts.
+  *
+  * Scale shape, per operator:
+  *   - [[contaminationReport]]: the benchmark n-gram set is tiny relative to
+  *     the corpus (eval suites are MBs against 100 TB), so the membership
+  *     join broadcasts the benchmark side — AQE sees the runtime exchange
+  *     size and picks that automatically; the per-doc hit count is one
+  *     bounded aggregation shuffle.
+  *   - [[qualityGate]]: the threshold is ONE scalar row joined by broadcast
+  *     — the corpus is touched by a narrow scan + filter only. The exact
+  *     interpolated percentile aggregates every value into one buffer; at
+  *     true corpus scale swap `percentile` for `approx_percentile` (same
+  *     plan shape, sketch-bounded memory) — CurationSpec pins the two within
+  *     tolerance of each other so the swap is a config, not a semantics
+  *     change.
+  *   - [[packSequences]]: windows run per pack-group, and groups come from a
+  *     content hash — set `nGroups` ≈ cluster parallelism × O(100) at scale
+  *     and each window partition stays bounded (corpus_size / nGroups);
+  *     there is no global sort or single-partition window anywhere.
+  */
+object Curation {
+
+  /** Benchmark-contamination report (train/eval overlap detection): for
+    * every non-benchmark document, how many of its distinct word `n`-grams
+    * appear in ANY benchmark document (`benchPred` selects the benchmark
+    * rows), as a count and an integer-basis-point rate.
+    *
+    * This is the standard decontamination primitive: n-gram overlap against
+    * a held-out eval set, computed as one equi-join on the gram — never a
+    * doc×doc comparison. Output columns: doc_id, n_grams, n_contaminated,
+    * contamination_bp.
+    */
+  def contaminationReport(docs: DataFrame, idCol: String, textCol: String,
+                          benchPred: Column, n: Int = 5): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"), benchPred.as("is_bench"),
+      Dedup.shingles(col(textCol), n).as("grams"))
+    val bench = sh.where(col("is_bench"))
+      .select(explode(col("grams")).as("gram")).distinct()
+    val corpus = sh.where(!col("is_bench"))
+    // grams are distinct per doc and bench grams are distinct, so the inner
+    // join yields each (doc, gram) at most once — count(*) IS the overlap.
+    val hits = corpus.select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(bench, "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    corpus.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        when(col("n_grams") === 0L, lit(0L)).otherwise(
+          floor(coalesce(col("n_contaminated"), lit(0L)) * 10000L /
+            col("n_grams")).cast("long")).as("contamination_bp"))
+  }
+
+  /** Quantile-threshold quality gate: keep documents whose integer quality
+    * score ([[TextOps.qualityBp]]) is at or above the corpus `q`-quantile
+    * (exact linear interpolation — Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, computed over exact integers so the threshold double
+    * is bit-identical across engines). Output: doc_id, quality_bp.
+    *
+    * The threshold is a 1-row aggregate broadcast against the scored scan —
+    * the bounded-by-construction broadcast nested loop (one row), not a
+    * corpus×corpus product.
+    */
+  def qualityGate(docs: DataFrame, idCol: String, textCol: String,
+                  q: Double = 0.25): DataFrame = {
+    val scored = docs.select(col(idCol).as("doc_id"),
+      TextOps.qualityBp(col(textCol)).as("quality_bp"))
+    val thr = scored.agg(percentile(col("quality_bp"), lit(q)).as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .where(col("quality_bp").cast("double") >= col("thr"))
+      .select(col("doc_id"), col("quality_bp"))
+  }
+
+  /** Concat-and-chunk sequence packing: the pretraining layout that
+    * concatenates documents within a pack group and slices the token stream
+    * into fixed `chunkTokens` context windows. Emits, per document, its
+    * group, token count, start offset in the group's stream, and the first /
+    * last chunk ids it lands in (a doc may straddle a chunk boundary — that
+    * is the semantics of concat-and-chunk packing).
+    *
+    * Groups come from a content hash ([[Dedup.md5Hash48]] mod `nGroups`), so
+    * the layout is deterministic under any partitioning, cluster size, or
+    * engine — the same reproducibility argument as [[Sampling]]. Within a
+    * group the stream order is doc_id (stable, total).
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    nGroups: Int = 8, chunkTokens: Int = 256): DataFrame = {
+    require(nGroups > 0 && chunkTokens > 0, "need positive groups and chunk size")
+    val base = docs.select(
+      pmod(Dedup.md5Hash48(col(textCol)), lit(nGroups.toLong)).as("pack_group"),
+      col(idCol).as("doc_id"),
+      TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("pack_group")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .select(col("pack_group"), col("doc_id"), col("n_tokens"),
+        (sum(col("n_tokens")).over(w) - col("n_tokens")).as("start_tok"))
+      .select(col("pack_group"), col("doc_id"), col("n_tokens"), col("start_tok"),
+        floor(col("start_tok") / chunkTokens).cast("long").as("chunk_first"),
+        floor((col("start_tok") + greatest(col("n_tokens"), lit(1L)) - 1L) /
+          chunkTokens).cast("long").as("chunk_last"))
+  }
+}

@@ -76,7 +76,16 @@ object TextOps {
     * double is engine-dependent at exact .xxxx5 boundaries (Spark rounds the
     * binary double exactly via BigDecimal; DuckDB multiplies by 1e4 first),
     * while floor-div on exact integers is bit-identical everywhere. */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    qualityBp(text).cast("double") / 100000.0
+
+  /** [[qualityScore]] numerator as an exact integer (0..100000): weighted
+    * blend of the three component bp scores before the single final
+    * division. Exposed for threshold operators ([[Curation.qualityGate]])
+    * that must compare and quantile exact integers — a blended double
+    * threshold would re-introduce the engine-dependent rounding the bp
+    * convention exists to avoid. */
+  def qualityBp(text: Column): Column = {
     val toks = tokens(text)
     val hits = countInSet(toks, englishStopwords).cast("long")
     val len = length(text).cast("long")
@@ -86,8 +95,8 @@ object TextOps {
       .otherwise(least(floor(hits * 50000L / size(toks)).cast("long"), lit(10000L)))
     val punctBp = greatest(
       lit(10000L) - floor(punctChars * 100000L / len).cast("long"), lit(0L))
-    when(len === 0, lit(0.0))
-      .otherwise((lenBp * 4L + swBp * 3L + punctBp * 3L).cast("double") / 100000.0)
+    when(len === 0, lit(0L))
+      .otherwise(lenBp * 4L + swBp * 3L + punctBp * 3L)
   }
 
   /** Per-language discriminator token profiles for heuristic language ID.

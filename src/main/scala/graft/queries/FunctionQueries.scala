@@ -180,6 +180,31 @@ object FunctionQueries {
             col("exact_parts") <= 0.05).cast("int").as("within_5pct"))
         .orderBy(col("l_returnflag"))),
 
+    // Mergeable HLL sketches (Apache DataSketches via Spark's hll_* family):
+    // per-source partial sketches → hll_union_agg — the 100 TB distributed-
+    // cardinality pattern, where per-partition/per-shard sketches merge
+    // register-wise instead of re-scanning raw values. The compared output
+    // pins BOTH estimates (merged and direct) within 5% of the exact count,
+    // so the sketch accuracy claim sits inside the hash compare (same
+    // convention as agg_approx_distinct); the estimates themselves are
+    // deterministic but binary-sketch-derived, not SQL-reproducible.
+    "agg_hll_union" -> q((s, dir) => {
+      val docs = Sources.documents(s, dir)
+      val unioned = docs
+        .groupBy(col("source")).agg(hll_sketch_agg(col("text")).as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_union"))
+      val direct = docs.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("text"))).as("est_direct"),
+        countDistinct(col("text")).as("exact_texts"))
+      // 1-row × 1-row join of the two aggregates — bounded by construction.
+      unioned.crossJoin(direct).select(
+        col("exact_texts"),
+        (abs(col("est_union") - col("exact_texts")).cast("double") /
+          col("exact_texts") <= 0.05).cast("int").as("union_within_5pct"),
+        (abs(col("est_direct") - col("exact_texts")).cast("double") /
+          col("exact_texts") <= 0.05).cast("int").as("direct_within_5pct"))
+    }),
+
     // Higher-order array functions (transform/filter/aggregate/exists) —
     // DuckDB mirrors with list lambdas; results stringified/int-cast for
     // representation-stable compare.
@@ -303,6 +328,12 @@ object FunctionQueries {
         |       count(DISTINCT l_partkey) AS exact_parts,
         |       1 AS within_5pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_hll_union" ->
+      """SELECT count(DISTINCT text) AS exact_texts,
+        |       1 AS union_within_5pct,
+        |       1 AS direct_within_5pct
+        |FROM documents""".stripMargin,
 
     "fn_strings" ->
       """SELECT p_partkey, upper(p_name) AS up,

@@ -33,8 +33,11 @@ class AllQueriesSpec extends AnyFunSuite {
     // definition) QUERY set against one corpus scan with a non-equi
     // self-exclusion — a bounded broadcast nested loop, not a corpus×corpus
     // blowup (sim_topk_pq reads only the m code ints per corpus row).
-    // Everything else must stay equi.
-    val allowed = Set("sim_topk_bruteforce", "sim_topk_pq")
+    // text_quality_gate and agg_hll_union cross-join ONE-row aggregate
+    // scalars (a quantile threshold / a sketch estimate) — the broadcast
+    // side is a single row by construction. Everything else must stay equi.
+    val allowed = Set("sim_topk_bruteforce", "sim_topk_pq",
+      "text_quality_gate", "agg_hll_union")
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       if (allowed(name)) None
       else {

@@ -60,8 +60,14 @@ class BenchJsonSpec extends AnyFunSuite {
     // either the full map fits, or the cut is explicitly disclosed
     val omitted = Option(node.get("queries_omitted")).map(_.asInt()).getOrElse(0)
     assert(node.get("queries").size() + omitted === SparkEntry.queries.size)
-    assert(node.get("n_guard_vetoed") != null)
+    // zero-valued counters are omitted (omitted ≡ 0, presence means nonzero)
+    assert(node.get("n_guard_vetoed") == null && node.get("n_stalls") == null)
     assert(node.get("sf").asText() === "sf0.1")
+    // nonzero counters must appear
+    val busy = mapper.readTree(Bench.chooseHeadline(results, Seq.empty, 2, 1, 3,
+      "/root/testdata/sf0.1", detailWriteFailed = false))
+    assert(busy.get("n_stalls").asInt() === 2)
+    assert(busy.get("n_guard_vetoed").asInt() === 1)
     // realistic values (sub-10s queries) must keep the FULL per-query map
     val realistic = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 1.234567)
     val rline = Bench.chooseHeadline(realistic, Seq.empty, 0, 0, 3,

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, TextOps}
+
+/** Curation-operator guarantees: decontamination counts exactly the
+  * benchmark-overlapping grams, the quality gate's exact quantile threshold
+  * agrees with an in-memory reference (and the at-scale approx swap stays
+  * within tolerance), and sequence packing is a deterministic contiguous
+  * layout independent of input partitioning. */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+
+  test("contaminationReport: exact-copy doc is fully contaminated, disjoint doc not at all") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta"), // benchmark
+      (1L, "alpha beta gamma delta epsilon zeta eta"), // exact copy → bp 10000
+      (2L, "one two three four five six seven eight"), // disjoint → bp 0
+      (3L, "alpha beta gamma delta epsilon other words here") // partial
+    ).toDF("doc_id", "text")
+    val r = Curation.contaminationReport(d, "doc_id", "text",
+        benchPred = col("doc_id") === 0L, n = 5)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(!r.contains(0L), "benchmark rows must not appear in the report")
+    assert(r(1L)._2 == r(1L)._1 && r(1L)._3 == 10000L, "exact copy fully contaminated")
+    assert(r(2L)._2 == 0L && r(2L)._3 == 0L, "disjoint doc uncontaminated")
+    // doc 3: 4 grams total ("alpha beta gamma delta epsilon" is its only
+    // benchmark-shared 5-gram) → 1/4 = 2500 bp
+    assert(r(3L) == ((4L, 1L, 2500L)), s"partial overlap miscounted: ${r(3L)}")
+  }
+
+  test("qualityGate: threshold equals the in-memory exact quantile; approx swap is close") {
+    val bps = docs.select(TextOps.qualityBp(col("text")).cast("double"))
+      .collect().map(_.getDouble(0)).sorted
+    val pos = 0.25 * (bps.length - 1)
+    val (lo, hi) = (bps(pos.toInt), bps(math.min(pos.toInt + 1, bps.length - 1)))
+    val thr = lo + (hi - lo) * (pos - pos.toInt)
+    val expected = docs.select(col("doc_id"), TextOps.qualityBp(col("text")).as("bp"))
+      .where(col("bp").cast("double") >= thr).count()
+    val got = Curation.qualityGate(docs, "doc_id", "text", q = 0.25).count()
+    assert(got == expected, s"gate kept $got docs, reference says $expected")
+    assert(got > 0 && got < docs.count(), "gate must drop the bottom quartile only")
+    // the documented 100 TB swap: approx_percentile threshold within 10% of
+    // exact on this distribution (same plan shape, sketch-bounded memory)
+    val approx = docs.select(TextOps.qualityBp(col("text")).as("bp"))
+      .agg(approx_percentile(col("bp"), lit(0.25), lit(10000)).cast("double"))
+      .collect().head.getDouble(0)
+    assert(math.abs(approx - thr) <= 0.1 * math.max(thr, 1.0),
+      s"approx threshold $approx vs exact $thr")
+  }
+
+  test("packSequences: contiguous per-group streams, chunk ids consistent, partition-invariant") {
+    val out = Curation.packSequences(docs, "doc_id", "text",
+      nGroups = 4, chunkTokens = 64)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.length == docs.count())
+    rows.groupBy(_._1).foreach { case (_, grp) =>
+      val ordered = grp.sortBy(_._2)
+      // stream is contiguous: each start = previous start + previous length
+      ordered.foldLeft(0L) { case (expectedStart, (_, id, n, start, cf, cl)) =>
+        assert(start == expectedStart, s"doc $id starts at $start, stream says $expectedStart")
+        assert(cf == start / 64, s"doc $id chunk_first")
+        assert(cl == (start + math.max(n, 1) - 1) / 64 && cl >= cf, s"doc $id chunk_last")
+        expectedStart + n
+      }
+    }
+    // layout is content-derived: identical under any input partitioning
+    val re = Curation.packSequences(docs.repartition(13), "doc_id", "text",
+      nGroups = 4, chunkTokens = 64)
+    assert(re.collect().toSet == out.collect().toSet,
+      "packing must not depend on input partitioning")
+  }
+}

@@ -107,4 +107,12 @@ class FunctionQueriesSpec extends AnyFunSuite {
       assert(!plan.contains("CartesianProduct"), s"$q degenerated to cartesian")
     }
   }
+
+  test("HLL sketches: merged per-source union matches the direct sketch and the exact count") {
+    val row = FunctionQueries.queries("agg_hll_union")(spark, dir).collect().head
+    assert(row.getAs[Long]("exact_texts") > 0)
+    assert(row.getAs[Int]("union_within_5pct") == 1,
+      "register-wise union of per-source sketches must stay within 5% of exact")
+    assert(row.getAs[Int]("direct_within_5pct") == 1)
+  }
 }
