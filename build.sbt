@@ -31,6 +31,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Xms = Xmx: PIN the heap. Without it G1 commits only ~2g initially and
+  // the bench's inter-query System.gc() lets G1 UNCOMMIT back to a few
+  // hundred MB — then every fast-allocating query regrows the heap in
+  // steps, and with AlwaysPreTouch each expansion pre-faults its pages
+  // INSIDE GC pauses (gc.log round 6: "Heap Initial Capacity: 2016M" vs
+  // "Max 24G", shrink to 640M after each System.gc(), then 60s+ reps with
+  // ~90% GC time and all 23 GC workers spinning whenever the host faults
+  // pages slowly). A pinned heap pre-touches ONCE at startup and can never
+  // shrink or grow — this was the "roaming outlier" GC storm of rounds
+  // 2-6, not query allocation behavior.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // 32m G1 regions: collect_list/broadcast arrays of a few MB stop being
   // humongous allocations (default 8m regions at this heap → >4m objects
   // go humongous, fragmenting old gen and driving the run-to-run variance
