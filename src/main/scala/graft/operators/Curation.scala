@@ -80,6 +80,34 @@ object Curation {
       .select(col("doc_id"), col("quality_bp"))
   }
 
+  /** Blocklist / PII scrubbing (the C4-style redaction pass): replace
+    * email addresses, URLs, and blocklisted words with placeholder tokens,
+    * and count the redactions. A pure narrow projection — regex scrub rides
+    * the scan at 100 TB, and the redaction count is a cheap audit signal
+    * for downstream filtering (drop docs above a redaction-rate threshold).
+    *
+    * Patterns are chosen to be engine-portable (same semantics in Java
+    * regex and RE2): no backreferences, no lookbehind. Output: doc_id,
+    * n_blocked (blocklisted-token occurrences, counted pre-scrub),
+    * scrubbed_md5 (fingerprint of the scrubbed text — lets a pipeline
+    * dedup on post-scrub content without shipping the text twice).
+    */
+  def scrub(docs: DataFrame, idCol: String, textCol: String,
+            blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty && blocklist.forall(_.matches("[A-Za-z0-9]+")),
+      "blocklist must be plain alphanumeric words (they are spliced into a regex)")
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val urlRe = "https?://[^\\s]+"
+    val blockRe = blocklist.mkString("\\b(", "|", ")\\b")
+    val t = col(textCol)
+    val scrubbed = regexp_replace(
+      regexp_replace(regexp_replace(t, emailRe, "<EMAIL>"), urlRe, "<URL>"),
+      blockRe, "<BLOCKED>")
+    docs.select(col(idCol).as("doc_id"),
+      size(regexp_extract_all(t, lit(blockRe), lit(0))).as("n_blocked"),
+      md5(scrubbed.cast("binary")).as("scrubbed_md5"))
+  }
+
   /** Concat-and-chunk sequence packing: the pretraining layout that
     * concatenates documents within a pack group and slices the token stream
     * into fixed `chunkTokens` context windows. Emits, per document, its

@@ -38,8 +38,18 @@ object CurationQueries {
     "pack_sequences" -> q((s, dir) =>
       Curation.packSequences(Sources.documents(s, dir), "doc_id", "text",
         nGroups = 8, chunkTokens = 256)
-        .orderBy(col("pack_group"), col("doc_id")))
+        .orderBy(col("pack_group"), col("doc_id"))),
+
+    // Blocklist/PII scrub: redaction count + post-scrub fingerprint. The
+    // blocklist words occur in this corpus so real redactions are compared;
+    // the email/URL patterns are exercised on synthetic rows in CurationSpec.
+    "text_scrub" -> q((s, dir) =>
+      Curation.scrub(Sources.documents(s, dir), "doc_id", "text",
+        blocklist = ScrubBlocklist)
+        .orderBy(col("doc_id")))
   )
+
+  private val ScrubBlocklist = Seq("spark", "stream")
 
   private val toks = raw"regexp_split_to_array(trim(text), '\s+')"
 
@@ -83,6 +93,17 @@ object CurationQueries {
         |t AS (SELECT quantile_cont(quality_bp, 0.25) AS thr FROM s)
         |SELECT s.doc_id, s.quality_bp FROM s, t
         |WHERE s.quality_bp >= t.thr ORDER BY s.doc_id""".stripMargin,
+
+    // Same scrub pipeline in DuckDB (RE2): Spark regexp_replace is
+    // replace-all by default → 'g' flag; md5(text) ≡ Spark md5(utf8 bytes).
+    "text_scrub" ->
+      raw"""SELECT doc_id,
+        |  len(regexp_extract_all(text, '\b(spark|stream)\b'))::int AS n_blocked,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        'https?://[^\s]+', '<URL>', 'g'),
+        |        '\b(spark|stream)\b', '<BLOCKED>', 'g')) AS scrubbed_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "pack_sequences" ->
       raw"""WITH s AS (

@@ -54,6 +54,24 @@ class CurationSpec extends AnyFunSuite {
       s"approx threshold $approx vs exact $thr")
   }
 
+  test("scrub: emails/URLs/blocklist redacted, counts exact, clean docs untouched") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d = Seq(
+      (1L, "contact me@example.com or https://x.io/path spark fast"),
+      (2L, "spark spark stream and sparkle"), // sparkle must NOT match (\b)
+      (3L, "clean text with no redactions at all")
+    ).toDF("doc_id", "text")
+    val r = Curation.scrub(d, "doc_id", "text", Seq("spark", "stream"))
+      .collect().map(x => x.getLong(0) -> (x.getInt(1), x.getString(2))).toMap
+    assert(r(1L) == ((1, md5hex("contact <EMAIL> or <URL> <BLOCKED> fast"))))
+    assert(r(2L) == ((3, md5hex("<BLOCKED> <BLOCKED> <BLOCKED> and sparkle"))))
+    assert(r(3L) == ((0, md5hex("clean text with no redactions at all"))),
+      "clean doc must fingerprint to its original text")
+  }
+
   test("packSequences: contiguous per-group streams, chunk ids consistent, partition-invariant") {
     val out = Curation.packSequences(docs, "doc_id", "text",
       nGroups = 4, chunkTokens = 64)
