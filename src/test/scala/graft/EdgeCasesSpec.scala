@@ -33,6 +33,25 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(graft.operators.TextOps.topTermsPerDoc(emptyDocs, "doc_id", "text").count() == 0)
   }
 
+  test("curation operators on empty / degenerate corpora return empty or total, not errors") {
+    import graft.operators.Curation
+    assert(Curation.contaminationReport(emptyDocs, "doc_id", "text",
+      benchPred = col("doc_id") % 11 === 0).count() == 0)
+    assert(Curation.packSequences(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Curation.scrub(emptyDocs, "doc_id", "text", Seq("x")).count() == 0)
+    assert(Curation.qualityGate(emptyDocs, "doc_id", "text").count() == 0)
+    // a single doc is its own 0.25-quantile → >= threshold keeps it
+    val one = Seq((1L, "hello world")).toDF("doc_id", "text")
+    assert(Curation.qualityGate(one, "doc_id", "text").count() == 1)
+    // an all-benchmark corpus yields an empty (not failing) report
+    val bench = Seq((0L, "a b c d e f")).toDF("doc_id", "text")
+    assert(Curation.contaminationReport(bench, "doc_id", "text",
+      benchPred = lit(true)).count() == 0)
+    // empty-text doc: packing charges max(n,1) so chunk ids stay well-formed
+    val blank = Seq((1L, ""), (2L, "one two")).toDF("doc_id", "text")
+    assert(Curation.packSequences(blank, "doc_id", "text").count() == 2)
+  }
+
   test("connectedComponents on empty pairs terminates with empty output") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(empty, "id_a", "id_b").count() == 0)
