@@ -72,6 +72,19 @@ class CurationSpec extends AnyFunSuite {
       "clean doc must fingerprint to its original text")
   }
 
+  test("plan pins: pack window is per-group (no single-partition window); scrub stays narrow") {
+    val packPlan = Curation.packSequences(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(packPlan.contains("windowspecdefinition(pack_group"),
+      s"window must partition by pack_group:\n$packPlan")
+    assert(packPlan.contains("hashpartitioning(pack_group"),
+      s"stream order must come from a per-group hash exchange, not a global sort:\n$packPlan")
+    val scrubPlan = Curation.scrub(docs, "doc_id", "text", Seq("spark"))
+      .queryExecution.executedPlan.toString
+    assert(!scrubPlan.contains("hashpartitioning") && !scrubPlan.contains("Join"),
+      s"scrub must be a pure narrow projection:\n$scrubPlan")
+  }
+
   test("packSequences: contiguous per-group streams, chunk ids consistent, partition-invariant") {
     val out = Curation.packSequences(docs, "doc_id", "text",
       nGroups = 4, chunkTokens = 64)
