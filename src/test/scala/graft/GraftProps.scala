@@ -161,4 +161,26 @@ object GraftProps extends Properties("graft") {
     } yield (id, ts(rt).getTime, rv)).sorted
     got == expected
   }
+
+  // The quality gate's engine-stability claim: Spark's exact `percentile`
+  // over integers is EXACTLY lo + (hi-lo)*frac at pos = q*(n-1), computed
+  // in doubles — the same definition DuckDB's quantile_cont uses. Bit-equal
+  // on arbitrary integer inputs, not just the corpus the oracle happens to
+  // compare (quality bp values are ≤ 1e5, but test a wider range).
+  private val bpGen: Gen[List[Long]] =
+    Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, Gen.choose(0L, 100000L)))
+
+  property("percentile ≡ exact linear-interpolation reference (quality-gate threshold)") =
+    forAll(bpGen, Gen.oneOf(0.25, 0.5, 0.75)) { (xs, q) =>
+      import spark.implicits._
+      val got = xs.toDF("bp").agg(percentile(col("bp"), lit(q)))
+        .collect()(0).getDouble(0)
+      val s = xs.sorted
+      val pos = q * (s.length - 1)
+      val lo = pos.toInt
+      val expected =
+        if (lo + 1 >= s.length) s(lo).toDouble
+        else s(lo) + (s(lo + 1) - s(lo)) * (pos - lo)
+      got == expected // bit-exact, no tolerance
+    }
 }
