@@ -202,6 +202,46 @@ class StreamingOpsSpec extends AnyFunSuite {
       "a replayed batch must overwrite its own partition, not append a second copy")
   }
 
+  test("checkpoint resume: a restarted query processes only new files, exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val in = java.nio.file.Files.createTempDirectory("graft_resume_in")
+    val out = java.nio.file.Files.createTempDirectory("graft_resume_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_resume_ckpt").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("value", DoubleType)))
+
+    // drop a single-file parquet batch into the watched dir under a stable name
+    def addFile(name: String, data: Seq[(Long, Double)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_resume_stage").toString
+      data.toDF("event_id", "value").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, in.resolve(name))
+    }
+    // run the file-source stream against the SAME checkpoint until drained
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(in.toString)
+      val q = StreamingOps.toParquetBatches(stream, out, ckpt)
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    addFile("a.parquet", Seq((1L, 1.0), (2L, 2.0)))
+    runOnce() // processes file a
+    val afterA = spark.read.parquet(out)
+    assert(afterA.select("event_id").as[Long].collect().toSet == Set(1L, 2L))
+    val batchesA = afterA.select("__batch_id").distinct().count()
+
+    addFile("b.parquet", Seq((3L, 3.0)))
+    runOnce() // resumed from the checkpoint: must see ONLY file b
+    val afterB = spark.read.parquet(out)
+    assert(afterB.select("event_id").as[Long].collect().toSet == Set(1L, 2L, 3L),
+      "restart must process the new file and must NOT reprocess the old one")
+    assert(afterB.count() == 3, "exactly-once across restart: no duplicated rows")
+    assert(afterB.select("__batch_id").distinct().count() == batchesA + 1,
+      "the resumed run must land as a NEW batch id continuing the checkpointed sequence")
+  }
+
   test("file-source streaming: readStream over the real events.parquet ≡ batch") {
     import org.apache.spark.sql.types._
     val dir = "/root/testdata/sf0.001"
