@@ -94,18 +94,27 @@ object Curation {
     */
   def scrub(docs: DataFrame, idCol: String, textCol: String,
             blocklist: Seq[String]): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol).as("doc_id"),
+      size(regexp_extract_all(t, lit(blockRegex(blocklist)), lit(0))).as("n_blocked"),
+      md5(scrubText(t, blocklist).cast("binary")).as("scrubbed_md5"))
+  }
+
+  private def blockRegex(blocklist: Seq[String]): String = {
     require(blocklist.nonEmpty && blocklist.forall(_.matches("[A-Za-z0-9]+")),
       "blocklist must be plain alphanumeric words (they are spliced into a regex)")
+    blocklist.mkString("\\b(", "|", ")\\b")
+  }
+
+  /** The scrub transform itself, as a reusable Column (the pipeline form —
+    * [[graft.examples.CurationPipelineDemo]] — rewrites `text` in place and
+    * feeds every downstream stage the redacted corpus). */
+  def scrubText(text: Column, blocklist: Seq[String]): Column = {
     val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val urlRe = "https?://[^\\s]+"
-    val blockRe = blocklist.mkString("\\b(", "|", ")\\b")
-    val t = col(textCol)
-    val scrubbed = regexp_replace(
-      regexp_replace(regexp_replace(t, emailRe, "<EMAIL>"), urlRe, "<URL>"),
-      blockRe, "<BLOCKED>")
-    docs.select(col(idCol).as("doc_id"),
-      size(regexp_extract_all(t, lit(blockRe), lit(0))).as("n_blocked"),
-      md5(scrubbed.cast("binary")).as("scrubbed_md5"))
+    regexp_replace(
+      regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"), urlRe, "<URL>"),
+      blockRegex(blocklist), "<BLOCKED>")
   }
 
   /** Concat-and-chunk sequence packing: the pretraining layout that

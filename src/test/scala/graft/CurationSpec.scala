@@ -85,6 +85,23 @@ class CurationSpec extends AnyFunSuite {
       s"scrub must be a pure narrow projection:\n$scrubPlan")
   }
 
+  test("curate pipeline: composed stages shrink monotonically, hold out the benchmark, and are deterministic") {
+    import graft.examples.CurationPipelineDemo
+    val out = CurationPipelineDemo.curate(docs)
+    val rows = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val inputIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.nonEmpty && rows.subsetOf(inputIds))
+    assert(rows.size < inputIds.size, "curation must drop something on this corpus")
+    assert(rows.forall(_ % 11 != 0), "benchmark docs must be held out of the corpus")
+    assert(out.columns.toSet == Set("doc_id", "text", "pack_group", "n_tokens",
+      "start_tok", "chunk_first", "chunk_last"))
+    // one lazy program, content-derived decisions → identical under repartition
+    val re = CurationPipelineDemo.curate(docs.repartition(13))
+      .select("doc_id", "pack_group", "start_tok").collect().toSet
+    assert(re == out.select("doc_id", "pack_group", "start_tok").collect().toSet,
+      "the composed pipeline must be partition-invariant end to end")
+  }
+
   test("packSequences: contiguous per-group streams, chunk ids consistent, partition-invariant") {
     val out = Curation.packSequences(docs, "doc_id", "text",
       nGroups = 4, chunkTokens = 64)
