@@ -7,9 +7,12 @@ import graft.operators.{Dedup, TextOps}
 
 /** Deduplication query registry over `documents`: exact (hash-groupBy),
   * exact set-similarity join (prefix-filtered, oracle-verified against the
-  * quadratic form), MinHash-LSH and SimHash near-dup (hash-based — DuckDB
-  * cannot reproduce xxhash64, so those two get the driver's rows-only check
-  * plus scalatest specs pinning recall against the exact join).
+  * quadratic form), MinHash-LSH and SimHash near-dup. Every entry is fully
+  * oracle-checked: the md5-48 variants reproduce their whole pipeline in
+  * DuckDB SQL; the xxhash64 at-scale twins either end in an exact-jaccard
+  * verify (MinHash — oracle is the exact all-pairs join) or embed the
+  * Spark-computed signatures into the generated SQL at oracle-dump time
+  * (SimHash — the IVF/PQ artifact-embedding pattern).
   */
 object DedupQueries {
 
@@ -32,6 +35,17 @@ object DedupQueries {
     pairsCache.getOrElseUpdate((System.identityHashCode(s), dir),
       Dedup.exactJaccardJoin(Sources.documents(s, dir), "doc_id", "text",
         n = 3, threshold = JaccardThreshold).localCheckpoint())
+
+  /** The xxhash64 SimHash signatures computed at query-run time, captured so
+    * the oracle generator can embed them (the IVF/PQ artifact-embedding
+    * pattern — DuckDB cannot reproduce xxhash64, but it CAN verify the banded
+    * hamming join against the trusted quadratic form over the very
+    * signatures Spark computed). One bounded collect: one (long, long) row
+    * per document — an oracle-dump concern, never part of the operator.
+    * Keyed by sf dir; the oracle emits only under the same single-dir
+    * contract as the similarity caches. */
+  private val simhashSigCache =
+    scala.collection.concurrent.TrieMap[String, Array[(Long, Long)]]()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -128,15 +142,19 @@ object DedupQueries {
     // expression (SimHash64 over xxhash64'd tokens) + the same pigeonhole
     // banded hamming join. Unlike the minhash twin there is NO exact verify
     // step — pairs are defined BY the signature bits, and DuckDB cannot
-    // reproduce xxhash64 — so this is a rows-only CORRECTNESS entry by
-    // design; DedupSpec pins the banded join ≡ brute-force hamming on these
-    // exact signatures, and GraftExtensionsSpec pins the expression against
-    // its SQL-registered form.
+    // reproduce xxhash64 — so the oracle embeds the signatures Spark
+    // computed (captured here, a bounded one-row-per-doc collect off the
+    // checkpointed signature frame) and replays band semantics as the
+    // trusted quadratic hamming join in SQL; DedupSpec additionally pins
+    // the banded join ≡ brute force, and GraftExtensionsSpec pins the
+    // expression against its SQL-registered form.
     "dedup_simhash_xxhash" -> q((s, dir) => {
       val sigs = Sources.documents(s, dir)
         .select(col("doc_id"),
           graft.functions.SimHash64.simhash64(TextOps.tokens(col("text"))).as("sh"))
         .localCheckpoint(eager = false)
+      simhashSigCache.getOrElseUpdate(dir,
+        sigs.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1))
       Dedup.simHashNearDupPairs(sigs, "doc_id", "sh", maxHamming = 5)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -283,7 +301,33 @@ object DedupQueries {
       |comp AS (
       |  SELECT s AS id, least(s, min(t)) AS c FROM reach GROUP BY s)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  /** Embedded-signature oracle for the xxhash64 SimHash twin: the captured
+    * (doc_id, sh) pairs become a VALUES CTE and DuckDB runs the trusted
+    * quadratic hamming join over them — a full rows+schema+hash check of the
+    * pigeonhole-banded join's output on exactly the signatures the at-scale
+    * pipeline produced. Emitted only when queries ran against a single sf
+    * dir (the Verify contract; same convention as the IVF/PQ oracles). */
+  private def simhashXxOracle: Option[String] = {
+    val cached = simhashSigCache.readOnlySnapshot().toSeq
+    if (cached.size != 1) None
+    else {
+      val rows = cached.head._2
+        .map { case (id, sh) => s"($id, $sh)" }.mkString(",\n  ")
+      Some(
+        s"""WITH sigs(doc_id, sh) AS (VALUES
+          |  $rows)
+          |SELECT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b,
+          |       bit_count(xor(a.sh::BIGINT, b.sh::BIGINT))::int AS hamming
+          |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.sh::BIGINT, b.sh::BIGINT)) <= 5
+          |ORDER BY id_a, id_b""".stripMargin)
+    }
+  }
+
+  def oracles: Map[String, String] =
+    staticOracles ++ simhashXxOracle.map("dedup_simhash_xxhash" -> _)
+
+  private val staticOracles: Map[String, String] = Map(
     "dedup_exact_rows" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY lang, source)
@@ -319,8 +363,9 @@ object DedupQueries {
 
     // The xxhash64 LSH output is jaccard-verified, so equality with the
     // EXACT all-pairs form is precisely the recall-1.0 claim (see the query
-    // comment). dedup_simhash_xxhash has no oracle on purpose: its pairs are
-    // defined by irreproducible-in-SQL signature bits (rows-only check).
+    // comment). dedup_simhash_xxhash's oracle is generated at dump time
+    // ([[simhashXxOracle]]) — its pairs are defined by signature bits DuckDB
+    // cannot recompute, so the signatures themselves are embedded.
     "dedup_minhash_xxhash" ->
       raw"""$shingleCte
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
