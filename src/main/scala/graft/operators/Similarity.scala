@@ -85,19 +85,39 @@ object Similarity {
     * that sample is microseconds-per-iteration work; round 2 measured Spark
     * ML KMeans spending up to 31 s here per query invocation (distributed
     * job scheduling + no native BLAS in this container), all to produce a
-    * 16×64 matrix. Deterministic for a given (data, nCells, seed).
+    * 16×64 matrix. Deterministic for a given (data, nCells, seed) — and
+    * partitioning-invariant, since the sample is drawn by content hash
+    * order ([[hashOrderedSample]]), not file order.
     *
     * Call once per corpus and reuse (see [[ivfTopK]]'s `centroids` param) —
     * the query registry memoizes per (dataset, nCells, seed). */
   def trainIvfCentroids(corpus: DataFrame, vecCol: String,
                         nCells: Int, seed: Long = 42L,
                         maxIter: Int = 10): Array[Array[Double]] = {
-    val sample: Array[Array[Double]] = corpus
-      .select(col(vecCol).cast("array<double>"))
-      .limit(math.max(nCells * 200, 2000))
+    val sample = hashOrderedSample(corpus, vecCol, math.max(nCells * 200, 2000))
+    kmeansOnSample(sample, nCells, seed, maxIter)
+  }
+
+  /** Bounded training sample as the `n` vectors with the SMALLEST md5 of
+    * their rendered value — a uniform hash-order draw, not `limit(n)`:
+    * `limit` takes whatever rows the first scanned file(s) yield, and on
+    * hive-partitioned or sorted corpus parquet that is a head-of-corpus
+    * sample whose centroids can miss whole regions of the distribution.
+    * Hash order is partition-invariant and engine-independent (same sample
+    * on any cluster layout, any AQE re-plan), and `orderBy(h).limit(n)`
+    * plans as TakeOrderedAndProject — per-partition top-n merged on the
+    * driver, ONE narrow corpus pass, no global sort shuffle. Result order
+    * is the hash order, so kmeans++'s seeded index draws see a stable
+    * sequence. */
+  private def hashOrderedSample(corpus: DataFrame, vecCol: String,
+                                n: Int): Array[Array[Double]] = {
+    corpus
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .withColumn("h", md5(col("v").cast("string").cast("binary")))
+      .orderBy(col("h"))
+      .limit(n)
       .collect()
       .map(_.getSeq[Double](0).toArray)
-    kmeansOnSample(sample, nCells, seed, maxIter)
   }
 
   /** The seeded kmeans++/Lloyd's core of [[trainIvfCentroids]], factored
@@ -241,11 +261,7 @@ object Similarity {
   def trainPqCodebooks(corpus: DataFrame, vecCol: String,
                        m: Int = 8, ksub: Int = 16, seed: Long = 42L,
                        maxIter: Int = 10): Array[Array[Array[Double]]] = {
-    val sample: Array[Array[Double]] = corpus
-      .select(col(vecCol).cast("array<double>"))
-      .limit(math.max(ksub * 200, 2000))
-      .collect()
-      .map(_.getSeq[Double](0).toArray)
+    val sample = hashOrderedSample(corpus, vecCol, math.max(ksub * 200, 2000))
     require(sample.nonEmpty, "empty training sample")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
