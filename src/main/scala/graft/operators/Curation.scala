@@ -15,13 +15,14 @@ import org.apache.spark.sql.functions._
   *     join broadcasts the benchmark side — AQE sees the runtime exchange
   *     size and picks that automatically; the per-doc hit count is one
   *     bounded aggregation shuffle.
-  *   - [[qualityGate]]: the threshold is ONE scalar row joined by broadcast
-  *     — the corpus is touched by a narrow scan + filter only. The exact
-  *     interpolated percentile aggregates every value into one buffer; at
-  *     true corpus scale swap `percentile` for `approx_percentile` (same
-  *     plan shape, sketch-bounded memory) — CurationSpec pins the two within
-  *     tolerance of each other so the swap is a config, not a semantics
-  *     change.
+  *   - [[qualityGate]] / [[qualityGateApprox]]: the threshold is ONE scalar
+  *     row joined by broadcast — the corpus is touched by a narrow scan +
+  *     filter only. The exact interpolated percentile aggregates every value
+  *     into one buffer, so [[qualityGateApprox]] (`approx_percentile`:
+  *     sketch-bounded memory, same plan shape) is the at-scale default;
+  *     exact is the small-scale verifiability variant. CurationSpec pins the
+  *     two within tolerance, and the registered query pins the approx
+  *     threshold/kept-count inside exact rank bands.
   *   - [[packSequences]]: windows run per pack-group, and groups come from a
   *     content hash — set `nGroups` ≈ cluster parallelism × O(100) at scale
   *     and each window partition stays bounded (corpus_size / nGroups);
@@ -54,10 +55,15 @@ object Curation {
     corpus.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-        when(col("n_grams") === 0L, lit(0L)).otherwise(
-          floor(coalesce(col("n_contaminated"), lit(0L)) * 10000L /
-            col("n_grams")).cast("long")).as("contamination_bp"))
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      // integer floor division (Spark `div` ≡ DuckDB `//`): floor over the
+      // double quotient is exact only while hits*10⁴ stays within the
+      // 2⁵³ mantissa — past ~4e8 grams the correctly-rounded double can land
+      // ON an integer the true quotient is just below, and floor() would
+      // disagree with integer floor-div. `div` keeps bit-parity at any size.
+      .withColumn("contamination_bp",
+        when(col("n_grams") === 0L, lit(0L))
+          .otherwise(expr("n_contaminated * 10000 div n_grams")))
   }
 
   /** Quantile-threshold quality gate: keep documents whose integer quality
@@ -71,10 +77,40 @@ object Curation {
     * corpus×corpus product.
     */
   def qualityGate(docs: DataFrame, idCol: String, textCol: String,
-                  q: Double = 0.25): DataFrame = {
-    val scored = docs.select(col(idCol).as("doc_id"),
+                  q: Double = 0.25): DataFrame =
+    gateScored(scoreQuality(docs, idCol, textCol), q)
+
+  /** The at-scale default form of [[qualityGate]]: `approx_percentile`
+    * (KLL-sketch, rank error ≤ n/`accuracy`) instead of the exact
+    * interpolated percentile, whose single aggregation buffer holds every
+    * value — unbounded state at corpus scale. Identical plan shape (1-row
+    * broadcast threshold × narrow filter scan); only the threshold
+    * aggregate's memory bound changes. Exact stays the sf-scale
+    * verifiability variant; the registered `text_quality_gate_approx` query
+    * pins this form's threshold and kept-count inside exact rank bands. */
+  def qualityGateApprox(docs: DataFrame, idCol: String, textCol: String,
+                        q: Double = 0.25, accuracy: Int = 10000): DataFrame =
+    gateScored(scoreQuality(docs, idCol, textCol), q, approxAccuracy = Some(accuracy))
+
+  /** The scoring pass alone: (doc_id, quality_bp). Exposed so a caller can
+    * materialize it ONCE and feed both a gate and any threshold/band
+    * diagnostics — the regex-heavy scoring is the expensive part of the
+    * gate's two corpus passes. */
+  def scoreQuality(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
       TextOps.qualityBp(col(textCol)).as("quality_bp"))
-    val thr = scored.agg(percentile(col("quality_bp"), lit(q)).as("thr"))
+
+  /** Gate over a pre-scored (doc_id, quality_bp) frame; `approxAccuracy`
+    * picks the sketch threshold (Some) or the exact interpolated one
+    * (None). */
+  def gateScored(scored: DataFrame, q: Double,
+                 approxAccuracy: Option[Int] = None): DataFrame = {
+    val thrAgg = approxAccuracy match {
+      case Some(acc) =>
+        percentile_approx(col("quality_bp"), lit(q), lit(acc)).cast("double")
+      case None => percentile(col("quality_bp"), lit(q))
+    }
+    val thr = scored.agg(thrAgg.as("thr"))
     scored.crossJoin(broadcast(thr))
       .where(col("quality_bp").cast("double") >= col("thr"))
       .select(col("doc_id"), col("quality_bp"))
@@ -88,16 +124,25 @@ object Curation {
     *
     * Patterns are chosen to be engine-portable (same semantics in Java
     * regex and RE2): no backreferences, no lookbehind. Output: doc_id,
-    * n_blocked (blocklisted-token occurrences, counted pre-scrub),
-    * scrubbed_md5 (fingerprint of the scrubbed text — lets a pipeline
-    * dedup on post-scrub content without shipping the text twice).
+    * n_blocked (the exact number of `<BLOCKED>` substitutions — counted on
+    * the email/URL-redacted text, because the block pass runs AFTER those
+    * redactions: a blocklist word inside a URL or email address is redacted
+    * as `<URL>`/`<EMAIL>`, never `<BLOCKED>`, and must not inflate the
+    * audit count), scrubbed_md5 (fingerprint of the scrubbed text — lets a
+    * pipeline dedup on post-scrub content without shipping the text twice).
     */
   def scrub(docs: DataFrame, idCol: String, textCol: String,
             blocklist: Seq[String]): DataFrame = {
-    val t = col(textCol)
+    val re = lit(blockRegex(blocklist))
+    // stage the email/URL pass once; count and final block-replace both read
+    // it (CollapseProject leaves non-cheap regex aliases staged, and even a
+    // collapse would only duplicate work, not change results)
     docs.select(col(idCol).as("doc_id"),
-      size(regexp_extract_all(t, lit(blockRegex(blocklist)), lit(0))).as("n_blocked"),
-      md5(scrubText(t, blocklist).cast("binary")).as("scrubbed_md5"))
+        scrubEmailUrl(col(textCol)).as("pre"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("pre"), re, lit(0))).as("n_blocked"),
+        md5(regexp_replace(col("pre"), re, lit("<BLOCKED>")).cast("binary"))
+          .as("scrubbed_md5"))
   }
 
   private def blockRegex(blocklist: Seq[String]): String = {
@@ -106,16 +151,20 @@ object Curation {
     blocklist.mkString("\\b(", "|", ")\\b")
   }
 
+  /** The email/URL redaction pass alone — the stage [[scrub]] counts
+    * blocklist hits AFTER (so the count audits actual `<BLOCKED>`
+    * substitutions). */
+  private def scrubEmailUrl(text: Column): Column = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val urlRe = "https?://[^\\s]+"
+    regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"), urlRe, "<URL>")
+  }
+
   /** The scrub transform itself, as a reusable Column (the pipeline form —
     * [[graft.examples.CurationPipelineDemo]] — rewrites `text` in place and
     * feeds every downstream stage the redacted corpus). */
-  def scrubText(text: Column, blocklist: Seq[String]): Column = {
-    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val urlRe = "https?://[^\\s]+"
-    regexp_replace(
-      regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"), urlRe, "<URL>"),
-      blockRegex(blocklist), "<BLOCKED>")
-  }
+  def scrubText(text: Column, blocklist: Seq[String]): Column =
+    regexp_replace(scrubEmailUrl(text), blockRegex(blocklist), "<BLOCKED>")
 
   /** Concat-and-chunk sequence packing: the pretraining layout that
     * concatenates documents within a pack group and slices the token stream

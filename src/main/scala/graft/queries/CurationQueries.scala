@@ -33,6 +33,44 @@ object CurationQueries {
       Curation.qualityGate(Sources.documents(s, dir), "doc_id", "text", q = 0.25)
         .orderBy(col("doc_id"))),
 
+    // The AT-SCALE gate form: approx_percentile threshold (sketch-bounded
+    // aggregation state — the exact percentile's one-buffer-holds-all-values
+    // shape is the operator's only 100 TB weak point). The sketch value is
+    // engine-specific, so the compared output is the agg_approx_distinct
+    // convention: exact count + in-band flags. thr_in_band pins the approx
+    // threshold between the exact 0.23/0.27 quantiles (rank error bound
+    // n/10⁴ ≪ the ±0.02n band); kept_in_band pins the approx gate's kept
+    // count between the exact counts at those band edges. The scoring pass
+    // (the regex-heavy part) runs ONCE: localCheckpoint feeds the operator
+    // gate and the band diagnostics from the same materialized frame.
+    "text_quality_gate_approx" -> q((s, dir) => {
+      val scored = Curation.scoreQuality(Sources.documents(s, dir), "doc_id", "text")
+        .localCheckpoint()
+      val kept = Curation.gateScored(scored, 0.25, approxAccuracy = Some(10000))
+        .agg(count(lit(1)).as("n_kept"))
+      val stats = scored.agg(
+        count(lit(1)).as("n_docs"),
+        percentile(col("quality_bp"), lit(0.23)).as("lo_thr"),
+        percentile(col("quality_bp"), lit(0.27)).as("hi_thr"),
+        percentile_approx(col("quality_bp"), lit(0.25), lit(10000))
+          .cast("double").as("thr_a"))
+      val counts = scored.crossJoin(broadcast(stats)).agg(
+        first(col("n_docs")).as("n_docs"),
+        first(col("lo_thr")).as("lo_thr"),
+        first(col("hi_thr")).as("hi_thr"),
+        first(col("thr_a")).as("thr_a"),
+        sum(when(col("quality_bp").cast("double") >= col("hi_thr"), 1L)
+          .otherwise(0L)).as("kept_min"),
+        sum(when(col("quality_bp").cast("double") >= col("lo_thr"), 1L)
+          .otherwise(0L)).as("kept_max"))
+      kept.crossJoin(broadcast(counts)).select(
+        col("n_docs"),
+        (col("thr_a") >= col("lo_thr") && col("thr_a") <= col("hi_thr"))
+          .cast("int").as("thr_in_band"),
+        (col("n_kept") >= col("kept_min") && col("n_kept") <= col("kept_max"))
+          .cast("int").as("kept_in_band"))
+    }),
+
     // Concat-and-chunk sequence packing into 256-token context windows,
     // 8 content-hash pack groups.
     "pack_sequences" -> q((s, dir) =>
@@ -94,16 +132,27 @@ object CurationQueries {
         |SELECT s.doc_id, s.quality_bp FROM s, t
         |WHERE s.quality_bp >= t.thr ORDER BY s.doc_id""".stripMargin,
 
+    // Literal flags = 1 assert (inside the hash compare) that the approx
+    // threshold and its kept count landed inside the exact rank bands.
+    "text_quality_gate_approx" ->
+      """SELECT count(*)::bigint AS n_docs, 1 AS thr_in_band, 1 AS kept_in_band
+        |FROM documents""".stripMargin,
+
     // Same scrub pipeline in DuckDB (RE2): Spark regexp_replace is
     // replace-all by default → 'g' flag; md5(text) ≡ Spark md5(utf8 bytes).
+    // n_blocked counts on the email/URL-redacted text, like the operator —
+    // it audits actual <BLOCKED> substitutions.
     "text_scrub" ->
-      raw"""SELECT doc_id,
-        |  len(regexp_extract_all(text, '\b(spark|stream)\b'))::int AS n_blocked,
-        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
-        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |        'https?://[^\s]+', '<URL>', 'g'),
-        |        '\b(spark|stream)\b', '<BLOCKED>', 'g')) AS scrubbed_md5
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      raw"""WITH pre AS (
+        |  SELECT doc_id,
+        |         regexp_replace(regexp_replace(text,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |           'https?://[^\s]+', '<URL>', 'g') AS p
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(p, '\b(spark|stream)\b'))::int AS n_blocked,
+        |  md5(regexp_replace(p, '\b(spark|stream)\b', '<BLOCKED>', 'g')) AS scrubbed_md5
+        |FROM pre ORDER BY doc_id""".stripMargin,
 
     "pack_sequences" ->
       raw"""WITH s AS (

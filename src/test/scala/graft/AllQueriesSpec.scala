@@ -12,14 +12,12 @@ class AllQueriesSpec extends AnyFunSuite {
   val dir = "/root/testdata/sf0.001"
 
   /** Queries whose exact results cannot be reproduced in DuckDB by design —
-    * every other query MUST carry oracle SQL. Empty since round 4: the
-    * approx-distinct query pins its ±5% bound inside the compared output and
-    * the fake-decode query registers its md5-48 variant. */
-  // dedup_simhash_xxhash is rows-only BY DESIGN: its pairs are defined by
-  // native 64-bit xxhash64 signature bits DuckDB cannot reproduce (the
-  // md5-48 twin dedup_simhash_pairs carries the full-pipeline oracle;
-  // DedupSpec pins the banded join ≡ brute force on these exact sigs).
-  private val knownRowsOnly = Set("dedup_simhash_xxhash")
+    * every other query MUST carry oracle SQL. Empty since round 7: the
+    * approx-distinct query pins its ±5% bound inside the compared output,
+    * the fake-decode query registers its md5-48 variant, and
+    * dedup_simhash_xxhash embeds its Spark-computed signatures into
+    * generated SQL at oracle-dump time. */
+  private val knownRowsOnly = Set.empty[String]
 
   test("every registered query returns rows on sf0.001") {
     val empty = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
@@ -33,11 +31,12 @@ class AllQueriesSpec extends AnyFunSuite {
     // definition) QUERY set against one corpus scan with a non-equi
     // self-exclusion — a bounded broadcast nested loop, not a corpus×corpus
     // blowup (sim_topk_pq reads only the m code ints per corpus row).
-    // text_quality_gate and agg_hll_union cross-join ONE-row aggregate
-    // scalars (a quantile threshold / a sketch estimate) — the broadcast
-    // side is a single row by construction. Everything else must stay equi.
+    // text_quality_gate (+ its approx twin) and agg_hll_union cross-join
+    // ONE-row aggregate scalars (a quantile threshold / band stats / a
+    // sketch estimate) — the broadcast side is a single row by
+    // construction. Everything else must stay equi.
     val allowed = Set("sim_topk_bruteforce", "sim_topk_pq",
-      "text_quality_gate", "agg_hll_union")
+      "text_quality_gate", "text_quality_gate_approx", "agg_hll_union")
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       if (allowed(name)) None
       else {
@@ -55,9 +54,11 @@ class AllQueriesSpec extends AnyFunSuite {
     // always runs queries before the oracle dump; in a bare test JVM the
     // cache may be empty) — tolerate its absence, never anything else's.
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // trained-quantizer oracles (IVF centroids, PQ codebooks) only exist
-    // after their queries have run — tolerate their absence in a bare JVM.
-    val trainedOracles = Set("sim_topk_ivf", "sim_pq_codes", "sim_topk_pq")
+    // runtime-artifact oracles (IVF centroids, PQ codebooks, embedded
+    // SimHash signatures) only exist after their queries have run —
+    // tolerate their absence in a bare JVM, never anything else's.
+    val trainedOracles = Set("sim_topk_ivf", "sim_pq_codes", "sim_topk_pq",
+      "sim_topk_ivfpq", "dedup_simhash_xxhash")
     assert((missing -- trainedOracles) == knownRowsOnly,
       s"oracle-less queries changed: got $missing, expected $knownRowsOnly (+ $trainedOracles pre-training)")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -62,7 +62,10 @@ class CurationSpec extends AnyFunSuite {
     val d = Seq(
       (1L, "contact me@example.com or https://x.io/path spark fast"),
       (2L, "spark spark stream and sparkle"), // sparkle must NOT match (\b)
-      (3L, "clean text with no redactions at all")
+      (3L, "clean text with no redactions at all"),
+      // blocklist word INSIDE a URL: the URL pass redacts it first, so it
+      // must NOT count as blocked — n_blocked audits <BLOCKED> substitutions
+      (4L, "see https://spark.apache.org for spark docs")
     ).toDF("doc_id", "text")
     val r = Curation.scrub(d, "doc_id", "text", Seq("spark", "stream"))
       .collect().map(x => x.getLong(0) -> (x.getInt(1), x.getString(2))).toMap
@@ -70,6 +73,8 @@ class CurationSpec extends AnyFunSuite {
     assert(r(2L) == ((3, md5hex("<BLOCKED> <BLOCKED> <BLOCKED> and sparkle"))))
     assert(r(3L) == ((0, md5hex("clean text with no redactions at all"))),
       "clean doc must fingerprint to its original text")
+    assert(r(4L) == ((1, md5hex("see <URL> for <BLOCKED> docs"))),
+      "a blocklist word inside a URL is <URL>-redacted, not counted blocked")
   }
 
   test("plan pins: pack window is per-group (no single-partition window); scrub stays narrow") {
