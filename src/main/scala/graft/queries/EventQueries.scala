@@ -99,6 +99,34 @@ object EventQueries {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // Streaming dedup + stream-static enrichment, driver-oracle-checked
+    // END-TO-END: dropDuplicatesWithinWatermark keyed on (user_id,
+    // event_type) runs through the streaming state store (10000 events →
+    // 750 survivors at sf0.01 — real dropping, not a unique-key no-op),
+    // then the surviving stream joins the static customer dimension by
+    // broadcast (StreamingOps.enrich — the per-micro-batch stream-static
+    // join path). Append mode: dedup emits first-seen rows immediately.
+    // WHICH duplicate survives is arrival-order dependent, so the compared
+    // output projects only the dedup keys and a key-functional join column
+    // — deterministic under any micro-batch order (the docstring contract).
+    "stream_events_dedup" -> q((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val cust = Sources.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.streaming.StreamingOps.runToMemorySink(s, dir, "events.parquet",
+        eventsStreamSchema,
+        src => {
+          val events = src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          val deduped = graft.streaming.StreamingOps.dedupEvents(
+            events, keys = Seq("user_id", "event_type"))
+          graft.streaming.StreamingOps.enrich(deduped, cust,
+              "user_id", "c_custkey")
+            .select(col("user_id"), col("event_type"), col("c_mktsegment"))
+        },
+        mode = org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // JSON property extraction from the props column (get_json_object).
     "events_json_agg" -> q((s, dir) =>
       Sources.events(s, dir)
@@ -207,6 +235,14 @@ object EventQueries {
         |       event_type, count(*) AS n_events,
         |       sum(floor(value * 10000.0 + 0.5)::BIGINT) / 10000.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    // The dedup survivors projected to their keys = DISTINCT; the enrich
+    // column is key-functional (c_custkey unique), so the left join adds
+    // exactly one segment per user regardless of which duplicate survived.
+    "stream_events_dedup" ->
+      """SELECT DISTINCT e.user_id, e.event_type, c.c_mktsegment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.user_id, e.event_type""".stripMargin,
 
     // lag+cumsum sessionization; a gap of exactly 30:00 starts a new session
     // (session_window's half-open [ts, ts+gap) semantics → strict >=).

@@ -77,11 +77,16 @@ object StreamingOps {
     * finite). `dropDuplicatesWithinWatermark` keys state on just event_id:
     * a duplicate id arriving with a DIFFERENT timestamp is still dropped,
     * matching the batch exact-dedup semantics (plain
-    * `dropDuplicates("event_id", "ts")` would let it through). */
-  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    * `dropDuplicates("event_id", "ts")` would let it through). `keys`
+    * generalizes the dedup key (e.g. `Seq("user_id", "event_type")` keeps
+    * one event per user per type — the survivor is arrival-order dependent,
+    * so downstream consumers wanting determinism should project only the
+    * key columns or key-functional derivations). */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour",
+                  keys: Seq[String] = Seq("event_id")): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("event_id")
+      .dropDuplicatesWithinWatermark(keys)
 
   /** Stream-stream INNER interval join — the streaming twin of
     * [[graft.operators.Temporal.timeBandJoin]]: pairs rows with equal keys
