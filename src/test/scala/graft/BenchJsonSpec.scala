@@ -69,12 +69,20 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(busy.get("n_stalls").asInt() === 2)
     assert(busy.get("n_guard_vetoed").asInt() === 1)
     // realistic values (sub-10s queries) must keep the FULL per-query map
+    // while it can possibly fit: the 87-query dp=0 map measures ~1915 of
+    // the 1925 stretch budget. If the registry outgrows ~88 current-shape
+    // names the full map physically exceeds the tail window — truncation
+    // then becomes legal but must stay disclosed (accounting assert).
     val realistic = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 1.234567)
     val rline = Bench.chooseHeadline(realistic, Seq.empty, 0, 0, 3,
       "/root/testdata/sf0.1", detailWriteFailed = false)
     assert(rline.length <= 1930)
-    assert(mapper.readTree(rline).get("queries").size() === SparkEntry.queries.size,
-      "realistic-magnitude run must not truncate the per-query map")
+    val rnode = mapper.readTree(rline)
+    val romitted = Option(rnode.get("queries_omitted")).map(_.asInt()).getOrElse(0)
+    assert(rnode.get("queries").size() + romitted === SparkEntry.queries.size)
+    if (SparkEntry.queries.size <= 88)
+      assert(romitted === 0,
+        "realistic-magnitude run must not truncate the per-query map")
   }
 
   test("committed BENCH_SELF.json, when present, is valid JSON end-to-end") {
