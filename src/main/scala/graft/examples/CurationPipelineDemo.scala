@@ -10,14 +10,22 @@ import graft.operators.{Curation, Dedup}
   *   scrub → quality gate → exact dedup → near-dedup survivors →
   *   benchmark decontamination → sequence packing
   *
-  * [[curate]] is ONE lazy DataFrame program: no stage materializes anything
-  * by itself, so Catalyst sees the whole pipeline (column pruning reaches
-  * the scan through every stage, and the semi-joins that implement "keep
-  * the survivors" are planned with runtime statistics under AQE). At corpus
+  * [[curate]] is ONE lazy DataFrame program: no stage runs anything by
+  * itself, so Catalyst sees the whole pipeline (column pruning reaches the
+  * scan through every stage, and the semi-joins that implement "keep the
+  * survivors" are planned with runtime statistics under AQE). At corpus
   * scale each keep-list is small relative to the corpus, so those joins
   * broadcast; the only corpus-wide shuffles are the ones the individual
   * operators already document (dedup key agg, LSH bands, pack-group
-  * window).
+  * window). Two caveats to the one-program framing: exchange reuse does NOT
+  * cover pre-exchange scans, so the two lineages a stage fans out into
+  * (`exact` feeds both the LSH pair join and the survivor join; `clean`
+  * feeds both the pack layout and the final join) would re-execute their
+  * whole upstream subtree per branch — those two frames are pinned with a
+  * LAZY localCheckpoint (first action materializes, laziness preserved;
+  * same discipline as the operators' own shingle/pair pinning). At 1000
+  * executors swap for `checkpoint()` against the cluster filesystem if
+  * executor loss matters more than the write round-trip.
   *
   * The benchmark rows (`benchPred`) are held OUT of the curated corpus and
   * define the decontamination reference — both sides scrubbed first, so
@@ -47,8 +55,10 @@ object CurationPipelineDemo {
       Curation.qualityGate(train, "doc_id", "text", qualityQ).select("doc_id"),
       Seq("doc_id"), "left_semi")
 
-    // 3. exact dedup (full-text key, min-id survivor)
+    // 3. exact dedup (full-text key, min-id survivor) — pinned: both the
+    // LSH pair derivation and the survivor join below read it
     val exact = Dedup.exact(gated, Seq("text"), "doc_id")
+      .localCheckpoint(eager = false)
 
     // 4. near-dedup: at-scale MinHash-LSH pairs → component survivors
     val survivors = Dedup.nearDedupSurvivorsFromPairs(exact, "doc_id",
@@ -60,9 +70,11 @@ object CurationPipelineDemo {
       bench.withColumn("is_bench", lit(true))
         .unionByName(deduped.withColumn("is_bench", lit(false))),
       "doc_id", "text", benchPred = col("is_bench"))
+    // pinned: the pack layout and the final join both read `clean`
     val clean = deduped.join(
       report.where(col("contamination_bp") <= contaminationMaxBp).select("doc_id"),
       Seq("doc_id"), "left_semi")
+      .localCheckpoint(eager = false)
 
     // 6. pack into fixed context windows
     clean.join(
