@@ -104,6 +104,19 @@ object Bench {
     def runOnce(fn: (SparkSession, String) => DataFrame, dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
 
+    // Optional family-subset run (scaling experiments): SPARK_GRAFT_ONLY is
+    // a regex over query names — e.g. '^(dedup|sim)_' benches just the
+    // dedup + ANN families at a larger sf. A filtered run writes its detail
+    // to BENCH_SELF_ONLY.json so the committed full-surface BENCH_SELF.json
+    // is never clobbered by a subset.
+    val onlyRe = sys.env.get("SPARK_GRAFT_ONLY").filter(_.nonEmpty).map(_.r)
+    val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
+      onlyRe match {
+        case Some(re) => SparkEntry.queries.toSeq
+          .filter { case (n, _) => re.findFirstIn(n).isDefined }
+        case None => SparkEntry.queries.toSeq
+      }
+
     // JVM/codegen warm-up on the smallest sf so timed numbers measure the
     // engine, not JIT compilation of the first query to run.
     val warmDir = new java.io.File(sfDir).getParentFile match {
@@ -112,7 +125,7 @@ object Bench {
       case _ => None
     }
     warmDir.foreach { d =>
-      SparkEntry.queries.foreach { case (_, fn) =>
+      queries.foreach { case (_, fn) =>
         try runOnce(fn, d) catch { case _: Throwable => () }
       }
     }
@@ -138,7 +151,7 @@ object Bench {
       }
 
     val repDetail = scala.collection.mutable.LinkedHashMap[String, Seq[Rep]]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = queries.map { case (name, fn) =>
       // Collect the GC debt of prior queries OUTSIDE the timed section —
       // dead checkpoint blocks and array garbage otherwise land as a 10-20s
       // full-GC pause inside whichever query runs next (the round-2/3
@@ -201,7 +214,7 @@ object Bench {
     val sweep = sweepCounts.map { n =>
       spark.conf.set("spark.sql.shuffle.partitions", n)
       val per = Seq("q1_movierank", "q2_movierating").flatMap { name =>
-        SparkEntry.queries.get(name).map { fn =>
+        queries.collectFirst { case (`name`, fn) => fn }.map { fn =>
           val t0 = System.nanoTime()
           try runOnce(fn, sfDir) catch { case _: Throwable => () }
           name -> (System.nanoTime() - t0) / 1e9
@@ -216,7 +229,7 @@ object Bench {
     def jnum(v: Double, dp: Int): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     // Full-precision detail (incl. the partitions sweep) goes to a file; the
     // stdout contract line stays SHORT. The consumer reads a bounded tail of
     // this process's output (~2000 chars) and json-parses the result line —
@@ -232,11 +245,13 @@ object Bench {
     val detail =
       s"""{"metric":"total","value":${jd(total)},"unit":"sec","queries":$qsFull,"errors":$errs,"n_failed":${errors.size},"stalls":$stallsJson,"guard_vetoed":$vetoedJson,"host_counters_available":$hostAvailable,"rep_times":${repsJson(repDetail.toSeq)},"reps":$Reps,"sweep_partitions":$sweepJson,"sf":"$sfDir"}"""
     var detailWriteFailed = false
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
+    val detailFile =
+      if (onlyRe.isDefined) "BENCH_SELF_ONLY.json" else "BENCH_SELF.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailFile),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       detailWriteFailed = true
-      System.err.println(s"[bench] BENCH_SELF.json write failed: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+      System.err.println(s"[bench] $detailFile write failed: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
     }
     spark.stop()
     // Printed LAST (after spark.stop()'s shutdown logging) so the line sits
