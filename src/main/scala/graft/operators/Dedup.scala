@@ -478,6 +478,81 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  // ── Incremental (batch-vs-corpus) dedup ──────────────────────────────────
+
+  /** Surviving rows of a NEW batch of documents against an EXISTING corpus —
+    * the production shape of corpus maintenance: a standing 100 TB corpus is
+    * never re-clustered when data arrives; each incoming batch is
+    *   1. exact-deduped within itself (min-id survivor per text md5),
+    *   2. anti-joined against the corpus fingerprint set (exact dups), and
+    *   3. near-dup-filtered by a BIPARTITE MinHash-LSH join: batch
+    *      signatures collide with corpus signatures in banded buckets,
+    *      candidates verify with exact jaccard ≥ threshold, and a batch doc
+    *      with any verified corpus twin is dropped.
+    * Nothing joins corpus×corpus: candidate generation is batch-banded ×
+    * corpus-banded on (band, bucket), so per-batch cost is one batch-sized
+    * agg shuffle for (1), a fingerprint equi-join for (2) (left-anti can
+    * only build the corpus side: AQE broadcasts it while it is genuinely
+    * small and switches to a fingerprint-partitioned shuffled join once it
+    * is not — both sides hash-partition on the 16-byte fp, never the text),
+    * and band equi-joins for (3) whose candidate count is bounded by
+    * batch×bucket collisions. At scale
+    * the corpus fingerprints, signatures and banded buckets are a
+    * precomputed INDEX — written once, bucketed by join key, reused by every
+    * batch; here they are derived inline from `corpus` so the operator is
+    * self-contained (the derivation is itself one corpus scan + one
+    * signature agg, the same cost the index build would pay once).
+    *
+    * Same verification convention as [[minHashLsh]]: the pipeline ends in an
+    * exact-jaccard verify, so with recall ≈ 1 its output equals the exact
+    * bipartite similarity filter — which is what the oracle checks.
+    * Returns the surviving batch rows (all batch columns). */
+  def incrementalSurvivors(batch: DataFrame, corpus: DataFrame,
+                           idCol: String, textCol: String,
+                           n: Int = 3, threshold: Double = 0.8,
+                           k: Int = 64, bands: Int = 16, seed: Long = 42L,
+                           tokenHash: Column => Column = c => xxhash64(c)): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    // (1) + (2): fingerprint the batch once; the corpus side projects the
+    // fingerprint only (narrow scan — at scale, the prebuilt index).
+    val bfp = batch.withColumn("__fp", TextOps.fingerprintMd5(col(textCol)))
+    val b12 = exact(bfp, Seq("__fp"), idCol)
+      .join(corpus.select(TextOps.fingerprintMd5(col(textCol)).as("__fp")),
+        Seq("__fp"), "left_anti")
+      .drop("__fp")
+
+    // (3) bipartite banded LSH. Shingles/signatures feed banding + verify on
+    // each side — same lazy-localCheckpoint pinning as minHashLsh.
+    val bs = docShingles(b12, idCol, textCol, n).localCheckpoint(eager = false)
+    val cs = docShingles(corpus, idCol, textCol, n).localCheckpoint(eager = false)
+    def banded(sigs: DataFrame): DataFrame = sigs.select(col("id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          xxhash64(concat_ws(",", slice(col("sig"), b * lit(r) + lit(1), lit(r)))).as("bucket"))))
+        .as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val bban = banded(minHashSignatureAgg(bs, k, seed, tokenHash))
+    val cban = banded(minHashSignatureAgg(cs, k, seed, tokenHash))
+    // corpus-sized sides are never broadcast — same pinning rationale as
+    // the self-join form.
+    val candidates = bban.as("x")
+      .join(cban.hint("shuffle_hash").as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(col("x.id").as("id_b"), col("y.id").as("id_c")).distinct()
+
+    val db = bs.select(col("id").as("id_b"), col("sh").as("sh_a"), col("n_sh").as("na"))
+    val dc = cs.select(col("id").as("id_c"), col("sh").as("sh_b"), col("n_sh").as("nb"))
+    val dropIds = candidates.hint("shuffle_hash").join(db, "id_b").join(dc, "id_c")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(
+        col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    b12.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   // ── Duplicated-span detection (substring-level corpus dedup) ─────────────
 
   /** (doc id, span_hash) rows: each document split into contiguous

@@ -65,4 +65,28 @@ object Sampling {
     }
     df.where(bucket(col(keyCol)) < rate)
   }
+
+  /** At most `k` rows per key — cap-per-source downsampling (a dominant
+    * domain must not flood a training corpus). Keeps the k smallest
+    * (content-hash, id) rows per key, so membership is a pure function of
+    * content like every sampler here: stable across partitionings, engines
+    * and corpus growth (a kept row is only ever evicted by a NEW smaller
+    * hash, never by a re-shuffle). Implemented with the bounded
+    * [[graft.functions.TopKAggregator]] — map-side combine ships ≤ k rows
+    * per key per mapper; a `row_number` window instead would shuffle and
+    * SORT every key's full row set, which melts on a hot key at 100 TB
+    * (the same argument as `window_topk_agg` vs `window_topk_per_brand`).
+    * Returns (keyCol, idCol) survivors. */
+  def capPerKey(df: DataFrame, keyCol: String, textCol: String,
+                idCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    // Negated 48-bit hash (exact in Double) turns the aggregator's
+    // value-DESC order into hash-ASC selection; ties break id-ASC.
+    val scored = df.select(col(keyCol),
+      (-Dedup.md5Hash48(col(textCol)).cast("double")).as("v"),
+      col(idCol).cast("long").as("i"))
+    scored.groupBy(keyCol)
+      .agg(graft.functions.TopKAggregator.topK(k)(col("v"), col("i")).as("top"))
+      .select(col(keyCol), explode(col("top.id")).as(idCol))
+  }
 }

@@ -101,6 +101,33 @@ object DedupQueries {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // Cap-per-key downsampling: ≤ 10 docs per source, content-hash order,
+    // via the bounded TopKAggregator (never a full per-key sort). Oracle:
+    // the row_number window form — equal output proves the bounded
+    // aggregator selects exactly the window's top rows.
+    "sample_cap_per_source" -> q((s, dir) =>
+      graft.operators.Sampling.capPerKey(
+        Sources.documents(s, dir), "source", "text", "doc_id", k = 10)
+        .orderBy(col("doc_id"))),
+
+    // Incremental (batch-vs-corpus) dedup — the corpus-maintenance shape:
+    // docs with doc_id % 5 = 4 arrive as the new batch, the rest stand as
+    // the corpus; survivors = batch minus within-batch exact dups, corpus
+    // exact dups, and corpus near-dups (bipartite banded MinHash-LSH,
+    // xxhash64 at-scale token hash, never corpus×corpus). The pipeline ends
+    // in an exact-jaccard verify, so the oracle runs the bipartite EXACT
+    // similarity filter — equality proves recall 1.0 (the
+    // dedup_minhash_xxhash convention).
+    "dedup_incremental" -> q((s, dir) => {
+      val docs = Sources.documents(s, dir)
+      Dedup.incrementalSurvivors(
+        docs.where(col("doc_id") % 5 === 4),
+        docs.where(col("doc_id") % 5 =!= 4),
+        "doc_id", "text", n = 3, threshold = JaccardThreshold)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // MinHash-LSH approximate near-dup (verified precision, approx recall).
     // Registered with the md5-48 token hash so the FULL pipeline — shingle
     // hash, 64 seeded permutations, 16-band bucketing, jaccard verify — is
@@ -357,6 +384,37 @@ object DedupQueries {
         |WHERE ${hexFold48("text")} % 1000 <
         |      (CASE WHEN lang = 'de' THEN 100
         |            WHEN lang = 'en' THEN 500 ELSE 50 END)
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_cap_per_source" ->
+      s"""SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY ${hexFold48("text")} ASC, doc_id ASC) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+
+    // Bipartite exact-similarity form of the incremental pipeline: batch
+    // survivors = within-batch min-id per md5, minus exact corpus twins,
+    // minus docs with an exact-jaccard ≥ θ corpus neighbor.
+    "dedup_incremental" ->
+      raw"""$shingleCte,
+        |bsurv AS (
+        |  SELECT min(doc_id) AS doc_id
+        |  FROM documents WHERE doc_id % 5 = 4 GROUP BY md5(text)),
+        |bnoex AS (
+        |  SELECT v.doc_id FROM bsurv v JOIN documents b ON b.doc_id = v.doc_id
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM documents c
+        |    WHERE c.doc_id % 5 <> 4 AND md5(c.text) = md5(b.text))),
+        |near AS (
+        |  SELECT DISTINCT a.doc_id
+        |  FROM sh a JOIN sh b ON b.doc_id % 5 <> 4
+        |  WHERE a.doc_id IN (SELECT doc_id FROM bnoex)
+        |    AND $jaccardExpr >= 0.8)
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d JOIN bnoex USING (doc_id)
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM near)
         |ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_lsh" -> minhashOracle,

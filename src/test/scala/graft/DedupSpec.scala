@@ -95,6 +95,32 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH missed planted near-dups: ${exact -- lsh}")
   }
 
+  test("incrementalSurvivors ≡ exact bipartite filter (bounded cross-join reference)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val batch = docs.where(col("doc_id") % 5 === 4)
+    val corpus = docs.where(col("doc_id") % 5 =!= 4)
+    val got = Dedup.incrementalSurvivors(batch, corpus, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // reference: same steps with the LSH stage replaced by a brute-force
+    // bipartite jaccard (test-only cross join; 100×400 pairs at sf0.001)
+    val bfp = batch.withColumn("fp", md5(col("text").cast("binary")))
+    val b12 = Dedup.exact(bfp, Seq("fp"), "doc_id")
+      .join(corpus.select(md5(col("text").cast("binary")).as("fp")), Seq("fp"), "left_anti")
+    val shB = b12.select(col("doc_id").as("id_b"), Dedup.shingles(col("text"), 3).as("sa"))
+    val shC = corpus.select(col("doc_id").as("id_c"), Dedup.shingles(col("text"), 3).as("sb"))
+    val dropped = shB.crossJoin(shC)
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .where(round(col("inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("inter")).cast("double"), 6) >= 0.8)
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    val expected = b12.select("doc_id").collect().map(_.getLong(0)).toSet -- dropped
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+    assert(got.nonEmpty && got.size < batch.count(),
+      "the batch must lose at least one doc to the corpus for the test to bite")
+  }
+
   test("simHashNearDupPairs: pigeonhole banding ≡ brute-force hamming join") {
     import graft.functions.SimHash64
     import graft.operators.TextOps

@@ -34,6 +34,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(train.size + eval.size == docs.count(), "splits must cover")
   }
 
+  test("capPerKey: ≤ k per key, selects the window's rows, partition-invariant") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.expressions.Window
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = pairs(Sampling.capPerKey(docs, "source", "text", "doc_id", 10))
+    val perKey = got.groupBy(_._1).map(_._2.size)
+    assert(perKey.nonEmpty && perKey.forall(_ <= 10))
+    // the bounded aggregator must pick exactly the row_number window's rows
+    val w = Window.partitionBy("source")
+      .orderBy(Dedup.md5Hash48(col("text")).asc, col("doc_id").asc)
+    val ref = pairs(docs.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 10).select("source", "doc_id"))
+    assert(got == ref, "capPerKey must equal the window form")
+    // content-hash membership: invariant under repartitioning
+    val re = pairs(Sampling.capPerKey(
+      docs.repartition(17), "source", "text", "doc_id", 10))
+    assert(re == got, "cap membership must not depend on partitioning")
+  }
+
   test("stratifiedHashSample: per-stratum rates hit their targets") {
     val sampled = Sampling.stratifiedHashSample(
       docs, "text", "lang", Map("en" -> 1000), defaultPermille = 0)
