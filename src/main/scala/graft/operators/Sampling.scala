@@ -89,4 +89,43 @@ object Sampling {
       .agg(graft.functions.TopKAggregator.topK(k)(col("v"), col("i")).as("top"))
       .select(col(keyCol), explode(col("top.id")).as(idCol))
   }
+
+  /** Deterministic budget head: keep rows, in content-hash order, while the
+    * running `weightCol` total (tokens, chars, bytes) stays within `budget`
+    * — corpus truncation to a target training-token count, reproducibly
+    * ("the first N tokens' worth of the corpus"). Selection order is
+    * (hash-bucket, content-hash, id): a pure content permutation, so
+    * membership is partitioning/engine-independent like every sampler here.
+    *
+    * The running sum is a TWO-LEVEL prefix sum — the scale-correct shape
+    * for a global cumulative sum, which as a single window would sort the
+    * entire corpus in ONE partition:
+    *   1. per-bucket weight totals — one tiny agg (`buckets` rows);
+    *   2. running offsets over that metadata-sized table (the only
+    *      unpartitioned window, over `buckets` rows — driver-trivial);
+    *   3. offsets broadcast back; each bucket computes its own window
+    *      cumsum over |corpus|/buckets rows in parallel.
+    * At larger scale raise `buckets`: stage 2 stays metadata-sized while
+    * stage 3's per-partition sort shrinks proportionally. */
+  def budgetHead(df: DataFrame, textCol: String, weightCol: String,
+                 idCol: String, budget: Long, buckets: Int = 64): DataFrame = {
+    require(budget >= 0 && buckets > 0, "budget >= 0, buckets > 0")
+    import org.apache.spark.sql.expressions.Window
+    val withB = df
+      .withColumn("__h", Dedup.md5Hash48(col(textCol)))
+      .withColumn("__b", pmod(col("__h"), lit(buckets.toLong)))
+    val perBucket = withB.groupBy(col("__b"))
+      .agg(sum(col(weightCol).cast("long")).as("__t"))
+    val wB = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perBucket
+      .withColumn("__off", coalesce(sum(col("__t")).over(wB), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("__h"), col(idCol))
+    withB.join(broadcast(offsets), "__b")
+      .withColumn("__cum",
+        col("__off") + sum(col(weightCol).cast("long")).over(wIn))
+      .where(col("__cum") <= budget)
+      .select(df.columns.map(col): _*)
+  }
 }

@@ -110,6 +110,19 @@ object DedupQueries {
         Sources.documents(s, dir), "source", "text", "doc_id", k = 10)
         .orderBy(col("doc_id"))),
 
+    // Deterministic weight-budget head: the first ~60k chars' worth of the
+    // corpus in content-hash order, via a two-level prefix sum (per-bucket
+    // totals → metadata-sized running offsets → per-bucket parallel window)
+    // — no global single-partition sort. Oracle: the global window cumsum
+    // over the same (bucket, hash, id) order — equality proves the
+    // decomposition exact.
+    "sample_budget_head" -> q((s, dir) =>
+      graft.operators.Sampling.budgetHead(
+        Sources.documents(s, dir), "text", "n_chars", "doc_id",
+        budget = 60000L, buckets = 64)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
     // Incremental (batch-vs-corpus) dedup — the corpus-maintenance shape:
     // docs with doc_id % 5 = 4 arrive as the new batch, the rest stand as
     // the corpus; survivors = batch minus within-batch exact dups, corpus
@@ -393,6 +406,15 @@ object DedupQueries {
         |                            ORDER BY ${hexFold48("text")} ASC, doc_id ASC) AS rn
         |  FROM documents)
         |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+
+    "sample_budget_head" ->
+      s"""SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |         sum(n_chars) OVER (ORDER BY h % 64, h, doc_id
+        |                            ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM (SELECT doc_id, n_chars, ${hexFold48("text")} AS h
+        |        FROM documents))
+        |WHERE cum <= 60000 ORDER BY doc_id""".stripMargin,
 
     // Bipartite exact-similarity form of the incremental pipeline: batch
     // survivors = within-batch min-id per md5, minus exact corpus twins,

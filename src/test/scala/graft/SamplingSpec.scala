@@ -54,6 +54,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(re == got, "cap membership must not depend on partitioning")
   }
 
+  test("budgetHead: two-level prefix sum ≡ global cumsum, budget respected") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.expressions.Window
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = ids(Sampling.budgetHead(docs, "text", "n_chars", "doc_id",
+      budget = 60000L, buckets = 64))
+    // reference: ONE global window over the same (bucket, hash, id) order —
+    // the form the decomposition must reproduce exactly
+    val h = Dedup.md5Hash48(col("text"))
+    val w = Window.orderBy(pmod(h, lit(64L)), h, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = docs.withColumn("cum", sum(col("n_chars").cast("long")).over(w))
+      .where(col("cum") <= 60000L)
+    assert(got == ids(ref), "decomposed cumsum must equal the global window")
+    assert(got.nonEmpty && got.size < docs.count(), "the budget must bite")
+    val kept = docs.where(col("doc_id").isInCollection(got))
+      .agg(sum(col("n_chars").cast("long"))).collect()(0).getLong(0)
+    assert(kept <= 60000L, s"kept weight $kept exceeds the budget")
+    val re = ids(Sampling.budgetHead(docs.repartition(17), "text", "n_chars",
+      "doc_id", budget = 60000L, buckets = 64))
+    assert(re == got, "membership must not depend on partitioning")
+  }
+
   test("stratifiedHashSample: per-stratum rates hit their targets") {
     val sampled = Sampling.stratifiedHashSample(
       docs, "text", "lang", Map("en" -> 1000), defaultPermille = 0)
