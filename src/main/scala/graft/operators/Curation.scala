@@ -166,6 +166,110 @@ object Curation {
   def scrubText(text: Column, blocklist: Seq[String]): Column =
     regexp_replace(scrubEmailUrl(text), blockRegex(blocklist), "<BLOCKED>")
 
+  /** Filter-cascade attrition report — the observability primitive of a
+    * curation pipeline: given an ORDERED list of named keep-predicates (the
+    * RefinedWeb/Gopher filter chain shape), report per stage how many
+    * documents entered, were dropped there, and survived. A doc charges its
+    * drop to the FIRST failing stage (cascade semantics — later filters
+    * never see it), so the corpus is scanned ONCE: the first-failing-stage
+    * index is a single `when`-chain column, the per-stage counts are one
+    * tiny aggregate (≤ |filters|+1 rows), and the in/out running totals are
+    * a window over that metadata-sized table — explicitly NOT a per-stage
+    * corpus pass (n stages would cost n scans and n actions).
+    *
+    * A predicate evaluating to null counts as a failure (a doc you can't
+    * score is a doc you drop — the conservative curation default).
+    *
+    * Output: (stage, name, n_in, n_dropped, n_out), one row per filter in
+    * cascade order; n_out of stage k = n_in of stage k+1.
+    */
+  def filterCascade(docs: DataFrame,
+                    filters: Seq[(String, Column)]): DataFrame = {
+    require(filters.nonEmpty, "need at least one filter")
+    require(filters.map(_._1).distinct.size == filters.size,
+      "filter names must be unique")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // 1-based index of the first failing predicate; 0 = survived all.
+    val firstFail = filters.zipWithIndex.foldRight(lit(0)) {
+      case (((_, pred), i), rest) =>
+        when(!coalesce(pred, lit(false)), lit(i + 1)).otherwise(rest)
+    }
+    val byStage = docs.select(firstFail.as("stage"))
+      .groupBy(col("stage")).agg(count(lit(1)).as("n"))
+    val stages = filters.zipWithIndex
+      .map { case ((name, _), i) => (i + 1, name) }.toDF("stage", "name")
+    val total = byStage.agg(sum(col("n")).as("n_total"))
+    // unpartitioned window over |filters| rows — metadata-sized by design
+    val w = Window.orderBy(col("stage")).rowsBetween(Window.unboundedPreceding, -1)
+    stages.join(byStage, Seq("stage"), "left")
+      .select(col("stage"), col("name"),
+        coalesce(col("n"), lit(0L)).as("n_dropped"))
+      .crossJoin(broadcast(total))
+      .withColumn("n_in",
+        col("n_total") - coalesce(sum(col("n_dropped")).over(w), lit(0L)))
+      .select(col("stage"), col("name"), col("n_in"), col("n_dropped"),
+        (col("n_in") - col("n_dropped")).as("n_out"))
+  }
+
+  /** Cross-document boilerplate REMOVAL — the rewrite form of
+    * [[Dedup.duplicateSpans]] (which only reports): every document is split
+    * into aligned `spanTokens`-token chunks (the same chunk/hash basis as
+    * X39, so the two operators agree on what a span is), chunks whose hash
+    * occurs in ≥ `minDocs` DISTINCT documents are dropped, and each
+    * document's text is rebuilt from its surviving chunks in position order
+    * plus the unhashed tail fragment (tokens past the last full chunk —
+    * never removed, because a partial tail hashes differently per doc
+    * length and can't be corpus-matched). This is the C4/RefinedWeb
+    * repeated-line scrub reshaped for continuous text.
+    *
+    * Plan shape: one narrow chunk explode (pinned — it feeds both the
+    * frequency aggregate and the rebuild), one span_hash-partitioned
+    * aggregate for the boilerplate set, one anti-join on span_hash, and one
+    * doc_id-partitioned rebuild aggregate. Nothing is doc×doc; the
+    * boilerplate hash set is corpus-derived but output-bounded (hashes
+    * appearing ≥ minDocs times), and the rebuild's `array_sort` orders each
+    * doc's OWN chunks — bounded by doc length, not corpus size.
+    *
+    * Output: (doc_id, clean_text, n_spans, n_removed). Docs shorter than one
+    * chunk pass through verbatim with n_spans = 0.
+    */
+  def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                       spanTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(spanTokens > 0 && minDocs >= 2,
+      "spanTokens must be positive; minDocs below 2 would strip every chunk")
+    val base = docs.select(col(idCol).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("tk"))
+      .withColumn("n_chunks", (size(col("tk")) / spanTokens).cast("int"))
+    val chunks = base.where(col("n_chunks") > 0)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), col("n_chunks") - 1),
+          i => slice(col("tk"), i * spanTokens + 1, lit(spanTokens)))))
+      .select(col("doc_id"), col("pos"), col("col").as("ctk"),
+        md5(concat_ws(" ", col("col")).cast("binary")).as("span_hash"))
+      .localCheckpoint(eager = false)
+    val boiler = chunks.groupBy(col("span_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select(col("span_hash"))
+    val kept = chunks.join(boiler, Seq("span_hash"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+          array_sort(collect_list(struct(col("pos"), col("ctk")))),
+          x => x.getField("ctk"))).as("body"),
+        count(lit(1)).as("n_kept"))
+    base.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat_ws(" ", concat(
+          coalesce(col("body"), array().cast("array<string>")),
+          slice(col("tk"), col("n_chunks") * spanTokens + 1,
+            greatest(size(col("tk")) - col("n_chunks") * spanTokens, lit(0)))))
+          .as("clean_text"),
+        col("n_chunks").cast("long").as("n_spans"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).cast("long")
+          .as("n_removed"))
+  }
+
   /** Concat-and-chunk sequence packing: the pretraining layout that
     * concatenates documents within a pack group and slices the token stream
     * into fixed `chunkTokens` context windows. Emits, per document, its

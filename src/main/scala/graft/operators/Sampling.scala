@@ -66,6 +66,54 @@ object Sampling {
     df.where(bucket(col(keyCol)) < rate)
   }
 
+  /** Resample to TARGET MIXTURE PROPORTIONS — the data-mixing primitive: a
+    * pretraining recipe specifies the final corpus composition ("50% en,
+    * 25% fr, 12.5% de, 12.5% es"), not per-stratum keep rates. Given target
+    * shares in permille of the FINAL mix, the operator derives the largest
+    * achievable total T (the binding stratum is kept whole; every other
+    * stratum downsamples to its share of T) and keeps each stratum at its
+    * derived hash-rate. Strata absent from `sharesPermille` are dropped.
+    *
+    * The derivation is INTEGER arithmetic end to end (`div`, the
+    * contamination_bp lesson: floor over a double quotient disagrees with
+    * integer floor-div at large counts):
+    *   T          = min over strata of (n_s · 1000 div w_s)
+    *   target_s   = T · w_s div 1000
+    *   permille_s = target_s · 1000 div n_s
+    * so the derived rates — and therefore membership — are bit-identical in
+    * any engine. Membership itself is the [[hashSample]] content-hash rule.
+    *
+    * Plan shape: one tiny per-stratum count aggregate (|strata| rows), a
+    * 1-row min, rates broadcast back, then a narrow filter scan — the corpus
+    * is shuffled zero times. The realized mix tracks the target to hash-rate
+    * granularity (±1 permille per stratum), which at corpus scale is
+    * exact-to-rounding; membership is stable under repartition and growth
+    * only WITHIN a stratum count snapshot (rates re-derive as counts move —
+    * that is the semantics of a proportion target, unlike [[hashSample]]'s
+    * fixed rate).
+    */
+  def mixtureSample(df: DataFrame, keyCol: String, strataCol: String,
+                    sharesPermille: Map[String, Int]): DataFrame = {
+    require(sharesPermille.nonEmpty &&
+      sharesPermille.values.forall(w => w > 0 && w <= 1000),
+      "shares must be positive permille values")
+    require(sharesPermille.values.sum <= 1000,
+      "shares must sum to at most 1000 permille")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shares = sharesPermille.toSeq.toDF(strataCol, "__w")
+    val counts = df.join(broadcast(shares), strataCol)
+      .groupBy(col(strataCol), col("__w"))
+      .agg(count(lit(1)).as("__n"))
+    val maxTotal = counts.agg(min(expr("__n * 1000 div __w")).as("__T"))
+    val rates = counts.crossJoin(broadcast(maxTotal))
+      .select(col(strataCol),
+        expr("((__T * __w) div 1000) * 1000 div __n").as("__p"))
+    df.join(broadcast(rates), strataCol)
+      .where(bucket(col(keyCol)) < col("__p"))
+      .select(df.columns.map(col): _*)
+  }
+
   /** At most `k` rows per key — cap-per-source downsampling (a dominant
     * domain must not flood a training corpus). Keeps the k smallest
     * (content-hash, id) rows per key, so membership is a pure function of

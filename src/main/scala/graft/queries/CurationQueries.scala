@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.{Sources, Tuning}
-import graft.operators.Curation
+import graft.operators.{Curation, TextOps, Versioning}
 
 /** Corpus-curation query registry over the `documents` table: benchmark
   * decontamination, quantile quality gating, sequence packing — the passes a
@@ -78,6 +78,38 @@ object CurationQueries {
         nGroups = 8, chunkTokens = 256)
         .orderBy(col("pack_group"), col("doc_id"))),
 
+    // Filter-cascade attrition: the RefinedWeb-style ordered filter chain
+    // with per-stage in/dropped/out counts, computed in ONE corpus scan
+    // (first-failing-stage when-chain + a metadata-sized window).
+    "text_filter_cascade" -> q((s, dir) =>
+      Curation.filterCascade(Sources.documents(s, dir), Seq(
+        "min_len" -> (col("n_chars") >= 150),
+        "lang_known" -> col("lang").isin("en", "fr", "de", "es"),
+        "token_min" -> (size(TextOps.tokens(col("text"))) >= 40),
+        "no_blocklist" -> !col("text").rlike("\\bspark\\b")))
+        .orderBy(col("stage"))),
+
+    // Corpus snapshot diff: old = docs without id%7=6, new = docs without
+    // id%5=4 with id%11=3 texts edited — exercises added / removed /
+    // changed in one deterministic derivation from the input table.
+    "corpus_snapshot_diff" -> q((s, dir) => {
+      val d = Sources.documents(s, dir)
+      val oldSnap = d.where(col("doc_id") % 7 =!= 6)
+      val newSnap = d.where(col("doc_id") % 5 =!= 4)
+        .withColumn("text", when(col("doc_id") % 11 === 3,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      Versioning.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Cross-doc boilerplate removal: drop aligned 8-token spans shared by
+    // ≥ 2 docs, rebuild each doc from surviving spans + tail. The rewrite
+    // form of dedup_span_hashes (same chunk/hash basis).
+    "text_strip_boilerplate" -> q((s, dir) =>
+      Curation.stripBoilerplate(Sources.documents(s, dir), "doc_id", "text",
+        spanTokens = 8, minDocs = 2)
+        .orderBy(col("doc_id"))),
+
     // Blocklist/PII scrub: redaction count + post-scrub fingerprint. The
     // blocklist words occur in this corpus so real redactions are compared;
     // the email/URL patterns are exercised on synthetic rows in CurationSpec.
@@ -137,6 +169,75 @@ object CurationQueries {
     "text_quality_gate_approx" ->
       """SELECT count(*)::bigint AS n_docs, 1 AS thr_in_band, 1 AS kept_in_band
         |FROM documents""".stripMargin,
+
+    // Same first-failing-stage CASE (null predicates can't arise here: every
+    // column is non-null), same cascade accounting over the stage table.
+    "text_filter_cascade" ->
+      raw"""WITH f AS (
+        |  SELECT CASE WHEN NOT (n_chars >= 150) THEN 1
+        |              WHEN NOT (lang IN ('en','fr','de','es')) THEN 2
+        |              WHEN NOT (len($toks) >= 40) THEN 3
+        |              WHEN regexp_matches(text, '\bspark\b') THEN 4
+        |              ELSE 0 END AS stage
+        |  FROM documents),
+        |g AS (SELECT stage, count(*) AS n FROM f GROUP BY stage),
+        |s(stage, name) AS (VALUES (1, 'min_len'), (2, 'lang_known'),
+        |                          (3, 'token_min'), (4, 'no_blocklist')),
+        |tot AS (SELECT count(*) AS n_total FROM documents),
+        |d AS (SELECT s.stage, s.name, coalesce(g.n, 0) AS n_dropped
+        |      FROM s LEFT JOIN g USING (stage)),
+        |e AS (SELECT stage, name, n_dropped,
+        |        n_total - coalesce(sum(n_dropped) OVER (ORDER BY stage
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_in
+        |      FROM d, tot)
+        |SELECT stage, name, n_in::bigint AS n_in,
+        |       n_dropped::bigint AS n_dropped,
+        |       (n_in - n_dropped)::bigint AS n_out
+        |FROM e ORDER BY stage""".stripMargin,
+
+    // md5 membership/content compare on both sides; the FULL JOIN emits the
+    // delta only, like the operator.
+    "corpus_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS old_md5 FROM documents
+        |           WHERE doc_id % 7 <> 6),
+        |n AS (SELECT doc_id,
+        |        md5(CASE WHEN doc_id % 11 = 3 THEN text || ' v2'
+        |                 ELSE text END) AS new_md5
+        |      FROM documents WHERE doc_id % 5 <> 4),
+        |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, old_md5, new_md5,
+        |        CASE WHEN old_md5 IS NULL THEN 'added'
+        |             WHEN new_md5 IS NULL THEN 'removed'
+        |             WHEN old_md5 <> new_md5 THEN 'changed' END AS status
+        |      FROM o FULL JOIN n ON o.doc_id = n.doc_id)
+        |SELECT doc_id, status, old_md5, new_md5 FROM j
+        |WHERE status IS NOT NULL ORDER BY doc_id""".stripMargin,
+
+    // Same chunk decomposition as the dedup_span_hashes oracle (DuckDB list
+    // slice is inclusive 1-based; range() half-open); rebuild = kept chunks
+    // flattened in position order + the unhashed tail, single-space joined —
+    // both engines rebuild from the SAME token array, so the strings are
+    // byte-identical.
+    "text_strip_boilerplate" ->
+      raw"""WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, i AS pos, tk[i*8+1 : i*8+8] AS ctk,
+        |         md5(array_to_string(tk[i*8+1 : i*8+8], ' ')) AS h
+        |  FROM (SELECT doc_id, tk, unnest(range(0, len(tk) // 8)) AS i FROM t)),
+        |boiler AS (
+        |  SELECT h FROM c GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |kept AS (
+        |  SELECT doc_id, flatten(list(ctk ORDER BY pos)) AS body,
+        |         count(*) AS n_kept
+        |  FROM c WHERE h NOT IN (SELECT h FROM boiler) GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  coalesce(array_to_string(list_concat(coalesce(k.body, []),
+        |                              tk[len(tk) // 8 * 8 + 1 : len(tk)]),
+        |                  ' '), '') AS clean_text,
+        |  (len(tk) // 8)::bigint AS n_spans,
+        |  ((len(tk) // 8) - coalesce(k.n_kept, 0))::bigint AS n_removed
+        |FROM t LEFT JOIN kept k USING (doc_id) ORDER BY t.doc_id""".stripMargin,
 
     // Same scrub pipeline in DuckDB (RE2): Spark regexp_replace is
     // replace-all by default → 'g' flag; md5(text) ≡ Spark md5(utf8 bytes).

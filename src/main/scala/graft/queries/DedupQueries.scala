@@ -123,6 +123,42 @@ object DedupQueries {
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    // Target-mixture resampling (data mixing): derive per-language keep
+    // rates from target shares of the FINAL mix (50/25/12.5/12.5 en/fr/de/
+    // es; zh unlisted → dropped), integer arithmetic end to end so the
+    // rates — and membership — are bit-identical in the oracle.
+    "sample_mixture_lang" -> q((s, dir) =>
+      graft.operators.Sampling.mixtureSample(
+        Sources.documents(s, dir), "text", "lang",
+        sharesPermille = Map("en" -> 500, "fr" -> 250, "de" -> 125, "es" -> 125))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // Bloom-filter membership screen in front of exact incremental dedup:
+    // docs with doc_id % 5 = 4 probe a 4096-bit / 4-hash index built over
+    // the rest. The md5-48 double-hash basis makes build AND probe —
+    // including which keys false-positive — bit-reproducible in the oracle,
+    // which replays the whole filter, not a summary. exact_hit alongside
+    // pins the no-false-negative property inside the hash compare.
+    "dedup_bloom_probe" -> q((s, dir) => {
+      val docs = Sources.documents(s, dir)
+      val corpus = docs.where(col("doc_id") % 5 =!= 4)
+      val batch = docs.where(col("doc_id") % 5 === 4)
+      val (m, k) = (4096L, 4)
+      val probed = graft.operators.Bloom.probe(batch, "doc_id", "text",
+        graft.operators.Bloom.buildIndex(corpus, "text", m, k), m, k)
+      val corpusFp = corpus
+        .select(md5(col("text").cast("binary")).as("fp"), lit(1).as("__e"))
+        .distinct()
+      batch.select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+        .join(corpusFp, Seq("fp"), "left")
+        .select(col("doc_id"), col("__e").isNotNull.cast("int").as("exact_hit"))
+        .join(probed, Seq("doc_id"))
+        .select(col("doc_id"), col("bloom_hit").cast("int").as("bloom_hit"),
+          col("exact_hit"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Incremental (batch-vs-corpus) dedup — the corpus-maintenance shape:
     // docs with doc_id % 5 = 4 arrive as the new batch, the rest stand as
     // the corpus; survivors = batch minus within-batch exact dups, corpus
@@ -415,6 +451,40 @@ object DedupQueries {
         |  FROM (SELECT doc_id, n_chars, ${hexFold48("text")} AS h
         |        FROM documents))
         |WHERE cum <= 60000 ORDER BY doc_id""".stripMargin,
+
+    // Same integer rate derivation (// ≡ Spark div), same hash fold.
+    "sample_mixture_lang" ->
+      s"""WITH w(lang, w) AS (VALUES ('en', 500), ('fr', 250),
+        |                           ('de', 125), ('es', 125)),
+        |c AS (SELECT d.lang, any_value(w.w) AS w, count(*) AS n
+        |      FROM documents d JOIN w USING (lang) GROUP BY d.lang),
+        |t AS (SELECT min(n * 1000 // w) AS T FROM c),
+        |r AS (SELECT lang, ((T * w) // 1000) * 1000 // n AS p FROM c, t)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+        |WHERE ${hexFold48("d.text")} % 1000 < r.p
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Full Bloom replay: Kirsch–Mitzenmacher positions over the same two
+    // md5-48 folds, distinct corpus positions as the bitset, all-4-hit
+    // probe; exact_hit from text membership directly.
+    "dedup_bloom_probe" ->
+      s"""WITH corpus AS (SELECT text FROM documents WHERE doc_id % 5 <> 4),
+        |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4),
+        |idx AS (
+        |  SELECT DISTINCT (h1 + i * h2) % 4096 AS pos, 1 AS hit
+        |  FROM (SELECT ${hexFold48("text")} AS h1,
+        |               ${hexFold48("text || '#bloom'")} * 2 + 1 AS h2
+        |        FROM corpus), range(0, 4) r(i)),
+        |probe AS (
+        |  SELECT doc_id, (h1 + i * h2) % 4096 AS pos
+        |  FROM (SELECT doc_id, ${hexFold48("text")} AS h1,
+        |               ${hexFold48("text || '#bloom'")} * 2 + 1 AS h2
+        |        FROM batch), range(0, 4) r(i)),
+        |bh AS (SELECT doc_id, (count(idx.hit) = 4)::int AS bloom_hit
+        |       FROM probe LEFT JOIN idx USING (pos) GROUP BY doc_id)
+        |SELECT b.doc_id, bh.bloom_hit,
+        |       (b.text IN (SELECT text FROM corpus))::int AS exact_hit
+        |FROM batch b JOIN bh USING (doc_id) ORDER BY b.doc_id""".stripMargin,
 
     // Bipartite exact-similarity form of the incremental pipeline: batch
     // survivors = within-batch min-id per md5, minus exact corpus twins,

@@ -31,12 +31,14 @@ class AllQueriesSpec extends AnyFunSuite {
     // definition) QUERY set against one corpus scan with a non-equi
     // self-exclusion — a bounded broadcast nested loop, not a corpus×corpus
     // blowup (sim_topk_pq reads only the m code ints per corpus row).
-    // text_quality_gate (+ its approx twin) and agg_hll_union cross-join
-    // ONE-row aggregate scalars (a quantile threshold / band stats / a
-    // sketch estimate) — the broadcast side is a single row by
-    // construction. Everything else must stay equi.
+    // text_quality_gate (+ its approx twin), agg_hll_union,
+    // text_filter_cascade (the corpus total) and sample_mixture_lang (the
+    // max-achievable-total scalar) cross-join ONE-row aggregate scalars —
+    // the broadcast side is a single row by construction. Everything else
+    // must stay equi.
     val allowed = Set("sim_topk_bruteforce", "sim_topk_pq",
-      "text_quality_gate", "text_quality_gate_approx", "agg_hll_union")
+      "text_quality_gate", "text_quality_gate_approx", "agg_hll_union",
+      "text_filter_cascade", "sample_mixture_lang")
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       if (allowed(name)) None
       else {

@@ -129,4 +129,47 @@ class CurationSpec extends AnyFunSuite {
     assert(re.collect().toSet == out.collect().toSet,
       "packing must not depend on input partitioning")
   }
+
+  test("stripBoilerplate: shared spans removed from every doc, unique spans and tails kept") {
+    import spark.implicits._
+    // span = 4 tokens; "nav bar home login" is the shared boilerplate chunk
+    val boiler = "nav bar home login"
+    val d = Seq(
+      (0L, s"$boiler alpha beta gamma delta tail1"),       // boiler + unique + tail
+      (1L, s"$boiler one two three four"),                 // boiler + unique, no tail
+      (2L, "five six seven eight extra"),                  // unique only + tail
+      (3L, "tiny doc")                                     // shorter than one span
+    ).toDF("doc_id", "text")
+    val r = Curation.stripBoilerplate(d, "doc_id", "text", spanTokens = 4, minDocs = 2)
+      .collect().map(x => x.getLong(0) -> (x.getString(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(0L) == (("alpha beta gamma delta tail1", 2L, 1L)),
+      s"doc 0 must lose only the shared span: ${r(0L)}")
+    assert(r(1L) == (("one two three four", 2L, 1L)))
+    assert(r(2L) == (("five six seven eight extra", 1L, 0L)),
+      "a chunk unique to one doc must survive")
+    assert(r(3L) == (("tiny doc", 0L, 0L)),
+      "docs shorter than one span pass through verbatim")
+    // a doc that is ALL boilerplate collapses to empty text
+    val all = Seq((0L, boiler), (1L, boiler)).toDF("doc_id", "text")
+    val rr = Curation.stripBoilerplate(all, "doc_id", "text", spanTokens = 4, minDocs = 2)
+      .collect().map(x => (x.getString(1), x.getLong(3))).toSet
+    assert(rr == Set(("", 1L)), s"all-boilerplate docs must empty out: $rr")
+  }
+
+  test("filterCascade: first failing stage charged, accounting chains, null predicate fails") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, 10, "en"),   // fails stage 1 (and would fail 2 — charged to 1 only)
+      (1L, 100, "xx"),  // fails stage 2
+      (2L, 100, "en"),  // survives
+      (3L, 100, null)   // null predicate at stage 2 → counts as a failure
+    ).toDF("doc_id", "n", "lang")
+    val out = Curation.filterCascade(d, Seq(
+        "big_enough" -> (col("n") >= 50),
+        "lang_en" -> (col("lang") === "en")))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1, "big_enough", 4L, 1L, 3L),
+      (2, "lang_en", 3L, 2L, 1L)), s"cascade accounting wrong: ${out.toSeq}")
+  }
 }

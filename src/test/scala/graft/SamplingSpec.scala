@@ -54,6 +54,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(re == got, "cap membership must not depend on partitioning")
   }
 
+  test("mixtureSample: realized mix tracks target shares, unlisted strata dropped") {
+    val shares = Map("en" -> 500, "fr" -> 250, "de" -> 125, "es" -> 125)
+    val out = Sampling.mixtureSample(docs, "text", "lang", shares)
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    val byLang = out.groupBy(_._2).map { case (l, v) => l -> v.size }
+    assert(!byLang.contains("zh"), "strata outside the recipe must be dropped")
+    // replicate the integer rate derivation and check realized counts track
+    // floor(permille · n / 1000) to hash-rate granularity
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t = shares.map { case (l, w) => counts(l) * 1000L / w }.min
+    shares.foreach { case (l, w) =>
+      val p = (t * w / 1000L) * 1000L / counts(l)
+      val target = p * counts(l) / 1000.0
+      val got = byLang.getOrElse(l, 0)
+      assert(math.abs(got - target) <= math.max(3, 0.35 * target),
+        s"$l: got $got, derived-rate target ≈ $target (p=$p‰ of ${counts(l)})")
+    }
+    // content-hash membership: invariant under repartitioning
+    val re = Sampling.mixtureSample(docs.repartition(17), "text", "lang", shares)
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(re.toSet == out.toSet, "mixture membership must not depend on partitioning")
+  }
+
   test("budgetHead: two-level prefix sum ≡ global cumsum, budget respected") {
     import graft.operators.Dedup
     import org.apache.spark.sql.expressions.Window

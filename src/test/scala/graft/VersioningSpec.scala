@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Versioning
+
+/** Snapshot-diff guarantees: exact added/removed/changed classification,
+  * unchanged docs never emitted (delta-sized output), fingerprints present
+  * exactly on the sides where the doc exists. */
+class VersioningSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("snapshotDiff: classifies added/removed/changed, suppresses unchanged") {
+    import spark.implicits._
+    val oldSnap = Seq(
+      (1L, "same text"), (2L, "will change"), (3L, "will vanish")
+    ).toDF("doc_id", "text")
+    val newSnap = Seq(
+      (1L, "same text"), (2L, "changed text"), (4L, "brand new")
+    ).toDF("doc_id", "text")
+    val out = Versioning.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.getString(2)), Option(r.getString(3)))).toMap
+    assert(!out.contains(1L), "unchanged docs must not be emitted")
+    assert(out(2L)._1 == "changed" && out(2L)._2.isDefined && out(2L)._3.isDefined)
+    assert(out(2L)._2 != out(2L)._3, "changed rows carry both fingerprints, differing")
+    assert(out(3L) == (("removed", out(3L)._2, None)) && out(3L)._2.isDefined)
+    assert(out(4L) == (("added", None, out(4L)._3)) && out(4L)._3.isDefined)
+    assert(out.size == 3)
+  }
+
+  test("snapshotDiff: identical snapshots yield an empty delta") {
+    import spark.implicits._
+    val snap = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    assert(Versioning.snapshotDiff(snap, snap, "doc_id", "text").count() == 0)
+  }
+}
