@@ -195,8 +195,13 @@ object Curation {
       case (((_, pred), i), rest) =>
         when(!coalesce(pred, lit(false)), lit(i + 1)).otherwise(rest)
     }
+    // pinned: the tiny per-stage count table feeds BOTH the report join and
+    // the total — without the pin each consumer re-executes the corpus scan
+    // (exchange reuse does not cover pre-exchange scans), turning the
+    // operator's one-scan claim into two.
     val byStage = docs.select(firstFail.as("stage"))
       .groupBy(col("stage")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
     val stages = filters.zipWithIndex
       .map { case ((name, _), i) => (i + 1, name) }.toDF("stage", "name")
     val total = byStage.agg(sum(col("n")).as("n_total"))

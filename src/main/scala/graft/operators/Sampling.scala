@@ -102,9 +102,13 @@ object Sampling {
     val spark = df.sparkSession
     import spark.implicits._
     val shares = sharesPermille.toSeq.toDF(strataCol, "__w")
+    // pinned: the |strata|-row count table feeds BOTH the min-total and the
+    // rate projection — unpinned, each consumer re-runs the corpus count
+    // scan (pre-exchange scans are outside Spark's exchange reuse).
     val counts = df.join(broadcast(shares), strataCol)
       .groupBy(col(strataCol), col("__w"))
       .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(eager = false)
     val maxTotal = counts.agg(min(expr("__n * 1000 div __w")).as("__T"))
     val rates = counts.crossJoin(broadcast(maxTotal))
       .select(col(strataCol),
