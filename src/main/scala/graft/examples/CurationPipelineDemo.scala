@@ -7,8 +7,8 @@ import graft.operators.{Curation, Dedup}
 /** End-to-end training-corpus curation: the library's operators composed in
   * the canonical pipeline order a pretraining data job runs —
   *
-  *   scrub → quality gate → exact dedup → near-dedup survivors →
-  *   benchmark decontamination → sequence packing
+  *   scrub → boilerplate strip → quality gate → exact dedup →
+  *   near-dedup survivors → benchmark decontamination → sequence packing
   *
   * [[curate]] is ONE lazy DataFrame program: no stage runs anything by
   * itself, so Catalyst sees the whole pipeline (column pruning reaches the
@@ -48,7 +48,15 @@ object CurationPipelineDemo {
     val scrubbed = docs.select(col("doc_id"), benchPred.as("is_bench"),
       Curation.scrubText(col("text"), blocklist).as("text"))
     val bench = scrubbed.where(col("is_bench")).select("doc_id", "text")
-    val train = scrubbed.where(!col("is_bench")).select("doc_id", "text")
+    val train0 = scrubbed.where(!col("is_bench")).select("doc_id", "text")
+
+    // 1b. strip cross-doc boilerplate spans — every later signal (quality,
+    // dedup, decontamination) then measures CONTENT, not shared chrome.
+    // Pinned: the stripped corpus feeds the gate's threshold pass AND the
+    // gated semi-join (the same fan-out rationale as `exact`/`clean`).
+    val train = Curation.stripBoilerplate(train0, "doc_id", "text")
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .localCheckpoint(eager = false)
 
     // 2. quality gate: drop the bottom quality quantile
     val gated = train.join(

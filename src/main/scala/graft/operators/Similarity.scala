@@ -430,6 +430,55 @@ object Similarity {
     * (≥0.9, true near-dups) prefer the sub-quadratic candidate paths
     * ([[lshTopK]] buckets, [[Dedup.minHashLsh]]/[[Dedup.simHashNearDupPairs]]
     * for text) with this exact form as their recall oracle. */
+  /** SemDeDup-style CELL-RESTRICTED near-dup pairs — the sub-quadratic
+    * production path for embedding dedup (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * a k-means coarse quantizer assigns every vector to its nearest cell
+    * (the [[ivfTopK]] assignment, same trained centroids), and candidate
+    * pairs form ONLY within a cell — an EQUI self-join on the cell id with
+    * the cosine threshold inside the join condition. Near-duplicates are
+    * near-identical vectors, so they share an argmin cell unless they
+    * straddle a boundary; web-scale corpora cluster, so within-cell cost is
+    * ~Σ n_c² ≪ n², vs the exact [[cosineNearDupPairs]] block matrix's
+    * irreducible n²/blocks² cells. A pair lost to a cell boundary is the
+    * documented approximation, and it is θ-dependent: at production
+    * thresholds (≥0.9 — actual near-dups) recall is high because a
+    * near-identical pair's centroid distances are near-identical too, while
+    * at a θ near the corpus's background similarity the restriction prunes
+    * aggressively (SimilaritySpec measures both regimes: ≥0.9 recall on
+    * planted scaled copies, heavy pruning at θ=0.4 on this near-random
+    * corpus). The generated oracle (embedded trained centroids) replays the
+    * restriction EXACTLY, so the driver hash-compares the approximate
+    * pipeline itself.
+    *
+    * Scale shape: one narrow corpus pass for the assignment (centroid
+    * distances are codegen'd literal dots), one cell-partitioned
+    * shuffle-hash self-join. A hot cell concentrates work as n_c² — raise
+    * `nCells` with corpus size (SemDeDup runs ~100k cells at web scale) so
+    * cells stay task-sized; the skew-salting and block-matrix machinery
+    * compose within a cell if one still melts. */
+  def cellNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, nCells: Int = 16, seed: Long = 42L,
+                       centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cents: Seq[Seq[Double]] =
+      centroids.getOrElse(trainIvfCentroids(df, vecCol, nCells, seed))
+        .map(_.toSeq).toSeq
+    val base = prep(df, idCol, vecCol)
+      .withColumn("cell", element_at(cellDists(col("vec"), cents), 1).getField("cell"))
+    val a = base.select(col("id").as("id_a"), col("vec").as("vec_a"),
+      col("nrm").as("nrm_a"), col("cell"))
+    val b = base.select(col("id").as("id_b"), col("vec").as("vec_b"),
+      col("nrm").as("nrm_b"), col("cell"))
+    // threshold inside the join condition — same no-materialize rationale
+    // as cosineNearDupPairs below
+    val cosineExpr =
+      round(cosinePrenormed(col("vec_a"), col("vec_b"), col("nrm_a"), col("nrm_b")), 6)
+    a.as("a").join(b.hint("shuffle_hash").as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("id_a") < col("id_b") && cosineExpr >= lit(threshold))
+      .select(col("id_a"), col("id_b"), cosineExpr.as("cosine"))
+  }
+
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, blocks: Int = 32,
                          dim: Int = 64, seed: Long = 42L): DataFrame = {

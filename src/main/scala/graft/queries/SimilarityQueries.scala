@@ -49,6 +49,20 @@ object SimilarityQueries {
       Similarity.trainPqCodebooks(Sources.embeddings(s, dir), "embedding",
         m = 16, ksub = 64, seed = 42L))
 
+  /** Cell-restricted (SemDeDup) pair-list memo — feeds the pairs AND the
+    * survivors query; same session-keyed pinning as [[cosinePairsCache]]. */
+  private val semPairsCache =
+    scala.collection.concurrent.TrieMap[(Int, String), org.apache.spark.sql.DataFrame]()
+  private def semPairs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    semPairsCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+      val emb = Sources.embeddings(s, dir)
+      val cents = centroidCache.getOrElseUpdate((dir, 16, 42L),
+        Similarity.trainIvfCentroids(emb, "embedding", nCells = 16, seed = 42L))
+      Similarity.cellNearDupPairs(emb, "vec_id", "embedding",
+        CosineThreshold, nCells = 16, centroids = Some(cents))
+        .localCheckpoint()
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact top-5 neighbors for the first 10 vectors: broadcast the query
@@ -77,6 +91,24 @@ object SimilarityQueries {
     "sim_neardup_survivors" -> q((s, dir) =>
       graft.operators.Dedup.nearDedupSurvivorsFromPairs(
         Sources.embeddings(s, dir), "vec_id", cosinePairs(s, dir))
+        .orderBy(col("vec_id"))),
+
+    // SemDeDup cell-restricted near-dup pairs: candidates form only within
+    // a k-means cell (the sim_topk_ivf quantizer, memoized/shared) — the
+    // sub-quadratic production path for embedding dedup. The generated
+    // oracle embeds the trained centroids and replays the restriction
+    // exactly, so the APPROXIMATE pipeline itself is hash-compared;
+    // SimilaritySpec pins precision 1.0 always and ≥0.9 recall in the
+    // true-near-dup regime (θ=0.99 on planted copies) — at this corpus's
+    // background-similarity θ=0.4 the restriction prunes hard by design.
+    "sim_semdedup_pairs" -> q((s, dir) =>
+      semPairs(s, dir).orderBy(col("id_a"), col("id_b"))),
+
+    // End-to-end SemDeDup: cell-restricted pairs → connected components →
+    // min-id survivors (the pair-source-agnostic cluster machinery).
+    "sim_semdedup_survivors" -> q((s, dir) =>
+      graft.operators.Dedup.nearDedupSurvivorsFromPairs(
+        Sources.embeddings(s, dir), "vec_id", semPairs(s, dir))
         .orderBy(col("vec_id"))),
 
     // IVF-flat top-k (k-means coarse quantizer, nProbe cells per query) —
@@ -259,6 +291,51 @@ object SimilarityQueries {
     }
   }
 
+  /** SemDeDup oracles — same generated-after-training contract as
+    * [[ivfOracle]]: the trained centroid matrix embeds as literals, the SQL
+    * reproduces the argmin cell assignment, the within-cell pair
+    * restriction, and (for survivors) the recursive component closure — the
+    * whole approximate pipeline, not its output shape. */
+  private def semDedupOracles: Map[String, String] = {
+    val cached = centroidCache.readOnlySnapshot().toSeq
+    if (cached.size != 1) Map.empty
+    else {
+      val distList = centDistList(cached.head._2)
+      val cellCtes =
+        s"""vecs AS (
+          |  SELECT vec_id, embedding,
+          |         list_transform(embedding, x -> x::DOUBLE) AS e
+          |  FROM embeddings),
+          |cells AS (
+          |  SELECT vec_id, embedding, list_sort($distList)[1].cell AS cell
+          |  FROM vecs v)""".stripMargin
+      val pairsSql =
+        s"""SELECT q.vec_id AS id_a, c.vec_id AS id_b, $cosExpr AS cosine
+          |  FROM cells q JOIN cells c
+          |    ON q.cell = c.cell AND q.vec_id < c.vec_id
+          |  WHERE $cosExpr >= $CosineThreshold""".stripMargin
+      Map(
+        "sim_semdedup_pairs" ->
+          s"WITH $cellCtes\n$pairsSql\nORDER BY id_a, id_b",
+        "sim_semdedup_survivors" ->
+          s"""WITH RECURSIVE $cellCtes,
+            |pairs AS (
+            |  $pairsSql),
+            |edges AS (
+            |  SELECT id_a AS s, id_b AS t FROM pairs
+            |  UNION SELECT id_b, id_a FROM pairs),
+            |reach(s, t) AS (
+            |  SELECT s, t FROM edges
+            |  UNION
+            |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+            |comp AS (
+            |  SELECT s AS id, least(s, min(t)) AS c FROM reach GROUP BY s)
+            |SELECT vec_id FROM embeddings
+            |WHERE vec_id NOT IN (SELECT id FROM comp WHERE c <> id)
+            |ORDER BY vec_id""".stripMargin)
+    }
+  }
+
   /** PQ oracles, generated AFTER the queries have run (the codebooks for
     * exactly one sf dir then sit in [[pqCache]] — same contract as
     * [[ivfOracle]]). The SQL reproduces encode (per-subspace argmin over
@@ -436,5 +513,5 @@ object SimilarityQueries {
         |WHERE vec_id NOT IN (SELECT id FROM comp WHERE c <> id)
         |ORDER BY vec_id""".stripMargin
   ) ++ ivfOracle.map("sim_topk_ivf" -> _) ++ pqOracles ++
-    ivfPqOracle.map("sim_topk_ivfpq" -> _)
+    ivfPqOracle.map("sim_topk_ivfpq" -> _) ++ semDedupOracles
 }

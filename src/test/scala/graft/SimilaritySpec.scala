@@ -267,4 +267,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(gotSet == expect,
       s"missing=${(expect -- gotSet).take(5)} extra=${(gotSet -- expect).take(5)}")
   }
+
+  test("cellNearDupPairs: ⊆ exact pairs with equal scores, recall on planted dups, equi plan") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val exact = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cents = Similarity.trainIvfCentroids(emb, "embedding", nCells = 16, seed = 42L)
+    val cellQ = Similarity.cellNearDupPairs(emb, "vec_id", "embedding", 0.4,
+      nCells = 16, centroids = Some(cents))
+    val got = cellQ.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // precision 1.0: every cell-restricted pair is a true ≥θ pair with the
+    // exact pipeline's score bit-for-bit
+    got.foreach { case (k, v) =>
+      assert(exact.get(k).contains(v), s"pair $k: cell=$v exact=${exact.get(k)}")
+    }
+    // at θ near the corpus's BACKGROUND similarity (0.4 here, max ≈ 0.51)
+    // pairs straddle cell boundaries freely — the restriction prunes hard
+    assert(exact.nonEmpty, "corpus must contain ≥θ pairs for this spec to bite")
+    assert(got.nonEmpty && got.size < exact.size,
+      s"moderate-θ cell restriction should prune (${got.size}/${exact.size})")
+    // recall on TRUE near-duplicates (the SemDeDup regime): plant a scaled
+    // copy of 40 vectors — cosine(v, 1.001v) = 1 and near-identical
+    // centroid distances keep each copy in its original's cell
+    val planted = emb.limit(40).select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+    val union = emb.select("vec_id", "embedding").unionByName(planted)
+    val uCents = Similarity.trainIvfCentroids(union, "embedding", nCells = 16, seed = 42L)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactHi = pairsOf(Similarity.cosineNearDupPairs(union, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b"))
+    val cellHi = pairsOf(Similarity.cellNearDupPairs(union, "vec_id", "embedding", 0.99,
+      nCells = 16, centroids = Some(uCents)).select("id_a", "id_b"))
+    assert(exactHi.nonEmpty, "planted copies must produce ≥0.99 pairs")
+    val recallHi = (cellHi & exactHi).size.toDouble / exactHi.size
+    assert(recallHi >= 0.9,
+      s"near-dup recall $recallHi (${(cellHi & exactHi).size}/${exactHi.size})")
+    // the self-join must stay an equi join on the cell id
+    val plan = cellQ.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"cell-restricted pair join must stay equi:\n$plan")
+  }
 }
