@@ -254,6 +254,45 @@ object TextOps {
         col("score_bp"), col("rank"))
   }
 
+  /** Per-document average unigram surprisal — the perplexity-filter
+    * stand-in (the CCNet/RefinedWeb quality signal): score each document by
+    * how surprising its tokens are under the corpus's OWN unigram LM. True
+    * surprisal is −log₂ p(t) = log₂(N/cnt_t), but libm logs are last-ulp
+    * engine-dependent (the [[tfIdf]] lesson), so the score uses the EXACT
+    * integer floor: floor(log₂(N div cnt)) = length(bin(N div cnt)) − 1 —
+    * `bin()`'s binary-digit string is engine-identical, which makes the
+    * whole score hash-comparable. Doc score = (Σ bits · 100) div n_tokens,
+    * integer centibits: HIGH = rare-token-heavy (the gibberish tail), LOW =
+    * common-token-heavy (the boilerplate tail) — production filters drop
+    * both ends.
+    *
+    * Shape: one explode + token-partitioned count aggregate (map-side
+    * combined — the shuffle carries |vocab| rows per mapper), N as an
+    * uncorrelated scalar subquery (no join node, see [[topTermsPerDoc]]),
+    * one vocab-sized equi join back (AQE broadcasts it at any realistic
+    * vocab/corpus ratio), one doc-partitioned aggregate. The token table
+    * feeds the frequency aggregate AND the join side, so it is lazily
+    * pinned — the [[Dedup.docDuplicateSpanRates]] discipline. Docs with no
+    * tokens report (0, 0). */
+  def unigramSurprisal(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("token"))
+      .localCheckpoint(eager = false)
+    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val nTotal = freq.agg(sum(col("cnt")).as("n_total"))
+    val scored = toks.join(freq, "token")
+      .withColumn("n_total", nTotal.scalar())
+      .withColumn("bits", (length(bin(expr("n_total div cnt"))) - 1).cast("long"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("sum_bits"))
+    docs.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(expr("(sum_bits * 100) div n_tokens"), lit(0L))
+          .as("avg_surprisal_cb"))
+  }
+
   /** Content fingerprint: md5 hex of the raw text — exact-dup grouping key
     * that both engines compute identically. */
   def fingerprintMd5(text: Column): Column = md5(text.cast("binary"))

@@ -76,7 +76,14 @@ object TextQueries {
     // TextOps.tfIdf scaladoc).
     "text_tfidf_topterms" -> q((s, dir) =>
       TextOps.topTermsPerDoc(Sources.documents(s, dir), "doc_id", "text", k = 3)
-        .orderBy(col("doc_id"), col("rank")))
+        .orderBy(col("doc_id"), col("rank"))),
+
+    // Unigram-LM surprisal quality score (the perplexity-filter stand-in):
+    // integer floor(log2) via bin()-string length — no libm log in the
+    // compared value.
+    "text_surprisal" -> q((s, dir) =>
+      TextOps.unigramSurprisal(Sources.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id")))
   )
 
   // DuckDB twins. `len()` is BIGINT in DuckDB vs Spark size() INT → ::int.
@@ -179,6 +186,22 @@ object TextQueries {
         |  SELECT *, row_number() OVER (PARTITION BY doc_id
         |            ORDER BY score_bp DESC, token ASC) AS rnk
         |  FROM scored)
-        |WHERE rnk <= 3 ORDER BY doc_id, rank""".stripMargin
+        |WHERE rnk <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // Same integer log2: length(bin(N // cnt)) - 1 in both engines.
+    "text_surprisal" ->
+      raw"""WITH tk AS (
+        |  SELECT doc_id AS id, unnest($toks) AS token FROM documents),
+        |freq AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token),
+        |n AS (SELECT sum(cnt) AS n_total FROM freq),
+        |sc AS (
+        |  SELECT id, count(*) AS n_tokens,
+        |         sum(length(bin((n_total // cnt)::BIGINT)) - 1) AS sum_bits
+        |  FROM tk JOIN freq USING (token), n GROUP BY id)
+        |SELECT d.doc_id, coalesce(s.n_tokens, 0)::bigint AS n_tokens,
+        |       coalesce((s.sum_bits * 100) // s.n_tokens, 0)::bigint
+        |         AS avg_surprisal_cb
+        |FROM documents d LEFT JOIN sc s ON s.id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

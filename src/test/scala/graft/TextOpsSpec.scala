@@ -169,4 +169,16 @@ class TextOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(v == Map("a" -> (3L, 2L), "b" -> (1L, 1L), "c" -> (1L, 1L)))
   }
+
+  test("unigramSurprisal: exact integer log2 per token, rare beats common, empty docs zero") {
+    import SparkTestSession.spark.implicits._
+    // N = 6 tokens: cnt(a)=4 → floor(log2(6 div 4 = 1)) = 0 bits;
+    // cnt(b)=cnt(c)=1 → floor(log2(6)) = 2 bits
+    val docs = Seq((0L, "a a a b"), (1L, "a c"), (2L, "")).toDF("doc_id", "text")
+    val r = TextOps.unigramSurprisal(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(0L) == ((4L, 50L)), s"doc 0: ${r(0L)} (sum_bits 2 over 4 tokens)")
+    assert(r(1L) == ((2L, 100L)), s"doc 1: ${r(1L)} (rare-heavy doc scores higher)")
+    assert(r(2L) == ((0L, 0L)), "token-less docs report zeros")
+  }
 }
