@@ -127,6 +127,34 @@ object EventQueries {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // Streaming NEW-ARRIVAL screen against a standing corpus — the
+    // streaming twin of dedup_incremental's exact stage: arrivals whose
+    // content fingerprint (md5 of user|type|props) already exists in the
+    // static history (event_id % 3 ≠ 2 plays the standing corpus; at scale
+    // the precomputed fingerprint index) are dropped INSIDE the micro-batch
+    // plan — a stream-static left outer join + null filter, the supported
+    // anti shape, history broadcast per batch like enrich's dimension.
+    // STATELESS: membership is content-derived, so the emitted set is
+    // deterministic under any micro-batch slicing (unlike watermark dedup,
+    // no arrival-order dependence — event_id can be compared directly).
+    "stream_events_new_arrivals" -> q((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val fpCol = md5(concat_ws("|",
+        col("user_id"), col("event_type"), col("props")).cast("binary"))
+      val history = Sources.events(s, dir)
+        .where(col("event_id") % 3 =!= 2)
+        .select(fpCol.as("h_fp")).distinct()
+      graft.streaming.StreamingOps.runToMemorySink(s, dir, "events.parquet",
+        eventsStreamSchema,
+        src => src
+          .withColumn("fp", fpCol)
+          .join(history, col("fp") === col("h_fp"), "left_outer")
+          .where(col("h_fp").isNull)
+          .select(col("event_id"), col("user_id"), col("event_type")),
+        mode = org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy(col("event_id"))
+    }),
+
     // JSON property extraction from the props column (get_json_object).
     "events_json_agg" -> q((s, dir) =>
       Sources.events(s, dir)
@@ -223,6 +251,19 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+
+    // Same content fingerprint (md5 over the '|'-joined utf8 string) and
+    // the same anti semantics — stateless, so batch SQL reproduces the
+    // streamed result exactly.
+    "stream_events_new_arrivals" ->
+      """WITH h AS (
+        |  SELECT DISTINCT md5(concat_ws('|', user_id, event_type, props)) AS fp
+        |  FROM events WHERE event_id % 3 <> 2)
+        |SELECT event_id, user_id, event_type FROM events e
+        |WHERE md5(concat_ws('|', e.user_id, e.event_type, e.props))
+        |      NOT IN (SELECT fp FROM h)
+        |ORDER BY event_id""".stripMargin,
+
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         |       event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value

@@ -264,6 +264,41 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got == expected, s"file-streamed window counts $got != batch rows $expected")
   }
 
+  test("stream-static anti screen: streamed new-arrivals ≡ batch anti-join, any batching") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val fpCol = md5(concat_ws("|",
+      col("user_id"), col("event_type"), col("props")).cast("binary"))
+    val batchEvents = graft.engine.Sources.events(spark, dir)
+    val history = batchEvents.where(col("event_id") % 3 =!= 2)
+      .select(fpCol.as("h_fp")).distinct().localCheckpoint()
+    val stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = stream.withColumn("fp", fpCol)
+      .join(history, col("fp") === col("h_fp"), "left_outer")
+      .where(col("h_fp").isNull)
+      .select(col("event_id"))
+      .writeStream.format("memory").queryName("s_new_arrivals")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("s_new_arrivals").collect().map(_.getLong(0)).toSet
+    val expected = batchEvents.withColumn("fp", fpCol)
+      .join(history, col("fp") === col("h_fp"), "left_anti")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"streamed anti screen diverged: missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    assert(got.nonEmpty && got.size < batchEvents.count(),
+      "the screen must drop known content and keep genuinely new rows")
+  }
+
   test("runningUserTotalsTws: transformWithState (RocksDB store) ≡ fMGWS semantics") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
