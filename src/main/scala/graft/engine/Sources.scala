@@ -33,16 +33,44 @@ object Sources {
   def orders(spark: SparkSession, d: String): DataFrame    = table(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame  = table(spark, d, "lineitem")
 
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS) INT64, which Spark 4's
-    * parquet reader rejects outright. Read nanos as raw long (legacy conf)
-    * and rebuild a proper TimestampType column via integer division to µs —
-    * `ts div 1000`, NOT `/ 1000.0`: double math on ~1.7e18 ns only carries
-    * 53 mantissa bits (~128 ns error), enough to shift a microsecond. */
+  /** events.parquet's `ts` physical layout has changed across driver
+    * testdata generations, so normalize by the READ type, not by assumption:
+    *   - TIMESTAMP(NANOS) INT64 (early rounds): Spark 4's reader rejects it
+    *     outright unless nanos are read as raw long (legacy conf); rebuild
+    *     µs via integer division — `ts div 1000`, NOT `/ 1000.0`: double
+    *     math on ~1.7e18 ns only carries 53 mantissa bits (~128 ns error),
+    *     enough to shift a microsecond;
+    *   - TIMESTAMP(MICROS) isAdjustedToUTC=false (current): reads as
+    *     TIMESTAMP_NTZ; cast to TimestampType under the UTC session
+    *     timezone (pinned in [[Tuning.tune]]) — same instant, and the
+    *     column type every downstream window()/date_format() was built
+    *     against. */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    table(spark, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(spark, d, "events")
+    eventsTsNormalizer(raw.schema)(raw)
+  }
+
+  /** ts normalizer for a probed events schema — see [[events]]. */
+  def eventsTsNormalizer(probed: StructType): DataFrame => DataFrame = {
+    import org.apache.spark.sql.functions._
+    probed("ts").dataType match {
+      case LongType            => _.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType => _.withColumn("ts", col("ts").cast(TimestampType))
+      case _                   => identity
+    }
+  }
+
+  /** Streaming layout for events.parquet: (schema ≡ what the files
+    * physically hold — streaming sources cannot infer, and the testdata ts
+    * layout has changed across driver generations — plus the ts normalizer
+    * to TimestampType). One metadata-only footer read. */
+  def eventsStreamLayout(spark: SparkSession, d: String)
+      : (StructType, DataFrame => DataFrame) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val probed = spark.read.parquet(s"$d/events.parquet").schema
+    (probed, eventsTsNormalizer(probed))
   }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")

@@ -18,6 +18,11 @@ object Tuning {
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    // UTC everywhere queries run: TIMESTAMP_NTZ→TIMESTAMP casts and
+    // date_format() are session-timezone-dependent; the oracle compare
+    // assumes UTC wall-clock strings (Verify pins it too — this covers
+    // Bench and ad-hoc sessions).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark
   }
 }

@@ -304,4 +304,33 @@ object Curation {
         floor((col("start_tok") + greatest(col("n_tokens"), lit(1L)) - 1L) /
           chunkTokens).cast("long").as("chunk_last"))
   }
+
+  /** Per-group Tukey-fence outlier screen over a numeric column: rows
+    * outside [q1 − k·IQR, q3 + k·IQR] of their group's exact interpolated
+    * quartiles. The telemetry-curation shape (drop corrupted
+    * durations/sizes/scores before they poison training statistics), same
+    * plan as [[qualityGate]] generalized to groups: the fence table is
+    * |groups| rows → broadcast; the corpus side is ONE narrow filter scan.
+    *
+    * Fences are doubles, but every term is derived from the same exact
+    * percentile both engines compute identically (the `agg_percentile` /
+    * `text_quality_gate` precedent), and IEEE ±/× on identical doubles is
+    * bit-identical — so the strict-inequality membership is engine-stable.
+    * At 100 TB swap the quartiles to `approx_percentile` per the
+    * [[qualityGateApprox]] convention (per-group sketches, same fence
+    * algebra).
+    *
+    * Output: original columns + (q_lo, q_hi) fence bounds, outlier rows
+    * only. */
+  def iqrOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Double = 1.5): DataFrame = {
+    val fences = df.groupBy(col(groupCol))
+      .agg(percentile(col(valueCol), lit(0.25)).as("q1"),
+        percentile(col(valueCol), lit(0.75)).as("q3"))
+      .select(col(groupCol),
+        (col("q1") - (col("q3") - col("q1")) * k).as("q_lo"),
+        (col("q3") + (col("q3") - col("q1")) * k).as("q_hi"))
+    df.join(broadcast(fences), groupCol)
+      .where(col(valueCol) < col("q_lo") || col(valueCol) > col("q_hi"))
+  }
 }

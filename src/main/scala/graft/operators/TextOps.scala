@@ -304,4 +304,80 @@ object TextOps {
   def fingerprintRolling(text: Column): Column =
     aggregate(split(text, ""), lit(0L),
       (acc, c) => (acc * 31L + ascii(c).cast("long")) % 1000000007L)
+
+  /** RAG/embedding-style overlapping chunking: split each document into
+    * token windows of `chunkTokens` advancing by `strideTokens`
+    * (stride < size ⇒ overlap of size−stride tokens — the retrieval-corpus
+    * layout where context straddling a boundary is still covered by the
+    * next chunk). Chunk count is 1 + ⌈(n−size)/stride⌉ for n > size, one
+    * chunk for 0 < n ≤ size, none for empty docs — the final chunk may be
+    * short, and no start is generated beyond the one whose window reaches
+    * the end (no degenerate trailing sub-chunks).
+    *
+    * Output: (idCol, chunk_id, start_tok, n_tok, chunk_text, chunk_md5).
+    * A pure narrow map + generate (explode) — no shuffle; at 100 TB this
+    * rewrites the corpus at scan speed and the md5 fingerprint makes chunks
+    * immediately joinable to the exact-dedup / Bloom machinery. Tokens are
+    * staged as an array attribute (the [[tokenBigramsOf]] O(n²) caveat);
+    * chunk counts use integer ceil-division (the contamination_bp lesson:
+    * no doubles in cross-engine-compared arithmetic). */
+  def chunkDocs(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, chunkTokens: Int = 64,
+                strideTokens: Int = 48): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens >= 1 && strideTokens >= 1 && strideTokens <= chunkTokens,
+      "need 1 <= strideTokens <= chunkTokens")
+    val (sz, st) = (chunkTokens, strideTokens)
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("tk"))
+      .select(col(idCol), col("tk"),
+        expr(s"""CASE WHEN size(tk) = 0 THEN array()
+                 |     WHEN size(tk) <= $sz THEN array(0)
+                 |     ELSE transform(sequence(0, (size(tk) - $sz + $st - 1) div $st),
+                 |                    i -> i * $st)
+                 |END""".stripMargin).as("starts"))
+      .select(col(idCol), col("tk"),
+        posexplode(col("starts")).as(Seq("chunk_id", "start_tok")))
+      .select(col(idCol), col("chunk_id"),
+        col("start_tok").cast("int").as("start_tok"),
+        slice(col("tk"), col("start_tok") + 1, lit(sz)).as("chunk"))
+      .select(col(idCol), col("chunk_id"), col("start_tok"),
+        size(col("chunk")).as("n_tok"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+      .withColumn("chunk_md5", fingerprintMd5(col("chunk_text")))
+  }
+
+  /** Adjacent-character pairs of a string column (["ab","bc"] for "abc");
+    * empty below 2 chars. Pass an attribute (the [[tokenBigramsOf]]
+    * staging caveat). Character-based on both engines (Spark substr and
+    * DuckDB string slicing count code points). */
+  def charPairsOf(w: Column): Column =
+    when(length(w) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(w) - 1),
+        i => w.substr(i, lit(2))))
+
+  /** Corpus-wide adjacent-symbol-pair statistics — the first iteration of
+    * BPE vocabulary training (count every adjacent character pair across
+    * all word occurrences; the argmax pair is the first merge). The
+    * at-scale trick is the same one real BPE trainers use: aggregate the
+    * WORD-FREQUENCY table first (|vocab| rows, one token-partitioned
+    * map-side-combined agg), then expand pairs over DISTINCT words only,
+    * weighting by the word count — pair work scales with vocabulary size,
+    * not corpus size, and no shuffle ever carries per-occurrence rows past
+    * the first aggregate.
+    *
+    * Output: (pair, n_total = occurrence-weighted count, n_words = distinct
+    * words containing the pair). */
+  def bpePairStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String): org.apache.spark.sql.DataFrame = {
+    val words = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    words
+      .select(col("w"), col("wc"), explode(charPairsOf(col("w"))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("wc")).as("n_total"),
+        // countDistinct, not count: a pair repeated inside one word ("aaa"
+        // → "aa" twice) contributes once to the word tally
+        countDistinct(col("w")).as("n_words"))
+  }
 }

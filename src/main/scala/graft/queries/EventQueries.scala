@@ -20,17 +20,15 @@ object EventQueries {
   private def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tuning.tune(s), dir)
 
-  /** Explicit schema for the streaming file source over events.parquet —
-    * streaming sources cannot infer schemas. `ts` reads as long: the column
-    * is parquet TIMESTAMP(NANOS) (nanosAsLong), rebuilt to µs by the
-    * callers exactly as Sources.events does. */
-  private val eventsStreamSchema: org.apache.spark.sql.types.StructType = {
-    import org.apache.spark.sql.types._
-    StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-  }
+  /** Streaming file sources cannot infer schemas, and events.parquet's `ts`
+    * physical layout has changed across driver testdata generations
+    * (TIMESTAMP(NANOS)-as-long early, TIMESTAMP(MICROS)/NTZ current — see
+    * [[Sources.events]]). Probe the batch footer once (metadata-only) and
+    * return (stream schema ≡ what the files actually hold, ts normalizer to
+    * the TimestampType the downstream windows/formats were built against). */
+  private def eventsStreamLayout(s: SparkSession, dir: String)
+      : (org.apache.spark.sql.types.StructType, DataFrame => DataFrame) =
+    Sources.eventsStreamLayout(s, dir)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -68,14 +66,12 @@ object EventQueries {
     // aggregate: hours × event types). The value sum uses exact integer
     // micro-units because a streaming run adds a THIRD summation order
     // beyond batch-Spark and DuckDB (see hourlyCountsExact). The ts column
-    // is parquet TIMESTAMP(NANOS): the streaming schema reads it as long
-    // (nanosAsLong) and rebuilds µs exactly, same as Sources.events.
+    // layout is probed + normalized by eventsStreamLayout.
     "stream_events_hourly" -> q((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val (schema, norm) = eventsStreamLayout(s, dir)
       graft.streaming.StreamingOps.runToMemorySink(s, dir, "events.parquet",
-        eventsStreamSchema,
-        src => graft.streaming.StreamingOps.hourlyCountsExact(
-          src.withColumn("ts", timestamp_micros(expr("ts div 1000")))))
+        schema,
+        src => graft.streaming.StreamingOps.hourlyCountsExact(norm(src)))
         .select(
           date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
           col("event_type"), col("n_events"), col("sum_value"))
@@ -88,11 +84,10 @@ object EventQueries {
     // Complete mode keeps all sessions (bounded: users × sessions at test
     // scale); production uses append + watermark-closed sessions.
     "stream_events_sessionize" -> q((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val (schema, norm) = eventsStreamLayout(s, dir)
       graft.streaming.StreamingOps.runToMemorySink(s, dir, "events.parquet",
-        eventsStreamSchema,
-        src => graft.streaming.StreamingOps.sessionizeExact(
-          src.withColumn("ts", timestamp_micros(expr("ts div 1000")))))
+        schema,
+        src => graft.streaming.StreamingOps.sessionizeExact(norm(src)))
         .select(col("user_id"),
           date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           col("n_events"), col("sum_value"))
@@ -110,13 +105,13 @@ object EventQueries {
     // output projects only the dedup keys and a key-functional join column
     // — deterministic under any micro-batch order (the docstring contract).
     "stream_events_dedup" -> q((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val (schema, norm) = eventsStreamLayout(s, dir)
       val cust = Sources.customer(s, dir)
         .select(col("c_custkey"), col("c_mktsegment"))
       graft.streaming.StreamingOps.runToMemorySink(s, dir, "events.parquet",
-        eventsStreamSchema,
+        schema,
         src => {
-          val events = src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          val events = norm(src)
           val deduped = graft.streaming.StreamingOps.dedupEvents(
             events, keys = Seq("user_id", "event_type"))
           graft.streaming.StreamingOps.enrich(deduped, cust,
@@ -138,14 +133,14 @@ object EventQueries {
     // deterministic under any micro-batch slicing (unlike watermark dedup,
     // no arrival-order dependence — event_id can be compared directly).
     "stream_events_new_arrivals" -> q((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val (schema, _) = eventsStreamLayout(s, dir)
       val fpCol = md5(concat_ws("|",
         col("user_id"), col("event_type"), col("props")).cast("binary"))
       val history = Sources.events(s, dir)
         .where(col("event_id") % 3 =!= 2)
         .select(fpCol.as("h_fp")).distinct()
       graft.streaming.StreamingOps.runToMemorySink(s, dir, "events.parquet",
-        eventsStreamSchema,
+        schema,
         src => src
           .withColumn("fp", fpCol)
           .join(history, col("fp") === col("h_fp"), "left_outer")
@@ -247,7 +242,57 @@ object EventQueries {
         .select(col("asset_id"),
           size(col("bp")).as("dim"),
           concat_ws(",", col("bp").cast("array<string>")).as("bp_csv"))
-        .orderBy(col("asset_id")))
+        .orderBy(col("asset_id"))),
+
+    // Hopping (sliding) event-time windows (X65): 1-hour windows advancing
+    // every 15 minutes — each event lands in exactly 4 overlapping windows.
+    // Same plan shape as the tumbling form (window() generates the window
+    // array inline, then one hash aggregate); the ×4 fan-out happens
+    // map-side before partial aggregation.
+    "events_hopping" -> q((s, dir) =>
+      Sources.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))),
+
+    // Per-group Tukey-fence outlier screen (X63): rows outside
+    // [q1 − 1.5·IQR, q3 + 1.5·IQR] of their event_type's exact quartiles.
+    // Fence table is |groups| rows → broadcast; corpus side is one narrow
+    // filter scan. Fence doubles derive from the same interpolated
+    // percentile both engines compute identically, so strict-inequality
+    // membership is engine-stable (see Curation.iqrOutliers).
+    "events_iqr_outliers" -> q((s, dir) =>
+      graft.operators.Curation.iqrOutliers(
+        Sources.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "value", k = 1.5)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("q_lo"), col("q_hi"))
+        .orderBy(col("event_id"))),
+
+    // Z-order layout keys (X62): Morton-interleave (user_id mod 256,
+    // absolute-hour mod 256) and aggregate per aligned 4^5-bucket. The
+    // output IS the data-skipping evidence: an aligned bucket of 1024
+    // consecutive z values must span < 2^5 = 32 distinct values of EACH
+    // dimension (top bits of both are fixed), so every bucket row shows
+    // tight min/max ranges in BOTH a and b — what parquet row-group
+    // pruning sees after Layout.zOrderBy writes the corpus.
+    "layout_zorder_buckets" -> q((s, dir) =>
+      Sources.events(s, dir)
+        .select(col("event_id"),
+          pmod(col("user_id"), lit(256L)).as("a"),
+          pmod(expr("unix_micros(ts) div 3600000000"), lit(256L)).as("b"))
+        .withColumn("z", graft.operators.Layout.zValue2(col("a"), col("b"), 8))
+        .groupBy(expr("z div 1024").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("a")).as("min_a"), max(col("a")).as("max_a"),
+          min(col("b")).as("min_b"), max(col("b")).as("max_b"))
+        .orderBy(col("bucket")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -384,6 +429,55 @@ object EventQueries {
       s"""SELECT doc_id AS asset_id, 16 AS dim,
         |       array_to_string(list_transform(range(0, 16),
         |         i -> (${DedupQueries.hexFold48("text || ':' || i::VARCHAR")} % 1000)::VARCHAR), ',') AS bp_csv
-        |FROM documents ORDER BY asset_id""".stripMargin
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // Hopping replay: the 4 slide-aligned windows covering each event are
+    // starts floor(epoch/900s)·900 − k·900 for k = 0..3 (the offset into
+    // the aligned slot is < 900 s, so k ≤ 3 always covers and k ≥ 4 never
+    // does — exactly Spark's window(ts, 1h, 15m) expansion).
+    // make_timestamp(µs) builds a NAIVE timestamp — no to_timestamp, whose
+    // TIMESTAMPTZ would format in the DuckDB session zone.
+    "events_hopping" ->
+      """WITH w AS (
+        |  SELECT strftime(make_timestamp(
+        |           ((epoch_us(ts) // 900000000) - k.k) * 900000000),
+        |           '%Y-%m-%d %H:%M:%S') AS win_start,
+        |         event_type, value
+        |  FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) AS k(k))
+        |SELECT win_start, event_type, count(*) AS n_events,
+        |       round(sum(value), 4) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    // Identical fence algebra term-for-term (q1 − (q3−q1)·1.5 etc.): IEEE
+    // ops over the same interpolated quantiles are bit-identical, so the
+    // strict inequalities select the same rows.
+    "events_iqr_outliers" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |         quantile_cont(value, 0.25)
+        |           - (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)) * 1.5 AS q_lo,
+        |         quantile_cont(value, 0.75)
+        |           + (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)) * 1.5 AS q_hi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value, f.q_lo, f.q_hi
+        |FROM events e JOIN f USING (event_type)
+        |WHERE e.value < f.q_lo OR e.value > f.q_hi
+        |ORDER BY e.event_id""".stripMargin,
+
+    // Same Morton interleave (bit i of a → 2i, of b → 2i+1) and the same
+    // aligned 4^5 bucketing.
+    "layout_zorder_buckets" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id % 256 AS a,
+        |         (epoch_us(ts) // 3600000000) % 256 AS b
+        |  FROM events),
+        |z AS (
+        |  SELECT *, list_sum(list_transform(range(0, 8),
+        |    i -> (((a >> i) & 1) << (2*i)) + (((b >> i) & 1) << (2*i+1)))) AS z
+        |  FROM e)
+        |SELECT (z // 1024)::BIGINT AS bucket, count(*) AS n,
+        |       min(a) AS min_a, max(a) AS max_a,
+        |       min(b) AS min_b, max(b) AS max_b
+        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
   )
 }

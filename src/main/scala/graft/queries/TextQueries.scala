@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.{Sources, Tuning}
-import graft.operators.TextOps
+import graft.operators.{Sketch, TextOps}
 
 /** Text-analysis query registry over the `documents` table: token counting,
   * quality scoring, heuristic language ID, content fingerprinting — each a
@@ -83,7 +83,45 @@ object TextQueries {
     // compared value.
     "text_surprisal" -> q((s, dir) =>
       TextOps.unigramSurprisal(Sources.documents(s, dir), "doc_id", "text")
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Count-min sketch over corpus tokens (X60): build the 4×512 mergeable
+    // cell table (one narrow map + one map-side-combined agg — ≤ d·w cells
+    // per mapper in the shuffle), probe the 50 most frequent tokens
+    // (deterministic: count desc, token asc) and emit estimate vs exact.
+    // The oracle replays the ENTIRE sketch — hash positions, cells,
+    // min-estimates — so the one-sided overcounts are compared bit-exact,
+    // not just shape-checked. Two corpus passes (exact counts + sketch) —
+    // inherent to *verifying* a sketch against truth; a production build
+    // runs only the sketch pass.
+    "sketch_cms_tokens" -> q((s, dir) => {
+      val toks = Sources.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+      val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
+      val probes = exact.orderBy(col("exact_n").desc, col("token").asc).limit(50)
+      val sketch = Sketch.cmsBuild(toks, "token", depth = 4, width = 512)
+      Sketch.cmsEstimate(sketch, probes, "token", depth = 4, width = 512)
+        .select(col("token"), col("exact_n"), col("cms_est"),
+          (col("cms_est") - col("exact_n")).as("overcount"))
+        .orderBy(col("token"))
+    }),
+
+    // RAG-style overlapping chunking (X61): 32-token windows advancing by
+    // 24 (8-token overlap), per-chunk md5 fingerprint — the
+    // retrieval-corpus rewrite, a pure narrow map + generate (no shuffle).
+    "text_chunks" -> q((s, dir) =>
+      TextOps.chunkDocs(Sources.documents(s, dir), "doc_id", "text",
+          chunkTokens = 32, strideTokens = 24)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // BPE merge-pair statistics (X64): corpus-wide adjacent-character-pair
+    // counts, weighted by word frequency — the first iteration of BPE
+    // vocabulary training. Pair work scales with |vocab|, not corpus size
+    // (pairs expand over the aggregated word table). Deterministic top 50.
+    "text_bpe_pairs" -> q((s, dir) =>
+      TextOps.bpePairStats(Sources.documents(s, dir), "doc_id", "text")
+        .orderBy(col("n_total").desc, col("pair").asc)
+        .limit(50))
   )
 
   // DuckDB twins. `len()` is BIGINT in DuckDB vs Spark size() INT → ::int.
@@ -202,6 +240,70 @@ object TextQueries {
         |       coalesce((s.sum_bits * 100) // s.n_tokens, 0)::bigint
         |         AS avg_surprisal_cb
         |FROM documents d LEFT JOIN sc s ON s.id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Full CMS replay: identical md5-48 fold positions ("r:token" mod 512),
+    // identical cell aggregation, identical min-over-rows estimates.
+    "sketch_cms_tokens" -> {
+      def fold(e: String) = DedupQueries.hexFold48(e)
+      raw"""WITH tok AS (
+        |  SELECT unnest($toks) AS token FROM documents),
+        |exact AS (SELECT token, count(*) AS exact_n FROM tok GROUP BY token),
+        |probes AS (
+        |  SELECT * FROM exact ORDER BY exact_n DESC, token ASC LIMIT 50),
+        |cells AS (
+        |  SELECT rows.r,
+        |         ${fold("rows.r::varchar || ':' || token")} % 512 AS pos,
+        |         count(*) AS cnt
+        |  FROM tok CROSS JOIN (VALUES (0),(1),(2),(3)) AS rows(r)
+        |  GROUP BY 1, 2),
+        |pe AS (
+        |  SELECT p.token, p.exact_n, rows.r,
+        |         ${fold("rows.r::varchar || ':' || p.token")} % 512 AS pos
+        |  FROM probes p CROSS JOIN (VALUES (0),(1),(2),(3)) AS rows(r)),
+        |est AS (
+        |  SELECT pe.token, pe.exact_n, min(coalesce(c.cnt, 0)) AS cms_est
+        |  FROM pe LEFT JOIN cells c ON c.r = pe.r AND c.pos = pe.pos
+        |  GROUP BY pe.token, pe.exact_n)
+        |SELECT token, exact_n, cms_est, cms_est - exact_n AS overcount
+        |FROM est ORDER BY token""".stripMargin
+    },
+
+    // Same chunk grid: starts 0,24,48,… with count 1+⌈(n−32)/24⌉ (integer
+    // ceil-div both sides); DuckDB 1-based inclusive list slices ≡ Spark
+    // slice(start+1, 32), both clamping at the array end.
+    "text_chunks" ->
+      raw"""WITH t AS (
+        |  SELECT doc_id, $toks AS tk FROM documents),
+        |s AS (
+        |  SELECT doc_id, tk,
+        |         CASE WHEN len(tk) = 0 THEN 0
+        |              WHEN len(tk) <= 32 THEN 1
+        |              ELSE 1 + (len(tk) - 32 + 23) // 24 END AS n_chunks
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, tk, unnest(range(0, n_chunks)) AS i FROM s)
+        |SELECT doc_id, i::int AS chunk_id, (i*24)::int AS start_tok,
+        |       len(tk[i*24+1 : i*24+32])::int AS n_tok,
+        |       array_to_string(tk[i*24+1 : i*24+32], ' ') AS chunk_text,
+        |       md5(array_to_string(tk[i*24+1 : i*24+32], ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Same |vocab|-sized pair expansion; both engines' string slicing and
+    // length() count code points, so CJK pairs agree byte-for-byte.
+    "text_bpe_pairs" ->
+      raw"""WITH words AS (
+        |  SELECT w, count(*) AS wc
+        |  FROM (SELECT unnest($toks) AS w FROM documents) GROUP BY w),
+        |pairs AS (
+        |  SELECT w, wc,
+        |         unnest(CASE WHEN length(w) < 2 THEN []::varchar[]
+        |                ELSE list_transform(range(1, length(w)),
+        |                                    i -> w[i:i+1]) END) AS pair
+        |  FROM words)
+        |SELECT pair, sum(wc)::bigint AS n_total,
+        |       count(DISTINCT w) AS n_words
+        |FROM pairs GROUP BY pair
+        |ORDER BY n_total DESC, pair ASC LIMIT 50""".stripMargin
   )
 }

@@ -172,4 +172,24 @@ class CurationSpec extends AnyFunSuite {
       (1, "big_enough", 4L, 1L, 3L),
       (2, "lang_en", 3L, 2L, 1L)), s"cascade accounting wrong: ${out.toSeq}")
   }
+
+  test("iqrOutliers: exact Tukey fences, per-group independence, inliers untouched") {
+    import spark.implicits._
+    // group g holds 102 values (-1000, 1..100, 1000): interpolated
+    // q1 = 25.25, q3 = 75.75 (indices 25.25/75.75 of the SORTED set —
+    // quartiles include the outliers themselves), IQR = 50.5, fences
+    // [-50.5, 151.5]; group h is on a ×1000 scale where 1000 is normal
+    val rows = ((1 to 100).map(v => ("g", v.toDouble)) :+ ("g", 1000.0) :+
+      ("g", -1000.0)) ++ Seq(("h", 1000.0), ("h", 2000.0), ("h", 3000.0))
+    val out = Curation.iqrOutliers(rows.toDF("grp", "v"), "grp", "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(out.toSet == Set(("g", 1000.0), ("g", -1000.0)),
+      s"only group-g extremes are outliers (h's 1000s are normal AT ITS SCALE): ${out.toSeq}")
+    val fences = Curation.iqrOutliers(rows.toDF("grp", "v"), "grp", "v")
+      .where(col("grp") === "g")
+      .select(col("q_lo"), col("q_hi")).distinct().collect()
+    assert(fences.length == 1 &&
+      fences(0).getDouble(0) == -50.5 && fences(0).getDouble(1) == 151.5,
+      s"exact interpolated fences: ${fences.toSeq}")
+  }
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Layout
+
+/** Z-order guarantees: the Morton interleave is bit-exact on known vectors,
+  * aligned z-buckets bound BOTH dimension ranges (the data-skipping
+  * property), and zOrderBy yields disjoint contiguous z runs per partition
+  * (what makes per-file min/max stats tight after a write). */
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("zValue2: known interleave vectors") {
+    import spark.implicits._
+    val rows = Seq((1L, 0L), (0L, 1L), (3L, 5L), (255L, 255L), (0L, 0L))
+      .toDF("a", "b")
+      .select(Layout.zValue2(col("a"), col("b"), 8).as("z"))
+      .collect().map(_.getLong(0))
+    // a=3 (011), b=5 (101) → z = a0·1 + b0·2 + a1·4 + b2·32 = 39
+    assert(rows.toSeq == Seq(1L, 2L, 39L, 65535L, 0L), rows.toSeq.toString)
+  }
+
+  test("aligned 4^k buckets bound both dimension ranges by 2^k (exact, corpus-wide)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(pmod(col("user_id"), lit(256L)).as("a"),
+        pmod(col("event_id"), lit(256L)).as("b"))
+      .withColumn("z", Layout.zValue2(col("a"), col("b"), 8))
+    val k = 5
+    val bad = e.groupBy(expr(s"z div ${1L << (2 * k)}").as("bucket"))
+      .agg((max(col("a")) - min(col("a"))).as("ra"),
+        (max(col("b")) - min(col("b"))).as("rb"))
+      .where(col("ra") >= (1L << k) || col("rb") >= (1L << k))
+      .count()
+    assert(bad == 0, s"an aligned 4^$k z-bucket spanned >= 2^$k in a dimension")
+  }
+
+  test("zOrderBy: partitions hold disjoint z ranges and tighten per-partition spans") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(pmod(col("user_id"), lit(256L)).as("a"),
+        pmod(col("event_id"), lit(256L)).as("b"))
+      .withColumn("z", Layout.zValue2(col("a"), col("b"), 8))
+    val ranges = Layout.zOrderBy(e, col("z"), numFiles = 8)
+      .select(spark_partition_id().as("p"), col("z"), col("a"))
+      .groupBy(col("p"))
+      .agg(min(col("z")).as("zlo"), max(col("z")).as("zhi"),
+        (max(col("a")) - min(col("a"))).as("ra"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(ranges.length > 1, "range partitioning must actually split")
+    ranges.sliding(2).foreach { case Array((_, hi1, _), (lo2, _, _)) =>
+      assert(hi1 <= lo2, s"partition z ranges overlap: $hi1 > $lo2")
+    case _ => ()
+    }
+    val globalRa = 255L
+    assert(ranges.count(_._3 < globalRa) >= ranges.length / 2,
+      "z-contiguous partitions should usually bound the a-dimension below its global span")
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Sketch
+
+/** Count-min sketch guarantees: estimates NEVER undercount (the one-sided
+  * property that makes CMS safe for threshold screens), a wide sketch in the
+  * no-collision regime is exact, partial sketches merge cell-wise to the
+  * global sketch bit-for-bit, and absent keys probe to 0 when their cells
+  * are empty. */
+class SketchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def toks = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.select(explode(graft.operators.TextOps.tokens(col("text"))).as("token"))
+  }
+
+  test("estimate >= exact for every corpus token (one-sided error)") {
+    val t = toks.localCheckpoint()
+    val exact = t.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
+    val sk = Sketch.cmsBuild(t, "token", depth = 4, width = 128)
+    val under = Sketch.cmsEstimate(sk, exact, "token", depth = 4, width = 128)
+      .where(col("cms_est") < col("exact_n")).count()
+    assert(under == 0, "CMS must never undercount a member key")
+  }
+
+  test("wide sketch (w >> |keys|) is exact on a small vocabulary") {
+    import spark.implicits._
+    val items = Seq("a", "a", "a", "b", "b", "c").toDF("token")
+    val exact = items.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
+    val sk = Sketch.cmsBuild(items, "token", depth = 4, width = 1 << 16)
+    val rows = Sketch.cmsEstimate(sk, exact, "token", depth = 4, width = 1 << 16)
+      .collect()
+    assert(rows.length == 3)
+    rows.foreach(r => assert(r.getAs[Long]("cms_est") == r.getAs[Long]("exact_n"),
+      s"collision-free estimate must be exact: $r"))
+  }
+
+  test("partial sketches merge cell-wise to the direct global sketch") {
+    val t = toks.localCheckpoint()
+    val parts = Seq(
+      t.where(pmod(crc32(col("token")), lit(3)) === 0),
+      t.where(pmod(crc32(col("token")), lit(3)) === 1),
+      t.where(pmod(crc32(col("token")), lit(3)) === 2))
+    val merged = Sketch.cmsMerge(parts.map(Sketch.cmsBuild(_, "token", 4, 128)))
+    val direct = Sketch.cmsBuild(t, "token", 4, 128)
+    assert(merged.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(merged).count() == 0,
+      "merge of split-built sketches must equal the one-pass sketch exactly")
+  }
+
+  test("absent key with empty cells estimates 0; estimate preserves probe columns") {
+    import spark.implicits._
+    val items = Seq("x", "y").toDF("token")
+    val sk = Sketch.cmsBuild(items, "token", depth = 4, width = 1 << 16)
+    val probes = Seq(("zz-not-present", 7L)).toDF("token", "tag")
+    val out = Sketch.cmsEstimate(sk, probes, "token", depth = 4, width = 1 << 16)
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("cms_est") == 0L, "empty cells floor the min at 0")
+    assert(out(0).getAs[Long]("tag") == 7L, "extra probe columns ride along")
+  }
+}

@@ -243,16 +243,10 @@ class StreamingOpsSpec extends AnyFunSuite {
   }
 
   test("file-source streaming: readStream over the real events.parquet ≡ batch") {
-    import org.apache.spark.sql.types._
     val dir = "/root/testdata/sf0.001"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val stream = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val (rawSchema, norm) = graft.engine.Sources.eventsStreamLayout(spark, dir)
+    val stream = norm(spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
     val q = StreamingOps.hourlyCounts(stream, watermark = "0 seconds")
       .writeStream.format("memory").queryName("s_file_hourly")
       .outputMode(OutputMode.Complete())
@@ -265,14 +259,9 @@ class StreamingOpsSpec extends AnyFunSuite {
   }
 
   test("stream-static anti screen: streamed new-arrivals ≡ batch anti-join, any batching") {
-    import org.apache.spark.sql.types._
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val (rawSchema, _) = graft.engine.Sources.eventsStreamLayout(spark, dir)
     val fpCol = md5(concat_ws("|",
       col("user_id"), col("event_type"), col("props")).cast("binary"))
     val batchEvents = graft.engine.Sources.events(spark, dir)

@@ -181,4 +181,61 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r(1L) == ((2L, 100L)), s"doc 1: ${r(1L)} (rare-heavy doc scores higher)")
     assert(r(2L) == ((0L, 0L)), "token-less docs report zeros")
   }
+
+  test("chunkDocs: exact chunk grid, overlap, short tail, boundary and empty docs") {
+    import SparkTestSession.spark.implicits._
+    // 10 tokens, size 4, stride 3 → chunks at 0,3,6 (6+4=10 reaches the
+    // end — NO degenerate start 9), plus one-chunk and empty docs
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+      (2L, "a b"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.chunkDocs(docs, "doc_id", "text", chunkTokens = 4,
+        strideTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getString(4))).sortBy(t => (t._1, t._2))
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((1L, 0, 0), (1L, 1, 3), (1L, 2, 6), (2L, 0, 0)),
+      s"chunk grid: ${out.toSeq}")
+    assert(out(1)._5 == "t3 t4 t5 t6", "stride-3 chunk overlaps its neighbor")
+    assert(out(2)._4 == 4 && out(2)._5 == "t6 t7 t8 t9",
+      "final chunk exactly reaches the end")
+    assert(!out.exists(_._1 == 3L), "empty docs yield no chunks")
+    // exact cover: every token index is inside at least one chunk
+    val covered = out.filter(_._1 == 1L)
+      .flatMap(t => t._3 until (t._3 + t._4)).toSet
+    assert(covered == (0 until 10).toSet, "chunks cover the whole doc")
+  }
+
+  test("chunkDocs: trailing short chunk when the grid overshoots") {
+    import SparkTestSession.spark.implicits._
+    // 9 tokens, size 4, stride 3 → starts 0,3,6; last chunk is 3 tokens
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8")).toDF("doc_id", "text")
+    val out = TextOps.chunkDocs(docs, "doc_id", "text", 4, 3)
+      .orderBy(org.apache.spark.sql.functions.col("chunk_id"))
+      .collect().map(r => (r.getInt(2), r.getInt(3)))
+    assert(out.toSeq == Seq((0, 4), (3, 4), (6, 3)), s"got ${out.toSeq}")
+  }
+
+  test("bpePairStats: occurrence-weighted pair counts, within-word repeats, short words") {
+    import SparkTestSession.spark.implicits._
+    // "ab" ×3 (two docs), "aab" ×1, "x" ×1 (no pairs)
+    val docs = Seq((1L, "ab ab aab"), (2L, "ab x")).toDF("doc_id", "text")
+    val out = TextOps.bpePairStats(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // "ab" pair: 3 occurrences of word "ab" + 1 of "aab" = 4; in 2 words
+    assert(out("ab") == ((4L, 2L)), s"ab: ${out.get("ab")}")
+    // "aa" pair: only in "aab" ×1
+    assert(out("aa") == ((1L, 1L)), s"aa: ${out.get("aa")}")
+    assert(!out.contains("x"), "1-char words contribute no pairs")
+  }
+
+  test("bpePairStats: repeated pair inside one word counts occurrences but one word") {
+    import SparkTestSession.spark.implicits._
+    val docs = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val out = TextOps.bpePairStats(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map("aa" -> ((2L, 1L))),
+      s"'aaa' has the 'aa' pair twice in ONE distinct word: $out")
+  }
 }
