@@ -380,4 +380,38 @@ object TextOps {
         // → "aa" twice) contributes once to the word tally
         countDistinct(col("w")).as("n_words"))
   }
+
+  /** One BPE merge ITERATION applied to the corpus vocabulary: take the
+    * argmax pair from [[bpePairStats]] and fuse its occurrences in the
+    * space-separated symbol form of every distinct word — greedy leftmost
+    * non-overlapping, which is exactly the left-to-right `replace()`
+    * semantics both engines share ("a a a" merging "a a" → "aa a"). This is
+    * the loop body of BPE training; iterating it (merge → recount pairs →
+    * merge) builds the full merge table, and every iteration stays
+    * |vocab|-sized: the argmax is a 1-row broadcast (no driver collect),
+    * the rewrite a narrow map over distinct words.
+    *
+    * Output: (w, wc, pair, symbols_before, symbols_after, n_merges) — one
+    * row per distinct word; n_merges counts fused occurrences (each merge
+    * removes exactly one space). */
+  def applyTopBpeMerge(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String): org.apache.spark.sql.DataFrame = {
+    val words = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    val top = bpePairStats(docs, idCol, textCol)
+      .orderBy(col("n_total").desc, col("pair").asc).limit(1)
+      .select(col("pair"))
+    words
+      .crossJoin(broadcast(top))
+      .withColumn("symbols_before", array_join(split(col("w"), ""), " "))
+      .withColumn("__pat", concat(substring(col("pair"), 1, 1), lit(" "),
+        substring(col("pair"), 2, 1)))
+      .withColumn("symbols_after",
+        expr("replace(symbols_before, __pat, pair)"))
+      .select(col("w"), col("wc"), col("pair"),
+        col("symbols_before"), col("symbols_after"),
+        (length(col("symbols_before")) - length(col("symbols_after")))
+          .as("n_merges"))
+  }
 }

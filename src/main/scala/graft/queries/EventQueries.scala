@@ -260,6 +260,21 @@ object EventQueries {
           col("event_type"), col("n_events"), col("sum_value"))
         .orderBy(col("win_start"), col("event_type"))),
 
+    // Hopping windows through the STREAMING runtime (X66): same end-to-end
+    // readStream → memory-sink harness as stream_events_hourly, with the
+    // overlapping-window state path exercised (each event updates 4
+    // windows). Exact micro-unit sums — the any-summation-order contract.
+    "stream_events_hopping" -> q((s, dir) => {
+      val (schema, norm) = eventsStreamLayout(s, dir)
+      graft.streaming.StreamingOps.runToMemorySink(s, dir, "events.parquet",
+        schema,
+        src => graft.streaming.StreamingOps.hoppingCountsExact(norm(src)))
+        .select(
+          date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
     // Per-group Tukey-fence outlier screen (X63): rows outside
     // [q1 − 1.5·IQR, q3 + 1.5·IQR] of their event_type's exact quartiles.
     // Fence table is |groups| rows → broadcast; corpus side is one narrow
@@ -446,6 +461,18 @@ object EventQueries {
         |  FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) AS k(k))
         |SELECT win_start, event_type, count(*) AS n_events,
         |       round(sum(value), 4) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    // Hopping replay with the micro-units sum (streamed summation order).
+    "stream_events_hopping" ->
+      """WITH w AS (
+        |  SELECT strftime(make_timestamp(
+        |           ((epoch_us(ts) // 900000000) - k.k) * 900000000),
+        |           '%Y-%m-%d %H:%M:%S') AS win_start,
+        |         event_type, value
+        |  FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) AS k(k))
+        |SELECT win_start, event_type, count(*) AS n_events,
+        |       sum(floor(value * 10000.0 + 0.5)::BIGINT) / 10000.0 AS sum_value
         |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
 
     // Identical fence algebra term-for-term (q1 − (q3−q1)·1.5 etc.): IEEE

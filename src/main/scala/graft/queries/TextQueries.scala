@@ -121,7 +121,15 @@ object TextQueries {
     "text_bpe_pairs" -> q((s, dir) =>
       TextOps.bpePairStats(Sources.documents(s, dir), "doc_id", "text")
         .orderBy(col("n_total").desc, col("pair").asc)
-        .limit(50))
+        .limit(50)),
+
+    // BPE merge application (X67): the argmax pair (1-row broadcast, no
+    // driver collect) fused greedy-leftmost into every distinct word's
+    // symbol sequence — the loop body of tokenizer training, |vocab|-sized
+    // per iteration.
+    "text_bpe_merge" -> q((s, dir) =>
+      TextOps.applyTopBpeMerge(Sources.documents(s, dir), "doc_id", "text")
+        .orderBy(col("w")))
   )
 
   // DuckDB twins. `len()` is BIGINT in DuckDB vs Spark size() INT → ::int.
@@ -304,6 +312,34 @@ object TextQueries {
         |SELECT pair, sum(wc)::bigint AS n_total,
         |       count(DISTINCT w) AS n_words
         |FROM pairs GROUP BY pair
-        |ORDER BY n_total DESC, pair ASC LIMIT 50""".stripMargin
+        |ORDER BY n_total DESC, pair ASC LIMIT 50""".stripMargin,
+
+    // Same argmax pair, same greedy-leftmost replace() fuse over the
+    // space-joined symbol form.
+    "text_bpe_merge" ->
+      raw"""WITH words AS (
+        |  SELECT w, count(*) AS wc
+        |  FROM (SELECT unnest($toks) AS w FROM documents) GROUP BY w),
+        |pairs AS (
+        |  SELECT w, wc,
+        |         unnest(CASE WHEN length(w) < 2 THEN []::varchar[]
+        |                ELSE list_transform(range(1, length(w)),
+        |                                    i -> w[i:i+1]) END) AS pair
+        |  FROM words),
+        |top AS (
+        |  SELECT pair FROM (
+        |    SELECT pair, sum(wc) AS n_total FROM pairs GROUP BY pair)
+        |  ORDER BY n_total DESC, pair ASC LIMIT 1),
+        |sym AS (
+        |  SELECT w, wc, array_to_string(string_split(w, ''), ' ') AS symbols_before
+        |  FROM words)
+        |SELECT s.w, s.wc, t.pair, s.symbols_before,
+        |       replace(s.symbols_before,
+        |               t.pair[1:1] || ' ' || t.pair[2:2], t.pair) AS symbols_after,
+        |       (length(s.symbols_before)
+        |        - length(replace(s.symbols_before,
+        |                 t.pair[1:1] || ' ' || t.pair[2:2], t.pair)))::int AS n_merges
+        |FROM sym s CROSS JOIN top t
+        |ORDER BY w""".stripMargin
   )
 }

@@ -47,6 +47,21 @@ object StreamingOps {
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Hopping (sliding) 1-hour windows advancing every 15 minutes, exact
+    * micro-units value sum — the streaming twin of `events_hopping`. Each
+    * event expands to 4 overlapping windows inside the micro-batch plan;
+    * the watermark caps window state exactly as the tumbling form (state is
+    * windows × types, ×4 the tumbling count — still time-bounded). */
+  def hoppingCountsExact(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(floor(col("value") * lit(10000.0) + lit(0.5))) / lit(10000.0)).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   /** [[sessionize]] with the exact micro-units value sum — same
     * any-summation-order rationale as [[hourlyCountsExact]]. */
   def sessionizeExact(events: DataFrame, gap: String = "30 minutes",

@@ -45,6 +45,24 @@ class StreamingOpsSpec extends AnyFunSuite {
     spark.table(name)
   }
 
+  test("hoppingCountsExact: streaming result equals the batch hopping aggregation") {
+    import spark.implicits._
+    val got = runStream("s_hopping")(StreamingOps.hoppingCountsExact(_), OutputMode.Append())
+      .orderBy("win_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    val batch = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("value") * lit(10000.0) + lit(0.5))) / lit(10000.0)).as("s"))
+      .select(col("window.start"), col("event_type"), col("n"), col("s"))
+      .orderBy(col("start"), col("event_type"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == batch.toSeq)
+    // every event lands in exactly 4 sliding windows
+    assert(got.map(_._3).sum == 4L * rows.length,
+      s"expected 4 windows per event: ${got.toSeq}")
+  }
+
   test("hourlyCounts: streaming result equals the batch window aggregation") {
     import spark.implicits._
     val got = runStream("s_hourly")(StreamingOps.hourlyCounts(_), OutputMode.Append())

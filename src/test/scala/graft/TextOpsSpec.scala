@@ -238,4 +238,29 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out == Map("aa" -> ((2L, 1L))),
       s"'aaa' has the 'aa' pair twice in ONE distinct word: $out")
   }
+
+  test("applyTopBpeMerge: argmax pair fused greedy-leftmost, others untouched") {
+    import SparkTestSession.spark.implicits._
+    // pair counts: "ab" ×4 (3×"ab" + 1 in "aab"), "aa" ×1 → argmax "ab"
+    val docs = Seq((1L, "ab ab aab"), (2L, "ab cd")).toDF("doc_id", "text")
+    val out = TextOps.applyTopBpeMerge(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getString(0) -> (r.getString(2), r.getString(3),
+        r.getString(4), r.getInt(5))).toMap
+    assert(out("ab") == (("ab", "a b", "ab", 1)), s"ab: ${out("ab")}")
+    assert(out("aab") == (("ab", "a a b", "a ab", 1)), s"aab: ${out("aab")}")
+    assert(out("cd") == (("ab", "c d", "c d", 0)), "non-matching word untouched")
+  }
+
+  test("applyTopBpeMerge: greedy leftmost non-overlap on repeated symbols") {
+    import SparkTestSession.spark.implicits._
+    // vocab {"aaa"}: only pair is "aa" (×2, 1 word); fusing in "a a a"
+    // takes the LEFTMOST occurrence then continues after it → "aa a"
+    val docs = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val out = TextOps.applyTopBpeMerge(docs, "doc_id", "text").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert((r.getString(2), r.getString(3), r.getString(4), r.getInt(5)) ==
+      (("aa", "a a a", "aa a", 1)), r.toString)
+  }
 }
