@@ -116,7 +116,39 @@ object CurationQueries {
     "text_scrub" -> q((s, dir) =>
       Curation.scrub(Sources.documents(s, dir), "doc_id", "text",
         blocklist = ScrubBlocklist)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Corpus composition report (X68): per (source, lang) document/token
+    // totals and integer mean quality — the monitoring table a curation
+    // pipeline recomputes per snapshot. One narrow annotate pass + one
+    // group-count-sized aggregate; integer `div` for the mean (the
+    // contamination_bp lesson).
+    "corpus_stats_by_source" -> q((s, dir) =>
+      Sources.documents(s, dir)
+        .select(col("source"), col("lang"),
+          TextOps.tokenCount(col("text")).cast("long").as("tk"),
+          TextOps.qualityBp(col("text")).cast("long").as("qbp"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tk")).as("n_tokens"),
+          expr("sum(qbp) div count(1)").as("mean_quality_bp"),
+          min(col("tk")).as("min_tokens"),
+          max(col("tk")).as("max_tokens"))
+        .orderBy(col("source"), col("lang"))),
+
+    // Quality-score distribution histogram (X68): integer thousand-bp
+    // buckets per language — the calibration/drift view over the same
+    // integer score basis the gates threshold on. Pure integer bucketing:
+    // no width_bucket floats anywhere.
+    "text_quality_histogram" -> q((s, dir) =>
+      Sources.documents(s, dir)
+        .select(col("lang"),
+          TextOps.qualityBp(col("text")).cast("long").as("qbp"))
+        .withColumn("bucket", expr("qbp div 10000"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("qbp")).as("min_bp"), max(col("qbp")).as("max_bp"))
+        .orderBy(col("lang"), col("bucket")))
   )
 
   private val ScrubBlocklist = Seq("spark", "stream")
@@ -267,6 +299,24 @@ object CurationQueries {
         |SELECT pack_group, doc_id, n_tokens, start_tok::bigint AS start_tok,
         |       (start_tok // 256)::bigint AS chunk_first,
         |       ((start_tok + greatest(n_tokens, 1) - 1) // 256)::bigint AS chunk_last
-        |FROM c ORDER BY pack_group, doc_id""".stripMargin
+        |FROM c ORDER BY pack_group, doc_id""".stripMargin,
+
+    "corpus_stats_by_source" ->
+      raw"""WITH a AS (
+        |  SELECT source, lang, len($toks)::bigint AS tk,
+        |         $qualityBp::bigint AS qbp
+        |  FROM documents)
+        |SELECT source, lang, count(*) AS n_docs,
+        |       sum(tk)::bigint AS n_tokens,
+        |       (sum(qbp) // count(*))::bigint AS mean_quality_bp,
+        |       min(tk) AS min_tokens, max(tk) AS max_tokens
+        |FROM a GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+
+    "text_quality_histogram" ->
+      raw"""WITH a AS (
+        |  SELECT lang, $qualityBp::bigint AS qbp FROM documents)
+        |SELECT lang, (qbp // 10000)::bigint AS bucket, count(*) AS n_docs,
+        |       min(qbp) AS min_bp, max(qbp) AS max_bp
+        |FROM a GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
   )
 }
