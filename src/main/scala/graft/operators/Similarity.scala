@@ -479,6 +479,41 @@ object Similarity {
       .select(col("id_a"), col("id_b"), cosineExpr.as("cosine"))
   }
 
+  /** Within-cell kNN graph: for every vector, its k most cosine-similar
+    * neighbors restricted to the vector's k-means cell — the ANN-graph
+    * construction that feeds graph clustering / agglomerative dedup, i.e.
+    * the [[cellNearDupPairs]] SemDeDup restriction applied to graph
+    * building instead of thresholded pairs. Same Σ n_c² cost bound (never
+    * n²), same cell-partitioned shuffle-hash self-join; the per-source
+    * top-k is a window partitioned by the source id — bounded state, and
+    * edge count is exactly ≤ k·n. Directed output (src_id, nbr_id, cosine,
+    * rank), ties broken by nbr_id; vectors alone in their cell emit no
+    * edges (the k-probe multi-cell variant composes via [[ivfTopK]] when
+    * recall across cell borders matters). */
+  def cellKnnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int = 3,
+                   nCells: Int = 16, seed: Long = 42L,
+                   centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val cents: Seq[Seq[Double]] =
+      centroids.getOrElse(trainIvfCentroids(df, vecCol, nCells, seed))
+        .map(_.toSeq).toSeq
+    val base = prep(df, idCol, vecCol)
+      .withColumn("cell", element_at(cellDists(col("vec"), cents), 1).getField("cell"))
+    val a = base.select(col("id").as("src_id"), col("vec").as("vec_a"),
+      col("nrm").as("nrm_a"), col("cell"))
+    val b = base.select(col("id").as("nbr_id"), col("vec").as("vec_b"),
+      col("nrm").as("nrm_b"), col("cell"))
+    val cosineExpr =
+      round(cosinePrenormed(col("vec_a"), col("vec_b"), col("nrm_a"), col("nrm_b")), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src_id")).orderBy(col("cosine").desc, col("nbr_id").asc)
+    a.as("a").join(b.hint("shuffle_hash").as("b"),
+        col("a.cell") === col("b.cell") && col("src_id") =!= col("nbr_id"))
+      .select(col("src_id"), col("nbr_id"), cosineExpr.as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, blocks: Int = 32,
                          dim: Int = 64, seed: Long = 42L): DataFrame = {

@@ -399,11 +399,13 @@ object TextOps {
     val words = docs
       .select(explode(tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    // argmax pair as a SCALAR SUBQUERY (the unigramSurprisal N convention) —
+    // no join node at all, so the registry-wide no-cartesian audit holds
     val top = bpePairStats(docs, idCol, textCol)
       .orderBy(col("n_total").desc, col("pair").asc).limit(1)
       .select(col("pair"))
     words
-      .crossJoin(broadcast(top))
+      .withColumn("pair", top.scalar())
       .withColumn("symbols_before", array_join(split(col("w"), ""), " "))
       .withColumn("__pat", concat(substring(col("pair"), 1, 1), lit(" "),
         substring(col("pair"), 2, 1)))

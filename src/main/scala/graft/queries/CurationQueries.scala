@@ -102,6 +102,25 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Delta application (X69): old + payload-carrying diff → new, the
+    // MERGE/upsert patch-replication shape. The ORACLE computes the target
+    // snapshot directly from the base table, so the compared equality IS
+    // the round-trip law diff ∘ apply ≡ identity, checked against an
+    // engine that never ran either operator.
+    "corpus_apply_delta" -> q((s, dir) => {
+      val d = Sources.documents(s, dir)
+      val oldSnap = d.where(col("doc_id") % 7 =!= 6)
+        .select(col("doc_id"), col("text"))
+      val newSnap = d.where(col("doc_id") % 5 =!= 4)
+        .withColumn("text", when(col("doc_id") % 11 === 3,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .select(col("doc_id"), col("text"))
+      val delta = Versioning.diffWithPayload(oldSnap, newSnap, "doc_id", "text")
+      Versioning.applyDelta(oldSnap, delta, "doc_id", "text")
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("fp_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Cross-doc boilerplate removal: drop aligned 8-token spans shared by
     // ≥ 2 docs, rebuild each doc from surviving spans + tail. The rewrite
     // form of dedup_span_hashes (same chunk/hash basis).
@@ -243,6 +262,14 @@ object CurationQueries {
         |      FROM o FULL JOIN n ON o.doc_id = n.doc_id)
         |SELECT doc_id, status, old_md5, new_md5 FROM j
         |WHERE status IS NOT NULL ORDER BY doc_id""".stripMargin,
+
+    // The target snapshot computed DIRECTLY — equality with Spark's
+    // apply(old, diff(old, new)) is the round-trip law.
+    "corpus_apply_delta" ->
+      """SELECT doc_id,
+        |       md5(CASE WHEN doc_id % 11 = 3 THEN text || ' v2'
+        |                ELSE text END) AS fp_md5
+        |FROM documents WHERE doc_id % 5 <> 4 ORDER BY doc_id""".stripMargin,
 
     // Same chunk decomposition as the dedup_span_hashes oracle (DuckDB list
     // slice is inclusive 1-based; range() half-open); rebuild = kept chunks

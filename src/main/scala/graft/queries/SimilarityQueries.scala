@@ -207,6 +207,20 @@ object SimilarityQueries {
         idCol = "vec_id", vecCol = "embedding", k = 5,
         nPlanes = 4, dim = 64)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Within-cell kNN graph (X70): every vector's 3 nearest neighbors
+    // restricted to its k-means cell — the ANN-graph builder (SemDeDup's
+    // restriction applied to graph construction). Σ n_c² cost, ≤ k·n
+    // edges; centroids shared with the IVF/SemDeDup quantizer memo, so
+    // the oracle embeds the identical literals.
+    "sim_knn_graph" -> q((s, dir) => {
+      val emb = Sources.embeddings(s, dir)
+      val cents = centroidCache.getOrElseUpdate((dir, 16, 42L),
+        Similarity.trainIvfCentroids(emb, "embedding", nCells = 16, seed = 42L))
+      Similarity.cellKnnGraph(emb, "vec_id", "embedding", k = 3,
+        nCells = 16, centroids = Some(cents))
+        .orderBy(col("src_id"), col("rank"))
     })
   )
 
@@ -315,6 +329,18 @@ object SimilarityQueries {
           |    ON q.cell = c.cell AND q.vec_id < c.vec_id
           |  WHERE $cosExpr >= $CosineThreshold""".stripMargin
       Map(
+        // the kNN graph shares the cell CTEs: same-cell self-join without
+        // the threshold, per-source row_number top-3 (cosine desc, nbr asc)
+        "sim_knn_graph" ->
+          s"""WITH $cellCtes
+            |SELECT src_id, nbr_id, cosine, cast(rnk AS int) AS rank FROM (
+            |  SELECT q.vec_id AS src_id, c.vec_id AS nbr_id,
+            |         $cosExpr AS cosine,
+            |         row_number() OVER (PARTITION BY q.vec_id
+            |           ORDER BY $cosExpr DESC, c.vec_id ASC) AS rnk
+            |  FROM cells q JOIN cells c
+            |    ON q.cell = c.cell AND q.vec_id <> c.vec_id)
+            |WHERE rnk <= 3 ORDER BY src_id, rank""".stripMargin,
         "sim_semdedup_pairs" ->
           s"WITH $cellCtes\n$pairsSql\nORDER BY id_a, id_b",
         "sim_semdedup_survivors" ->

@@ -309,4 +309,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"cell-restricted pair join must stay equi:\n$plan")
   }
+
+  test("cellKnnGraph: ≤ k ranked edges per source, within-cell only, scores exact") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = Similarity.trainIvfCentroids(emb, "embedding", nCells = 8, seed = 42L)
+    val g = Similarity.cellKnnGraph(emb, "vec_id", "embedding", k = 3,
+      nCells = 8, centroids = Some(cents)).localCheckpoint()
+    val bySrc = g.collect().groupBy(_.getLong(0))
+    assert(bySrc.nonEmpty)
+    bySrc.foreach { case (src, rows) =>
+      assert(rows.length <= 3, s"src $src has ${rows.length} edges")
+      val ranked = rows.sortBy(_.getInt(3))
+      assert(ranked.map(_.getInt(3)).toSeq == (1 to rows.length), s"ranks of $src")
+      // ranks descend in cosine (ties broken by nbr_id asc)
+      val cos = ranked.map(_.getDouble(2))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }, s"order of $src")
+    }
+    // with k ≥ cell size the graph is the FULL within-cell digraph, which
+    // must be symmetric (same-cell is mutual; no threshold cuts an edge) —
+    // this pins "within-cell only" without re-deriving cell assignment
+    val full = Similarity.cellKnnGraph(emb, "vec_id", "embedding", k = 100000,
+      nCells = 8, centroids = Some(cents))
+      .select("src_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.forall { case (a, b) => full.contains((b, a)) },
+      "uncut within-cell graph must be symmetric")
+    assert(g.select("src_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet.subsetOf(full),
+      "k-cut edges are a subset of the full within-cell digraph")
+    val plan = g.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"kNN-graph join must stay equi:\n$plan")
+  }
 }

@@ -33,4 +33,37 @@ class VersioningSpec extends AnyFunSuite {
     val snap = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
     assert(Versioning.snapshotDiff(snap, snap, "doc_id", "text").count() == 0)
   }
+
+  test("applyDelta ∘ diffWithPayload ≡ identity (the patch round-trip law)") {
+    import spark.implicits._
+    val oldSnap = Seq(
+      (1L, "same text"), (2L, "will change"), (3L, "will vanish")
+    ).toDF("doc_id", "text")
+    val newSnap = Seq(
+      (1L, "same text"), (2L, "changed text"), (4L, "brand new")
+    ).toDF("doc_id", "text")
+    val delta = Versioning.diffWithPayload(oldSnap, newSnap, "doc_id", "text")
+    val applied = Versioning.applyDelta(oldSnap, delta, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = newSnap.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(applied == want,
+      s"apply(old, diff(old, new)) must rebuild new exactly: $applied vs $want")
+    // unchanged rows come from the snapshot side, not the delta
+    assert(delta.where(org.apache.spark.sql.functions.col("doc_id") === 1L)
+      .count() == 0)
+  }
+
+  test("applyDelta: empty delta is a no-op; removed payloads are null in transport") {
+    import spark.implicits._
+    val snap = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val empty = Versioning.diffWithPayload(snap, snap, "doc_id", "text")
+    assert(empty.count() == 0)
+    val same = Versioning.applyDelta(snap, empty, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(same == Set((1L, "a"), (2L, "b")))
+    val gone = Versioning.diffWithPayload(snap,
+      Seq((1L, "a")).toDF("doc_id", "text"), "doc_id", "text").collect()
+    assert(gone.length == 1 && gone(0).getString(1) == "removed" &&
+      gone(0).isNullAt(4), "removed transport rows carry no payload")
+  }
 }
