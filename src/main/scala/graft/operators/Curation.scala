@@ -305,6 +305,36 @@ object Curation {
           chunkTokens).cast("long").as("chunk_last"))
   }
 
+  /** Train/eval split-leakage screen: aligned `spanTokens`-token span
+    * hashes present on BOTH sides of the deterministic id-hash split
+    * ([[Sampling.hashSplit]] routes by document ID, so identical or
+    * boilerplate-sharing CONTENT legally straddles the boundary) — the
+    * leak that n-gram decontamination against an external benchmark
+    * ([[contaminationReport]]) cannot see once splits are derived
+    * downstream of dedup. The standard QA gate before a training run:
+    * nonzero rows mean eval measures memorization of shared passages.
+    *
+    * Shape: one span explode ([[Dedup.docSpans]] — the X39 hash basis) +
+    * ONE span_hash-partitioned aggregate whose conditional distinct counts
+    * classify each doc occurrence by its split bucket (a pure function of
+    * the id — no second scan, no join); output is leak-sized. Output
+    * (span_hash, n_train_docs, n_eval_docs), both ≥ 1 by construction. */
+  def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
+                   trainPermille: Int = 900, spanTokens: Int = 8): DataFrame = {
+    require(trainPermille > 0 && trainPermille < 1000,
+      "trainPermille must cut both sides non-empty: (0, 1000)")
+    val spans = Dedup.docSpans(docs, idCol, textCol, spanTokens)
+      .withColumn("__b",
+        pmod(Dedup.md5Hash48(col("id").cast("string")), lit(1000L)))
+    spans.groupBy(col("span_hash"))
+      .agg(
+        countDistinct(when(col("__b") < trainPermille, col("id")))
+          .as("n_train_docs"),
+        countDistinct(when(col("__b") >= trainPermille, col("id")))
+          .as("n_eval_docs"))
+      .where(col("n_train_docs") > 0 && col("n_eval_docs") > 0)
+  }
+
   /** Per-group Tukey-fence outlier screen over a numeric column: rows
     * outside [q1 − k·IQR, q3 + k·IQR] of their group's exact interpolated
     * quartiles. The telemetry-curation shape (drop corrupted

@@ -563,8 +563,8 @@ object Dedup {
     * ExactSubstr step of published dedup pipelines): at 100 TB it is a
     * narrow map + explode producing n_tokens/span rows per doc — no
     * shuffle until the consumer aggregates. */
-  private def docSpans(docs: DataFrame, idCol: String, textCol: String,
-                       spanTokens: Int): DataFrame = {
+  private[operators] def docSpans(docs: DataFrame, idCol: String, textCol: String,
+                                  spanTokens: Int): DataFrame = {
     require(spanTokens > 0, "spanTokens must be positive")
     val toks = TextOps.tokens(col(textCol))
     docs.select(col(idCol).as("id"), toks.as("tk"))

@@ -137,6 +137,15 @@ object CurationQueries {
         blocklist = ScrubBlocklist)
         .orderBy(col("doc_id"))),
 
+    // Train/eval split-leakage screen (X71): 8-token span hashes present
+    // on BOTH sides of the 90/10 id-hash split — shared passages whose
+    // eval occurrences measure memorization. 26 leaked spans at sf0.01:
+    // a real screen, not a no-op.
+    "split_leakage_spans" -> q((s, dir) =>
+      Curation.splitLeakage(Sources.documents(s, dir), "doc_id", "text",
+        trainPermille = 900, spanTokens = 8)
+        .orderBy(col("span_hash"))),
+
     // Corpus composition report (X68): per (source, lang) document/token
     // totals and integer mean quality — the monitoring table a curation
     // pipeline recomputes per snapshot. One narrow annotate pass + one
@@ -327,6 +336,23 @@ object CurationQueries {
         |       (start_tok // 256)::bigint AS chunk_first,
         |       ((start_tok + greatest(n_tokens, 1) - 1) // 256)::bigint AS chunk_last
         |FROM c ORDER BY pack_group, doc_id""".stripMargin,
+
+    // Same span grid (X39 oracle basis), same md5-48 id-hash split fold.
+    "split_leakage_spans" ->
+      raw"""WITH t AS (
+        |  SELECT doc_id, $toks AS tk,
+        |         ${DedupQueries.hexFold48("doc_id::varchar")} % 1000 AS b
+        |  FROM documents),
+        |idx AS (SELECT doc_id, tk, b, unnest(range(0, len(tk) // 8)) AS i FROM t),
+        |spans AS (
+        |  SELECT doc_id, b, md5(array_to_string(tk[i*8+1 : i*8+8], ' ')) AS span_hash
+        |  FROM idx)
+        |SELECT span_hash,
+        |       count(DISTINCT CASE WHEN b < 900 THEN doc_id END) AS n_train_docs,
+        |       count(DISTINCT CASE WHEN b >= 900 THEN doc_id END) AS n_eval_docs
+        |FROM spans GROUP BY span_hash
+        |HAVING n_train_docs > 0 AND n_eval_docs > 0
+        |ORDER BY span_hash""".stripMargin,
 
     "corpus_stats_by_source" ->
       raw"""WITH a AS (

@@ -173,6 +173,32 @@ class CurationSpec extends AnyFunSuite {
       (2, "lang_en", 3L, 2L, 1L)), s"cascade accounting wrong: ${out.toSeq}")
   }
 
+  test("splitLeakage: cross-split shared spans reported, same-side and unique spans not") {
+    import spark.implicits._
+    // pick ids on opposite sides of the 50% id-hash split by evaluating the
+    // split's own bucket function — no magic constants
+    val buckets = spark.range(1, 60).toDF("id")
+      .select(col("id"), pmod(graft.operators.Dedup.md5Hash48(
+        col("id").cast("string")), org.apache.spark.sql.functions.lit(1000L)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lo = buckets.collect { case (id, b) if b < 500 => id }.toSeq.sorted
+    val hi = buckets.collect { case (id, b) if b >= 500 => id }.toSeq.sorted
+    assert(lo.nonEmpty && hi.size >= 2, s"need ids on both sides: $buckets")
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8" // one aligned 8-token span
+    val docs = Seq(
+      (lo.head, shared + " trainside tail tail tail tail tail tail tail"),
+      (hi.head, shared + " evalside tail tail tail tail tail tail tail"),
+      // same-side pair sharing a DIFFERENT span — must not be reported
+      (hi(1), "h1 h2 h3 h4 h5 h6 h7 h8"),
+      (hi.last, "h1 h2 h3 h4 h5 h6 h7 h8")
+    ).toDF("doc_id", "text")
+    val out = Curation.splitLeakage(docs, "doc_id", "text",
+      trainPermille = 500, spanTokens = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 1, s"exactly the cross-split span leaks: ${out.toSeq}")
+    assert(out(0)._2 == 1L && out(0)._3 == 1L, s"one doc each side: ${out(0)}")
+  }
+
   test("iqrOutliers: exact Tukey fences, per-group independence, inliers untouched") {
     import spark.implicits._
     // group g holds 102 values (-1000, 1..100, 1000): interpolated
