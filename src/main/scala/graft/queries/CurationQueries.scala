@@ -115,7 +115,11 @@ object CurationQueries {
         .withColumn("text", when(col("doc_id") % 11 === 3,
           concat(col("text"), lit(" v2"))).otherwise(col("text")))
         .select(col("doc_id"), col("text"))
+      // the delta feeds BOTH applyDelta branches (anti + upsert) — pin it
+      // so the full-outer diff computes once (ExplainAudit showed the
+      // unpinned lineage planning twice)
       val delta = Versioning.diffWithPayload(oldSnap, newSnap, "doc_id", "text")
+        .localCheckpoint(eager = false)
       Versioning.applyDelta(oldSnap, delta, "doc_id", "text")
         .select(col("doc_id"), md5(col("text").cast("binary")).as("fp_md5"))
         .orderBy(col("doc_id"))
