@@ -55,6 +55,31 @@ object Similarity {
       .groupBy(col(groupCol), col("pos"))
       .agg(count(lit(1)).as("n_vecs"), avg(col("v").cast("double")).as("mean"))
 
+  /** One DISTRIBUTED Lloyd's refinement round: assign every corpus vector
+    * to its nearest centroid (codegen'd literal distances, one narrow
+    * pass — the same assignment expression every IVF consumer runs), then
+    * re-average per cell via [[groupCentroids]] (map-side partial
+    * aggregation; the shuffle carries cells×dim partial sums per mapper,
+    * never vectors). Output (cell, pos, n_vecs, mean) — the refined
+    * centroid matrix as data.
+    *
+    * This is the scale path for quantizer training: the bounded
+    * hash-sample seeds [[trainIvfCentroids]] driver-side, and each
+    * refinement round over the FULL corpus is this one job — iterate to
+    * taste, collect cells×dim rows (KBs) back as the next round's
+    * literals. Empty cells simply emit no rows (standard Lloyd's: reseed
+    * or drop). */
+  def kmeansRefine(df: DataFrame, idCol: String, vecCol: String,
+                   centroids: Array[Array[Double]]): DataFrame = {
+    val cents: Seq[Seq[Double]] = centroids.map(_.toSeq).toSeq
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("cell",
+        element_at(cellDists(col("vec"), cents), 1).getField("cell"))
+      .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(count(lit(1)).as("n_vecs"), avg(col("v").cast("double")).as("mean"))
+  }
+
   /** Approximate top-k via random-hyperplane LSH: score only same-bucket
     * pairs. Same output shape as [[bruteForceTopK]]; rank is within the
     * bucket-restricted candidate set. */

@@ -209,6 +209,21 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Distributed Lloyd's refinement round (X72): assign all vectors to
+    // their nearest memoized centroid, re-average per cell — the
+    // full-corpus training iteration that complements the bounded-sample
+    // driver-side init. Integer basis-point means (the
+    // sim_label_centroids convention).
+    "sim_kmeans_refine" -> q((s, dir) => {
+      val emb = Sources.embeddings(s, dir)
+      val cents = centroidCache.getOrElseUpdate((dir, 16, 42L),
+        Similarity.trainIvfCentroids(emb, "embedding", nCells = 16, seed = 42L))
+      Similarity.kmeansRefine(emb, "vec_id", "embedding", cents)
+        .select(col("cell"), col("pos"), col("n_vecs"),
+          floor(col("mean") * 10000 + 0.5).cast("bigint").as("mean_bp"))
+        .orderBy(col("cell"), col("pos"))
+    }),
+
     // Within-cell kNN graph (X70): every vector's 3 nearest neighbors
     // restricted to its k-means cell — the ANN-graph builder (SemDeDup's
     // restriction applied to graph construction). Σ n_c² cost, ≤ k·n
@@ -329,6 +344,18 @@ object SimilarityQueries {
           |    ON q.cell = c.cell AND q.vec_id < c.vec_id
           |  WHERE $cosExpr >= $CosineThreshold""".stripMargin
       Map(
+        // Lloyd's refinement shares the cell CTEs: argmin assignment over
+        // the SAME embedded centroid literals, per-(cell, dim) average in
+        // the sim_label_centroids basis-point convention
+        "sim_kmeans_refine" ->
+          s"""WITH $cellCtes
+            |SELECT cell, pos::int AS pos, count(*) AS n_vecs,
+            |       floor(avg(v::DOUBLE) * 10000 + 0.5)::BIGINT AS mean_bp
+            |FROM (
+            |  SELECT cell, unnest(range(len(embedding))) AS pos,
+            |         unnest(embedding) AS v
+            |  FROM cells)
+            |GROUP BY cell, pos ORDER BY cell, pos""".stripMargin,
         // the kNN graph shares the cell CTEs: same-cell self-join without
         // the threshold, per-source row_number top-3 (cosine desc, nbr asc)
         "sim_knn_graph" ->

@@ -310,6 +310,46 @@ class SimilaritySpec extends AnyFunSuite {
       s"cell-restricted pair join must stay equi:\n$plan")
   }
 
+  test("kmeansRefine: exact cell means on known clusters; corpus SSE never increases") {
+    // known geometry: refined centroids are the member means, exactly
+    val docs = Seq(
+      (1L, Array(0.0f, 1.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(9.0f, 10.0f)), (4L, Array(10.0f, 9.0f))
+    ).toDF("vec_id", "embedding")
+    val init = Array(Array(0.0, 0.0), Array(10.0, 10.0))
+    val out = Similarity.kmeansRefine(docs, "vec_id", "embedding", init)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(
+      (0, 0) -> ((2L, 0.5)), (0, 1) -> ((2L, 0.5)),
+      (1, 0) -> ((2L, 9.5)), (1, 1) -> ((2L, 9.5))), out.toString)
+
+    // Lloyd's monotonicity on the real corpus: with the assignment FIXED,
+    // the refined (mean) centroids cannot have higher within-cell SSE
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = Similarity.trainIvfCentroids(emb, "embedding", nCells = 8, seed = 42L)
+    val refined = Similarity.kmeansRefine(emb, "vec_id", "embedding", cents)
+      .collect().groupBy(_.getInt(0))
+      .map { case (c, rows) =>
+        c -> rows.sortBy(_.getInt(1)).map(_.getDouble(3)).toArray }
+    val vecs = emb.collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    def nearest(v: Array[Double], cs: Seq[Array[Double]]): Int =
+      cs.zipWithIndex.minBy { case (c, _) =>
+        v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum }._2
+    def sse(cs: Map[Int, Array[Double]]): Double = vecs.map { v =>
+      val cell = nearest(v, cents.toSeq) // assignment fixed to the INIT centroids
+      cs.get(cell).map(c => v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+        .getOrElse(0.0)
+    }.sum
+    val before = sse(cents.zipWithIndex.map { case (c, i) => i -> c }.toMap)
+    val after = sse(refined)
+    assert(after <= before + 1e-6,
+      s"refined centroids must not increase fixed-assignment SSE: $after > $before")
+    // every corpus vector is counted exactly once per dimension
+    val n = Similarity.kmeansRefine(emb, "vec_id", "embedding", cents)
+      .where(col("pos") === 0).agg(sum("n_vecs")).collect()(0).getLong(0)
+    assert(n == emb.count(), "cell memberships must partition the corpus")
+  }
+
   test("cellKnnGraph: ≤ k ranked edges per source, within-cell only, scores exact") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val cents = Similarity.trainIvfCentroids(emb, "embedding", nCells = 8, seed = 42L)

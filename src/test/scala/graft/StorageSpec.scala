@@ -67,6 +67,28 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 
+  test("schema evolution: mergeSchema unions columns across file generations") {
+    import spark.implicits._
+    // generation 1 writes (id, a); generation 2 adds column b — the
+    // corpus-rebuild reality at 100 TB: old shards never get rewritten
+    val out = java.nio.file.Files.createTempDirectory("schema_evo").toFile.getAbsolutePath
+    Seq((1L, "x")).toDF("id", "a").write.mode("append").parquet(out)
+    Seq((2L, "y", 7.5)).toDF("id", "a", "b").write.mode("append").parquet(out)
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.columns.sorted.toSeq == Seq("a", "b", "id"),
+      s"merged schema: ${merged.columns.toSeq}")
+    val rows = merged.orderBy("id").collect()
+      .map(r => (r.getLong(r.fieldIndex("id")),
+        r.getString(r.fieldIndex("a")),
+        if (r.isNullAt(r.fieldIndex("b"))) None else Some(r.getDouble(r.fieldIndex("b")))))
+    assert(rows.toSeq == Seq((1L, "x", None), (2L, "y", Some(7.5))),
+      s"old-generation rows read the new column as null: ${rows.toSeq}")
+    // column pruning still reaches the scan on the merged view
+    val pruned = merged.select("id").queryExecution.executedPlan.toString
+    assert(pruned.contains("ReadSchema: struct<id:bigint>"),
+      s"projection must prune to id alone:\n$pruned")
+  }
+
   test("saltedJoin ≡ plain join row-for-row") {
     val fact = graft.engine.Sources.lineitem(spark, dir)
     val dim = graft.engine.Sources.part(spark, dir)
