@@ -116,6 +116,44 @@ object Curation {
       .select(col("doc_id"), col("quality_bp"))
   }
 
+  /** PER-SOURCE QUANTILE NORMALIZATION of the quality score: a raw
+    * threshold gate applied corpus-wide systematically biases the mix —
+    * sources have different score DISTRIBUTIONS (books score high on the
+    * length band, chat logs low), so one global cut keeps all of one source
+    * and none of another. Normalizing each doc's score to its within-source
+    * percentile makes "keep the best X% of EACH source" expressible as a
+    * single threshold on pct_bp — the standard per-domain calibration step
+    * before mixing (the CCNet per-language-bucket idea applied to sources).
+    *
+    * pct_bp = (rank − 1) · 10000 div (n − 1): integer basis points of the
+    * classic percent_rank, computed with value-ties sharing a rank (ties
+    * MUST share a percentile — a unique-ordered row_number would split
+    * equal scores across the gate boundary nondeterministically w.r.t. the
+    * tie column); single-doc sources pin to 0. All-integer → hash-exact in
+    * any engine.
+    *
+    * Shape: one narrow scoring scan, one per-source window (rank + count
+    * need the same partition). The window sorts per SOURCE, parallel
+    * across sources — fine while no single source dwarfs the cluster; a
+    * corpus dominated by one giant source should bucket the window like
+    * [[graft.operators.Layout.compactionPlan]]'s two-level form.
+    * Output: (doc_id, groupCol, quality_bp, pct_bp). */
+  def sourceQuantileNorm(docs: DataFrame, idCol: String, textCol: String,
+                         groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col(idCol).as("doc_id"), col(groupCol),
+      TextOps.qualityBp(col(textCol)).as("quality_bp"))
+    val part = Window.partitionBy(col(groupCol))
+    val w = part.orderBy(col("quality_bp"))
+    scored
+      .withColumn("__rk", rank().over(w))
+      .withColumn("__n", count(lit(1)).over(part))
+      .withColumn("pct_bp",
+        when(col("__n") === 1L, lit(0L))
+          .otherwise(expr("(__rk - 1) * 10000 div (__n - 1)").cast("long")))
+      .select(col("doc_id"), col(groupCol), col("quality_bp"), col("pct_bp"))
+  }
+
   /** Blocklist / PII scrubbing (the C4-style redaction pass): replace
     * email addresses, URLs, and blocklisted words with placeholder tokens,
     * and count the redactions. A pure narrow projection — regex scrub rides

@@ -150,6 +150,67 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Directed shingle-set CONTAINMENT pairs: C(a→b) = |A ∩ B| / |A| ≥ θ
+    * for a ≠ b — the near-SUBSET detector jaccard misses. Training corpora
+    * are full of inclusion duplicates (a post quoted whole inside a thread,
+    * an article embedded in an aggregator page, a README pasted into a
+    * monorepo): when |A| ≪ |B| the jaccard of the pair is small even though
+    * A is entirely inside B, so a jaccard dedup keeps both copies. The
+    * containment form catches exactly that, directed (id_sub's set is
+    * θ-covered by id_sup's; near-equal sets qualify in both directions).
+    *
+    * Candidate generation is the asymmetric PPJoin adaptation: overlap
+    * ≥ ⌈θ|A|⌉ means any |A| − ⌈θ|A|⌉ + 1 shingles of A must hit B, so the
+    * CONTAINED side indexes only its rarest-first prefix while the
+    * container side indexes ALL its shingles (containment puts no floor on
+    * B's covered fraction — the one-sided index is what makes the operator
+    * different from [[exactJaccardJoin]], and its cost asymmetry — prefix ×
+    * full posting lists — is inherent to the semantics). Verification
+    * recomputes exact containment from the full sets; recall 1.0 by the
+    * pigeonhole argument, so the quadratic oracle hash-matches. Same
+    * SHUFFLE_HASH pins as the jaccard join (every side corpus-sized), same
+    * (df, shingle) distributed total order, no global window. */
+  def containmentJoin(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, threshold: Double = 0.8,
+                      materializeShingles: Boolean = true): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    val ds0 = docShingles(docs, idCol, textCol, n)
+    val ds = if (materializeShingles) ds0.localCheckpoint(eager = false) else ds0
+
+    val freq = ds.select(explode(col("sh")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+    val prefixLen = (col("n_sh") - ceil(col("n_sh") * threshold) + 1).cast("int")
+    val sortedSh = ds.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+      .join(freq.hint("shuffle_hash"), "s")
+      .groupBy("id", "n_sh")
+      .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("rs"))
+      .select(col("id"), col("n_sh"),
+        transform(col("rs"), r => r.getField("s")).as("sh_sorted"))
+    val prefixes = sortedSh
+      .select(col("id"), col("n_sh"),
+        explode(slice(col("sh_sorted"), lit(1), prefixLen)).as("s"))
+
+    // One-sided inverted index: contained-side prefixes probe the FULL
+    // container-side posting lists. Size prune inside the join condition:
+    // |A∩B| ≥ ⌈θ|A|⌉ needs |B| ≥ ⌈θ|A|⌉, so smaller containers never leave
+    // the probe (the PPJoin length filter, one-sided).
+    val index = ds.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    val candidates = prefixes.as("a")
+      .join(index.hint("shuffle_hash").as("b"),
+        col("a.s") === col("b.s") && col("a.id") =!= col("b.id") &&
+          col("b.n_sh") >= ceil(col("a.n_sh") * threshold))
+      .select(col("a.id").as("id_sub"), col("b.id").as("id_sup")).distinct()
+
+    val da = ds.select(col("id").as("id_sub"), col("sh").as("sh_a"), col("n_sh").as("na"))
+    val db = ds.select(col("id").as("id_sup"), col("sh").as("sh_b"))
+    candidates.hint("shuffle_hash").join(da, "id_sub").join(db, "id_sup")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("containment",
+        round(col("inter").cast("double") / col("na").cast("double"), 6))
+      .where(col("containment") >= threshold)
+      .select(col("id_sub"), col("id_sup"), col("containment"))
+  }
+
   /** EXACT hamming-distance self-join over 64-bit SimHash signatures via
     * pigeonhole banding (the MapReduce hamming-search technique from the
     * EDBT'15 literature): split each signature into `maxHamming + 1` bit

@@ -42,4 +42,53 @@ object Layout {
     * partitions ≈ `numFiles` output files when followed by a write. */
   def zOrderBy(df: DataFrame, z: Column, numFiles: Int): DataFrame =
     df.repartitionByRange(numFiles, z).sortWithinPartitions(z)
+
+  /** COMPACTION / FILE-SIZING PLAN: assign every row a target output-file
+    * id so that each file in each `groupCol` partition holds ≈
+    * `targetWeight` of `weightCol` (bytes, chars, tokens) — the small-files
+    * maintenance pass every 100 TB table needs (Delta OPTIMIZE / Iceberg
+    * rewrite_data_files, expressed as a pure plan): streaming ingest leaves
+    * thousands of KB-sized files per partition, and scan throughput dies on
+    * per-file open cost until they are re-binned into ~128 MB targets.
+    *
+    * The bin id is floor(start_offset / target) over a deterministic
+    * per-group row order — (content-hash bucket, hash, id), a pure content
+    * permutation, so the plan is reproducible on any cluster/partitioning
+    * (the [[Sampling.budgetHead]] ordering discipline). The running offset
+    * is the same TWO-LEVEL prefix sum, here per group: per-(group, bucket)
+    * totals (one metadata-sized agg), per-group running offsets over
+    * `buckets` rows (the only unpartitioned-ish window — |groups|·buckets
+    * rows), offsets broadcast back, in-bucket windows over |group|/buckets
+    * rows in parallel. No global sort, no single-partition window, at any
+    * corpus size.
+    *
+    * Output: (groupCol, idCol, weightCol, bin_id) — the write plan is then
+    * `repartition(groupCol, bin_id)` + partitioned write, giving one
+    * ~targetWeight file per bin. A row larger than `targetWeight` gets its
+    * own bin (floor on the START offset: nothing ever splits). */
+  def compactionPlan(df: DataFrame, groupCol: String, weightCol: String,
+                     idCol: String, targetWeight: Long,
+                     buckets: Int = 64): DataFrame = {
+    require(targetWeight > 0 && buckets > 0, "targetWeight > 0, buckets > 0")
+    import org.apache.spark.sql.expressions.Window
+    val withB = df.select(col(groupCol), col(idCol),
+        col(weightCol).cast("long").as("__w"))
+      .withColumn("__h", Dedup.md5Hash48(col(idCol).cast("string")))
+      .withColumn("__b", pmod(col("__h"), lit(buckets.toLong)))
+    val perBucket = withB.groupBy(col(groupCol), col("__b"))
+      .agg(sum(col("__w")).as("__t"))
+    val wB = Window.partitionBy(col(groupCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perBucket
+      .withColumn("__off", coalesce(sum(col("__t")).over(wB), lit(0L)))
+      .select(col(groupCol), col("__b"), col("__off"))
+    val wIn = Window.partitionBy(col(groupCol), col("__b"))
+      .orderBy(col("__h"), col(idCol))
+    withB.join(broadcast(offsets), Seq(groupCol, "__b"))
+      .withColumn("__start",
+        col("__off") + coalesce(sum(col("__w")).over(
+          wIn.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(groupCol), col(idCol), col("__w").as(weightCol),
+        expr(s"__start div $targetWeight").as("bin_id"))
+  }
 }

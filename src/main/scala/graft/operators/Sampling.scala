@@ -118,6 +118,38 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** WEIGHTED Poisson sampling: include each row independently with
+    * probability proportional to its weight, π_i = min(1, n·w_i/W) — the
+    * importance-sampling primitive (draw a ~n-row sample where a
+    * 10000-token doc is 100× likelier than a 100-token one; downstream
+    * estimators reweight by 1/π). Expected sample size is ≤ n with equality
+    * when no weight saturates π at 1.
+    *
+    * Membership is the content-hash rule of every sampler here — keep iff
+    *   u · W < n · w · M,  u = md5₄₈(key) mod M
+    * — which realizes π quantized to 1/M (M = 10⁶ by default) with NO
+    * floating point: the comparison runs in DECIMAL(38,0) on both engines
+    * because u·W overflows a 64-bit long once W (the corpus weight total,
+    * attached as an uncorrelated scalar subquery — no join node) passes
+    * ~10¹³ at corpus scale. Same row, same decision, on any cluster, any
+    * partitioning, any md5-capable engine.
+    *
+    * Plan: one 1-row total aggregate + a narrow filter scan — the corpus
+    * shuffles zero times. */
+  def weightedPoissonSample(df: DataFrame, keyCol: String, weightCol: String,
+                            expectedN: Long,
+                            granularity: Long = 1000000L): DataFrame = {
+    require(expectedN >= 0 && granularity > 0, "expectedN >= 0, granularity > 0")
+    val tot = df.agg(sum(col(weightCol).cast("long")).as("__W"))
+    df.withColumn("__u", pmod(Dedup.md5Hash48(col(keyCol)), lit(granularity)))
+      .withColumn("__W", tot.scalar())
+      .where(expr(
+        s"""cast(__u AS decimal(38,0)) * cast(__W AS decimal(38,0)) <
+           |cast($expectedN AS decimal(38,0)) * cast($weightCol AS decimal(38,0))
+           |  * cast($granularity AS decimal(38,0))""".stripMargin))
+      .select(df.columns.map(col): _*)
+  }
+
   /** At most `k` rows per key — cap-per-source downsampling (a dominant
     * domain must not flood a training corpus). Keeps the k smallest
     * (content-hash, id) rows per key, so membership is a pure function of

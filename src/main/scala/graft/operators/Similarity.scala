@@ -427,6 +427,48 @@ object Similarity {
       .select(col("query_id"), col("id").as("neighbor_id"), col("adc_d2"), col("rank"))
   }
 
+  /** IVF-PQ with EXACT RE-RANKING — the production two-stage retrieval
+    * layout (FAISS's `IndexIVFPQ` + refine step): the compressed index
+    * nominates `nCandidates` neighbors per query from codes alone
+    * ([[ivfPqTopK]]), then the true vectors of ONLY those candidates are
+    * fetched and exact cosine re-orders them into the final top-k. ADC
+    * distances are lossy (a ~21× code compression shuffles near-ties), so
+    * serving stacks re-rank a small candidate multiple — quality of the
+    * exact metric at the cost of |queries|·nCandidates point lookups
+    * instead of a corpus scan.
+    *
+    * Plan shape at 100 TB: stage 1 reads codes only (nProbe/nCells of the
+    * corpus, no floats); the candidate list (|queries|·nCandidates rows —
+    * KB-scale) then BROADCASTS into an equi-join against the id-keyed
+    * vector store, so the exact-vector fetch is a semi-join pruned scan
+    * (or a point-lookup against an id-bucketed table — never a second full
+    * scan shuffle). Queries broadcast throughout; the final window is
+    * bounded per query. Deterministic: rounded cosine, id tie-break.
+    * Output: (query_id, neighbor_id, cosine, rank). */
+  def ivfPqRerankTopK(corpus: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String,
+                      centroids: Array[Array[Double]],
+                      books: Array[Array[Array[Double]]],
+                      k: Int = 5, nCandidates: Int = 20,
+                      nProbe: Int = 4): DataFrame = {
+    require(nCandidates >= k, "nCandidates must be at least k")
+    val cand = ivfPqTopK(corpus, queries, idCol, vecCol, centroids, books,
+      k = nCandidates, nProbe = nProbe)
+      .select(col("query_id"), col("neighbor_id"))
+    val vecs = prep(corpus, idCol, vecCol)
+    val q = prep(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"))
+    val rescored = vecs.join(broadcast(cand), col("id") === col("neighbor_id"))
+      .join(broadcast(q), "query_id")
+      .withColumn("cosine",
+        round(cosinePrenormed(col("vec"), col("qvec"), col("nrm"), col("qnrm")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: all (i < j) with cosine ≥ threshold —
     * EXACT (recall 1.0 by construction, so the quadratic SQL oracle
     * hash-matches deterministically).

@@ -416,4 +416,64 @@ object TextOps {
         (length(col("symbols_before")) - length(col("symbols_after")))
           .as("n_merges"))
   }
+
+  /** Default feature-hash dimensionality for [[classifierMargin]]: small
+    * enough that the weight vector embeds as literals in the generated
+    * oracle SQL, large enough to exercise real bucket dispersion. Production
+    * models use 2¹⁸–2²¹ buckets; nothing in the plan shape changes. */
+  val classifierDim = 64
+
+  /** Deterministic stand-in weight vector (Knuth multiplicative scatter,
+    * values in [−998, 998]). A REAL deployment trains a logistic/fastText
+    * model offline and passes its quantized weights here — the engine-side
+    * contract is only "a fixed integer vector indexed by feature hash",
+    * which is exactly what this generates reproducibly for the oracle. */
+  def classifierWeights(dim: Int = classifierDim): Seq[Long] =
+    (0 until dim).map(b => ((b.toLong * 2654435761L + 104729L) % 1997L) - 998L)
+
+  /** Hashed bag-of-words LINEAR CLASSIFIER INFERENCE — the
+    * fastText/CCNet/DCLM-style learned quality filter, which at corpus
+    * scale is the single most common ML step in a pretraining pipeline:
+    * every document gets scored by a small linear model and gated on the
+    * margin. The feature map is the hashing trick (token → md5-48 bucket
+    * mod |w|, no vocabulary dictionary to ship), the margin is an integer
+    * dot product Σ w[h(t)] over token OCCURRENCES (bag-of-words with
+    * counts), accumulated entirely inside a codegen'd higher-order
+    * `aggregate` over the token array — a zero-shuffle narrow map, so
+    * inference runs at scan speed over 100 TB with the weight vector riding
+    * along as a codegen literal (a broadcast variable with no exchange).
+    *
+    * All-integer arithmetic end to end (the hash-compare discipline every
+    * scoring operator here follows), with one subtlety: the margin can be
+    * NEGATIVE, and Spark's `div` truncates toward zero while DuckDB's `//`
+    * floors, so the per-token normalization shifts the numerator by
+    * 1000·n (≥ |margin| because |w| < 1000) before dividing and shifts
+    * back after — both engines then floor a non-negative quotient and the
+    * result is floor(margin·100 / n) exactly, in centi-units per token
+    * (length-invariant: a 10 000-token doc and a 100-token doc with the
+    * same token mix score identically).
+    *
+    * Output: (idCol, n_tokens, margin, margin_cb, kept) — kept as int 0/1
+    * at margin_cb ≥ 0; empty docs score (0, 0, kept=1, gate-neutral). */
+  def classifierScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String,
+                      weights: Seq[Long] = classifierWeights())
+      : org.apache.spark.sql.DataFrame = {
+    require(weights.nonEmpty && weights.forall(w => math.abs(w) < 1000L),
+      "weights must be non-empty with |w| < 1000 (the div-shift bound)")
+    val wArr = array(weights.map(lit): _*)
+    docs
+      // tokens staged as an attribute (the tokenBigramsOf caveat)
+      .select(col(idCol), tokens(col(textCol)).as("tk"))
+      .select(col(idCol), size(col("tk")).cast("long").as("n_tokens"),
+        aggregate(col("tk"), lit(0L), (acc, t) =>
+          acc + element_at(wArr,
+            (Dedup.md5Hash48(t) % weights.size).cast("int") + 1))
+          .as("margin"))
+      .withColumn("margin_cb",
+        when(col("n_tokens") === 0L, lit(0L))
+          .otherwise(expr(
+            "((margin + 1000 * n_tokens) * 100 div n_tokens) - 100000")))
+      .withColumn("kept", (col("margin_cb") >= 0L).cast("int"))
+  }
 }

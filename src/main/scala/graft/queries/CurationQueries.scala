@@ -180,7 +180,27 @@ object CurationQueries {
         .groupBy(col("lang"), col("bucket"))
         .agg(count(lit(1)).as("n_docs"),
           min(col("qbp")).as("min_bp"), max(col("qbp")).as("max_bp"))
-        .orderBy(col("lang"), col("bucket")))
+        .orderBy(col("lang"), col("bucket"))),
+
+    // Per-source quantile normalization (X77): each doc's quality score →
+    // its within-source integer percentile, so "keep the best X% of EACH
+    // source" is one threshold on pct_bp — the per-domain calibration step
+    // before mixing. Value-ties share a rank (they must share a
+    // percentile); single-doc sources pin to 0.
+    "text_quality_norm" -> q((s, dir) =>
+      Curation.sourceQuantileNorm(Sources.documents(s, dir), "doc_id", "text",
+          "source")
+        .orderBy(col("doc_id"))),
+
+    // Compaction / file-sizing plan (X76): bin every doc per source so each
+    // bin holds ≈2000 chars — the small-files maintenance pass as a pure
+    // plan (two-level per-group prefix sum; deterministic content
+    // permutation; floor on the START offset so nothing splits).
+    "layout_compaction_plan" -> q((s, dir) =>
+      graft.operators.Layout.compactionPlan(Sources.documents(s, dir),
+          groupCol = "source", weightCol = "n_chars", idCol = "doc_id",
+          targetWeight = 2000L, buckets = 8)
+        .orderBy(col("source"), col("doc_id")))
   )
 
   private val ScrubBlocklist = Seq("spark", "stream")
@@ -374,6 +394,39 @@ object CurationQueries {
         |  SELECT lang, $qualityBp::bigint AS qbp FROM documents)
         |SELECT lang, (qbp // 10000)::bigint AS bucket, count(*) AS n_docs,
         |       min(qbp) AS min_bp, max(qbp) AS max_bp
-        |FROM a GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
+        |FROM a GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+
+    // Same rank-ties-share-a-percentile semantics, same integer bp basis.
+    "text_quality_norm" ->
+      raw"""WITH sc AS (
+        |  SELECT doc_id, source, $qualityBp::bigint AS quality_bp
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, quality_bp,
+        |         rank() OVER (PARTITION BY source ORDER BY quality_bp) AS rk,
+        |         count(*) OVER (PARTITION BY source) AS n
+        |  FROM sc)
+        |SELECT doc_id, source, quality_bp,
+        |       (CASE WHEN n = 1 THEN 0
+        |             ELSE (rk - 1) * 10000 // (n - 1) END)::bigint AS pct_bp
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Same (hash-bucket, hash, id) permutation, same start-offset floor —
+    // the two-level prefix sum replayed as one per-source window (legal at
+    // oracle scale; the Spark side never runs a source-wide sort).
+    "layout_compaction_plan" ->
+      raw"""WITH x AS (
+        |  SELECT source, doc_id, n_chars::bigint AS w,
+        |         ${DedupQueries.hexFold48("doc_id::varchar")} AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, w,
+        |         sum(w) OVER (PARTITION BY source ORDER BY h % 8, h, doc_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING
+        |                      AND 1 PRECEDING) AS cum0
+        |  FROM x)
+        |SELECT source, doc_id, w AS n_chars,
+        |       (coalesce(cum0, 0) // 2000)::bigint AS bin_id
+        |FROM c ORDER BY source, doc_id""".stripMargin
   )
 }

@@ -69,6 +69,16 @@ object DedupQueries {
       jaccardPairs(s, dir)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Directed shingle CONTAINMENT pairs (X74): |A∩B|/|A| ≥ θ — the
+    // near-subset detector jaccard misses (quoted-inclusion dups where
+    // |A| ≪ |B|). Asymmetric prefix filter (contained-side prefix × full
+    // container index), exact verify; the quadratic oracle proves
+    // recall 1.0.
+    "dedup_containment_pairs" -> q((s, dir) =>
+      Dedup.containmentJoin(Sources.documents(s, dir), "doc_id", "text",
+          n = 3, threshold = JaccardThreshold)
+        .orderBy(col("id_sub"), col("id_sup"))),
+
     // Near-dup components: min-label propagation over the (shared) jaccard
     // pairs. Oracle: recursive-CTE transitive closure in DuckDB.
     "dedup_near_components" -> q((s, dir) =>
@@ -108,6 +118,16 @@ object DedupQueries {
     "sample_cap_per_source" -> q((s, dir) =>
       graft.operators.Sampling.capPerKey(
         Sources.documents(s, dir), "source", "text", "doc_id", k = 10)
+        .orderBy(col("doc_id"))),
+
+    // Weighted Poisson sampling (X80): inclusion probability ∝ n_chars
+    // (importance sampling — long docs proportionally likelier), exact
+    // decimal comparison u·W < n·w·M so the quantized π is bit-identical
+    // in any engine; W attaches as a scalar subquery (no join node).
+    "sample_weighted" -> q((s, dir) =>
+      graft.operators.Sampling.weightedPoissonSample(
+        Sources.documents(s, dir), "text", "n_chars", expectedN = 100L)
+        .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
     // Deterministic weight-budget head: the first ~60k chars' worth of the
@@ -443,6 +463,15 @@ object DedupQueries {
         |  FROM documents)
         |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
 
+    // Same u·W < n·w·M decimal comparison (HUGEINT here — both exceed the
+    // exact-integer range of a 64-bit product).
+    "sample_weighted" ->
+      s"""WITH t AS (SELECT sum(n_chars)::HUGEINT AS w_tot FROM documents)
+        |SELECT doc_id, n_chars FROM documents, t
+        |WHERE (${hexFold48("text")} % 1000000)::HUGEINT * w_tot <
+        |      100::HUGEINT * n_chars::HUGEINT * 1000000::HUGEINT
+        |ORDER BY doc_id""".stripMargin,
+
     "sample_budget_head" ->
       s"""SELECT doc_id, n_chars FROM (
         |  SELECT doc_id, n_chars,
@@ -535,6 +564,17 @@ object DedupQueries {
         |WHERE round(len(list_intersect(a.s, b.s))::double
         |            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Directed containment over the same shingle sets — quadratic form, all
+    // ordered pairs a ≠ b (near-equal sets qualify in both directions).
+    "dedup_containment_pairs" ->
+      raw"""$shingleCte
+        |SELECT a.doc_id AS id_sub, b.doc_id AS id_sup,
+        |       round(len(list_intersect(a.s, b.s))::double / len(a.s), 6)
+        |         AS containment
+        |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        |WHERE round(len(list_intersect(a.s, b.s))::double / len(a.s), 6) >= 0.8
+        |ORDER BY id_sub, id_sup""".stripMargin,
 
     // Span CTE shared by both span-dedup oracles: full 8-token chunks only
     // (DuckDB range() is half-open; list slice is inclusive 1-based).

@@ -122,6 +122,75 @@ object EventQueries {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // Stream-stream INTERVAL JOIN through the runtime — the streaming twin
+    // of events_errors_near_purchase's band join: purchases matched to
+    // errors by the same user within the preceding 30 minutes, watermarks
+    // on BOTH sides + the band inside the join condition (the two things
+    // that bound both state stores — the production stream-stream join
+    // shape). Emitted as raw matched PAIRS (both event ids): the inner
+    // join's row set is deterministic under any micro-batch slicing once
+    // every in-band row is processed, with no arrival-order-dependent
+    // aggregation state downstream of the join.
+    "stream_events_interval_join" -> q((s, dir) => {
+      val (schema, norm) = eventsStreamLayout(s, dir)
+      graft.streaming.StreamingOps.runToMemorySink(s, dir, "events.parquet",
+        schema,
+        src => {
+          val ev = norm(src)
+          val purchases = ev.where(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("ts"))
+          val errors = ev.where(col("event_type") === "error")
+            .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+          graft.streaming.StreamingOps.intervalJoin(
+            purchases, errors, Seq("user_id"), "ts", "ts",
+            lookbackSec = 1800L, lookaheadSec = 0L)
+            .select(col("event_id"), col("user_id"),
+              date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+              col("r_event_id").as("error_event_id"),
+              round(col("r_value"), 4).as("error_value"))
+        },
+        mode = org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy(col("event_id"), col("error_event_id"))
+    }),
+
+    // Custom per-key state THROUGH THE RUNTIME (X79): running per-user
+    // totals via Spark 4's transformWithState (StatefulProcessor + typed
+    // ValueState on the RocksDB store — the successor API to
+    // flatMapGroupsWithState, and the state backend a production cluster
+    // runs). Values enter as integer micro-units (floor(v·10⁴+0.5) held
+    // exactly in a double), so per-key sums are order-independent; the
+    // compared output is each user's FINAL totals (max over the per-batch
+    // appends — monotone per key, so the result is identical under any
+    // micro-batch slicing).
+    "stream_user_totals_tws" -> q((s, dir) => {
+      val (schema, norm) = eventsStreamLayout(s, dir)
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        graft.streaming.StreamingOps.runToMemorySink(s, dir, "events.parquet",
+          schema,
+          src => {
+            import s.implicits._
+            val ev = norm(src)
+              .select(col("user_id"), col("ts"),
+                floor(col("value") * 10000 + 0.5).as("value"))
+              .as[graft.streaming.StreamingOps.UserEvent]
+            graft.streaming.StreamingOps.runningUserTotalsTws(ev).toDF()
+          },
+          mode = org.apache.spark.sql.streaming.OutputMode.Append())
+          .groupBy(col("user_id"))
+          .agg(max(col("n_events")).as("n_events"),
+            max(col("total_value")).cast("bigint").as("total_micros"))
+          .orderBy(col("user_id"))
+      } finally prev match {
+        case Some(p) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }),
+
     // Streaming NEW-ARRIVAL screen against a standing corpus — the
     // streaming twin of dedup_incremental's exact stage: arrivals whose
     // content fingerprint (md5 of user|type|props) already exists in the
@@ -422,6 +491,26 @@ object EventQueries {
         | AND r.ts >= l.ts - INTERVAL 30 MINUTE AND r.ts <= l.ts
         |GROUP BY l.event_id, l.user_id, l.ts
         |ORDER BY l.event_id""".stripMargin,
+
+    // Final per-user totals in exact micro-units — batch SQL reproduces the
+    // stateful stream's end state under any micro-batch slicing.
+    "stream_user_totals_tws" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       sum(floor(value * 10000 + 0.5)::BIGINT) AS total_micros
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Same band, emitted as raw matched pairs (the streamed form's
+    // micro-batch-order-independent projection).
+    "stream_events_interval_join" ->
+      """SELECT l.event_id, l.user_id,
+        |       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |       r.event_id AS error_event_id,
+        |       round(r.value, 4) AS error_value
+        |FROM events l JOIN events r
+        |  ON l.event_type = 'purchase' AND r.event_type = 'error'
+        | AND l.user_id = r.user_id
+        | AND r.ts >= l.ts - INTERVAL 30 MINUTE AND r.ts <= l.ts
+        |ORDER BY l.event_id, error_event_id""".stripMargin,
 
     // The mime CASE mirrors Multimodal.sniffMime over the same bytes: of the
     // five sniffed magics only the ASCII-representable ones (GIF8 / RIFF /

@@ -100,6 +100,32 @@ object RefParityQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    // ORC sink round-trip (X36 driver-checked): the second columnar format
+    // of the source/sink matrix — write ORC shards, read them back, prove
+    // exact value round-trip against the parquet-derived oracle.
+    "sink_orc_roundtrip" -> q((s, dir) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_orc_sink_${Integer.toHexString(dir.hashCode)}"
+      Sources.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out).orderBy(col("doc_id"))
+    }),
+
+    // JSON-lines sink round-trip (X36 driver-checked): THE interchange
+    // format of LLM corpus tooling. Schema-declared read-back (inference
+    // would widen types); text column included — JSON escaping of quotes /
+    // unicode must round-trip exactly for the format to be usable as a
+    // corpus sink.
+    "sink_jsonl_roundtrip" -> q((s, dir) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_jsonl_sink_${Integer.toHexString(dir.hashCode)}"
+      Sources.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").json(out)
+      s.read.schema("doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT")
+        .json(out)
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Scans / projections / filters (S1, P1, P2, P4) ────────────────────
     // Projection + predicate; both must reach the parquet scan (ReadSchema /
     // PushedFilters — the reference prunes by hand, MovieRank.java:65-72).
@@ -302,6 +328,14 @@ object RefParityQueries {
     "sink_tab_roundtrip" ->
       """SELECT p_partkey, p_brand, p_type FROM part
         |ORDER BY p_partkey""".stripMargin,
+
+    "sink_orc_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "sink_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "q1_movierank" ->
       """SELECT p.p_partkey AS key, p.p_name AS title, count(*) AS cnt

@@ -197,6 +197,25 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF-PQ + EXACT RE-RANK (X75): the two-stage serving layout — the
+    // compressed index nominates 20 candidates per query from codes alone,
+    // exact cosine re-orders them into the top-5. Stage 1 reads no floats;
+    // stage 2 fetches |queries|·20 true vectors via a broadcast semi-join
+    // (a point lookup at scale, never a second corpus shuffle). The
+    // generated oracle replays BOTH stages (embedded centroids + codebooks,
+    // then exact cosine over the candidate set).
+    "sim_topk_ivfpq_rerank" -> q((s, dir) => {
+      val emb = Sources.embeddings(s, dir)
+      val cents = centroidCache.getOrElseUpdate((dir, 16, 42L),
+        Similarity.trainIvfCentroids(emb, "embedding", nCells = 16, seed = 42L))
+      Similarity.ivfPqRerankTopK(
+        corpus = emb, queries = emb.where(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding",
+        centroids = cents, books = pqBooks(s, dir),
+        k = 5, nCandidates = 20, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Random-hyperplane LSH top-k (seeded planes; scale path — only
     // same-bucket pairs scored). Fully oracle-checked: the same plane
     // constants are embedded in generated DuckDB SQL (see lshOracle).
@@ -499,6 +518,52 @@ object SimilarityQueries {
     }
   }
 
+  /** Rerank oracle: stage 1 is the [[ivfPqOracle]] pipeline bounded at 20
+    * candidates, stage 2 re-scores exactly with list_cosine_similarity over
+    * the candidates' true vectors — the full two-stage replay. */
+  private def ivfPqRerankOracle: Option[String] = {
+    val cents = centroidCache.readOnlySnapshot().toSeq
+    val books = pqCache.readOnlySnapshot().toSeq
+    if (cents.size != 1 || books.size != 1) None
+    else {
+      val distList = centDistList(cents.head._2)
+      val PqSqlFragments(codesList, _, luts, adcSum) = pqFragments(books.head._2)
+      val cos =
+        """round(list_cosine_similarity(
+          |           list_transform(e.embedding, x -> x::double),
+          |           list_transform(qq.embedding, x -> x::double)), 6)""".stripMargin
+      Some(
+        s"""WITH vecs AS (
+          |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+          |  FROM embeddings),
+          |dists AS (
+          |  SELECT vec_id, e, list_sort($distList) AS ds
+          |  FROM vecs v),
+          |corpus AS (
+          |  SELECT vec_id, $codesList AS codes, ds[1].cell AS cell
+          |  FROM dists),
+          |queries AS (
+          |  SELECT vec_id, $luts AS lut,
+          |         unnest(list_transform(ds[1:4], s -> s.cell)) AS cell
+          |  FROM dists WHERE vec_id < 10),
+          |cand AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT l.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |           row_number() OVER (PARTITION BY l.vec_id
+          |             ORDER BY round($adcSum, 6) ASC, c.vec_id ASC) AS rnk
+          |    FROM queries l JOIN corpus c ON c.cell = l.cell AND c.vec_id <> l.vec_id)
+          |  WHERE rnk <= 20)
+          |SELECT query_id, neighbor_id, cosine, cast(rnk AS int) AS rank FROM (
+          |  SELECT cd.query_id, cd.neighbor_id, $cos AS cosine,
+          |         row_number() OVER (PARTITION BY cd.query_id
+          |           ORDER BY $cos DESC, cd.neighbor_id ASC) AS rnk
+          |  FROM cand cd
+          |  JOIN embeddings e ON e.vec_id = cd.neighbor_id
+          |  JOIN embeddings qq ON qq.vec_id = cd.query_id)
+          |WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin)
+    }
+  }
+
   def oracles: Map[String, String] = Map(
     // parallel unnests zip elementwise; pos from range(len) is 0-based like
     // Spark's posexplode
@@ -566,5 +631,6 @@ object SimilarityQueries {
         |WHERE vec_id NOT IN (SELECT id FROM comp WHERE c <> id)
         |ORDER BY vec_id""".stripMargin
   ) ++ ivfOracle.map("sim_topk_ivf" -> _) ++ pqOracles ++
-    ivfPqOracle.map("sim_topk_ivfpq" -> _) ++ semDedupOracles
+    ivfPqOracle.map("sim_topk_ivfpq" -> _) ++
+    ivfPqRerankOracle.map("sim_topk_ivfpq_rerank" -> _) ++ semDedupOracles
 }

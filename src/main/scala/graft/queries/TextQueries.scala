@@ -129,7 +129,16 @@ object TextQueries {
     // per iteration.
     "text_bpe_merge" -> q((s, dir) =>
       TextOps.applyTopBpeMerge(Sources.documents(s, dir), "doc_id", "text")
-        .orderBy(col("w")))
+        .orderBy(col("w"))),
+
+    // Hashed linear classifier inference (X73): the fastText-style learned
+    // quality filter as a zero-shuffle narrow map — token → md5-48 feature
+    // bucket, integer weight lookup (weights ride as codegen literals),
+    // margin summed inside a codegen'd HOF aggregate. All-integer scoring,
+    // so the whole inference pass hash-compares against the oracle.
+    "text_quality_classifier" -> q((s, dir) =>
+      TextOps.classifierScore(Sources.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id")))
   )
 
   // DuckDB twins. `len()` is BIGINT in DuckDB vs Spark size() INT → ::int.
@@ -340,6 +349,27 @@ object TextQueries {
         |        - length(replace(s.symbols_before,
         |                 t.pair[1:1] || ' ' || t.pair[2:2], t.pair)))::int AS n_merges
         |FROM sym s CROSS JOIN top t
-        |ORDER BY w""".stripMargin
+        |ORDER BY w""".stripMargin,
+
+    // Same md5-48 feature hash, same embedded integer weight vector, same
+    // div-shift normalization (numerator shifted non-negative so DuckDB's
+    // floor-// and Spark's truncating div agree on the negative margins).
+    "text_quality_classifier" -> {
+      val w = TextOps.classifierWeights()
+      val wList = w.mkString("[", ", ", "]")
+      val cb = "((margin + 1000 * n_tokens) * 100) // n_tokens - 100000"
+      raw"""WITH t AS (
+        |  SELECT doc_id, $toks AS tk FROM documents),
+        |s AS (
+        |  SELECT doc_id, len(tk)::bigint AS n_tokens,
+        |         coalesce(list_sum(list_transform(tk,
+        |           t -> ($wList)[(${DedupQueries.hexFold48("t")} % ${w.size})::int + 1])),
+        |           0)::bigint AS margin
+        |  FROM t)
+        |SELECT doc_id, n_tokens, margin,
+        |       (CASE WHEN n_tokens = 0 THEN 0 ELSE $cb END)::bigint AS margin_cb,
+        |       (CASE WHEN n_tokens = 0 THEN 0 ELSE $cb END >= 0)::int AS kept
+        |FROM s ORDER BY doc_id""".stripMargin
+    }
   )
 }

@@ -218,4 +218,28 @@ class CurationSpec extends AnyFunSuite {
       fences(0).getDouble(0) == -50.5 && fences(0).getDouble(1) == 151.5,
       s"exact interpolated fences: ${fences.toSeq}")
   }
+
+  test("sourceQuantileNorm: ties share a percentile, endpoints exact, singleton pins to 0") {
+    import spark.implicits._
+    // source A: qualityBp is a pure function of text, so equal texts tie.
+    // 5 docs, two identical → tied ranks share a percentile; the (untied)
+    // top must land exactly at 10000 and the bottom at 0.
+    val docs = Seq(
+      (1L, "a", "A"), (2L, "bb cc dd", "A"), (3L, "bb cc dd", "A"),
+      (4L, "eeee ffff gggg hhhh", "A"),
+      (5L, "the of and is a to in it that cat sat on the mat again", "A"),
+      (6L, "lonely", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.sourceQuantileNorm(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(6L)._2 == 0L, "singleton source pins to 0")
+    val a = out.filterKeys(_ != 6L)
+    assert(a(2L)._1 == a(3L)._1 && a(2L)._2 == a(3L)._2,
+      "identical texts must share score AND percentile")
+    assert(a.values.map(_._2).min == 0L && a.values.map(_._2).max == 10000L,
+      s"endpoints must hit 0 and 10000: $a")
+    // percentile order follows score order
+    val sorted = a.values.toSeq.sortBy(_._1)
+    assert(sorted.map(_._2) == sorted.map(_._2).sorted, "pct monotone in score")
+  }
 }

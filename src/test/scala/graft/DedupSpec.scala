@@ -84,6 +84,43 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "corpus should contain planted near-dups")
   }
 
+  test("containmentJoin: asymmetric prefix filter ≡ brute-force directed form; catches subset dups jaccard misses") {
+    import spark.implicits._
+    // doc 1's shingles are wholly inside doc 2's (|A| ≪ |B|): containment
+    // 1.0 while the pair's jaccard is far below threshold — the inclusion
+    // case the jaccard join deliberately does not emit.
+    val inner = "alpha beta gamma delta epsilon zeta"
+    val outer = inner + " " + (1 to 40).map(i => s"filler$i").mkString(" ")
+    val local = Seq((1L, inner), (2L, outer),
+      (3L, "totally different words about other things entirely here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentJoin(local, "doc_id", "text", n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 1.0)), s"expected only 1⊂2: $got")
+    val jacc = Dedup.exactJaccardJoin(local, "doc_id", "text", n = 3, threshold = 0.8)
+      .collect()
+    assert(jacc.isEmpty, "the inclusion pair must be invisible to jaccard at θ=0.8")
+
+    // corpus equivalence: prefix-filtered = quadratic directed brute force
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val fast = Dedup.containmentJoin(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ds = docs.select(col("doc_id").as("id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .withColumn("n", size(col("sh")))
+    val a = ds.select(col("id").as("id_sub"), col("sh").as("sh_a"), col("n").as("na"))
+    val b = ds.select(col("id").as("id_sup"), col("sh").as("sh_b"))
+    val brute = a.join(b, col("id_sub") =!= col("id_sup"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("containment", round(col("inter").cast("double") /
+        col("na").cast("double"), 6))
+      .where(col("containment") >= 0.8)
+      .select("id_sub", "id_sup", "containment")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast == brute,
+      s"containment join diverged: only-fast=${fast -- brute}, only-brute=${brute -- fast}")
+    assert(brute.nonEmpty, "planted near-dups should qualify in both directions")
+  }
+
   test("minHashLsh: exact precision (verified pairs), recall 1.0 on planted dups") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val lsh = Dedup.minHashLsh(docs, "doc_id", "text", n = 3, threshold = 0.8)

@@ -56,4 +56,42 @@ class LayoutSpec extends AnyFunSuite {
     assert(ranges.count(_._3 < globalRa) >= ranges.length / 2,
       "z-contiguous partitions should usually bound the a-dimension below its global span")
   }
+
+  test("compactionPlan: bins bounded by target + one row, contiguous ids, ≡ single-window reference") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val target = 2000L
+    val plan = Layout.compactionPlan(docs, "source", "n_chars", "doc_id",
+      targetWeight = target, buckets = 8)
+    val rows = plan.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.map(_._2).distinct.length == rows.length)
+
+    // every bin's total ≤ target + its largest row (floor on START offset:
+    // only the straddling row overshoots), and bin ids are contiguous from 0
+    rows.groupBy(r => (r._1, r._4)).foreach { case ((src, bin), rs) =>
+      val tot = rs.map(_._3).sum
+      val maxW = rs.map(_._3).max
+      assert(tot <= target + maxW, s"bin ($src, $bin) overfull: $tot")
+    }
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val bins = rs.map(_._4).distinct.sorted.toSeq
+      assert(bins == bins.indices.map(_.toLong),
+        s"$src bins not contiguous from 0: $bins")
+    }
+
+    // reference: ONE window over the same (bucket, hash, id) permutation
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.operators.Dedup.md5Hash48(col("doc_id").cast("string"))
+    val ref = docs.select(col("source"), col("doc_id"),
+        col("n_chars").cast("long").as("w"), h.as("h"))
+      .withColumn("start", coalesce(sum(col("w")).over(
+        Window.partitionBy(col("source"))
+          .orderBy(pmod(col("h"), lit(8L)), col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), expr(s"start div $target").as("bin_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (_, id, _, bin) =>
+      assert(ref(id) == bin, s"doc $id: two-level bin $bin != reference ${ref(id)}")
+    }
+  }
 }

@@ -111,4 +111,32 @@ class SamplingSpec extends AnyFunSuite {
     val all = docs.where(col("lang") === "en").count()
     assert(sampled.count() == all)
   }
+
+  test("weightedPoissonSample: exact membership rule, saturation keeps, partition-invariant") {
+    val n = 100L
+    val M = 1000000L
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = ids(Sampling.weightedPoissonSample(docs, "text", "n_chars", n))
+    // membership ≡ the u·W < n·w·M rule recomputed independently
+    val wTot = docs.agg(sum(col("n_chars"))).collect()(0).getLong(0)
+    val rule = docs.select(col("doc_id"),
+        pmod(graft.operators.Dedup.md5Hash48(col("text")), lit(M)).as("u"),
+        col("n_chars").cast("long").as("w"))
+      .collect()
+      .filter(r => BigInt(r.getLong(1)) * wTot < BigInt(n) * r.getLong(2) * M)
+      .map(_.getLong(0)).toSet
+    assert(got == rule, s"membership diverged: ${(got -- rule).take(3)} / ${(rule -- got).take(3)}")
+    assert(got.nonEmpty && got.size < docs.count(), "a real sample, not all/none")
+    // saturated weight (w ≥ W/n ⇒ π = 1) is always kept
+    import SparkTestSession.spark.implicits._
+    val heavy = Seq((1L, "tiny", 1L), (2L, "huge", 1000000L))
+      .toDF("doc_id", "text", "n_chars")
+    val keptHeavy = ids(Sampling.weightedPoissonSample(heavy, "text", "n_chars", 1L))
+    assert(keptHeavy.contains(2L), "π=1 row must always be kept")
+    // partition invariance
+    val re = ids(Sampling.weightedPoissonSample(
+      docs.repartition(17), "text", "n_chars", n))
+    assert(re == got, "membership must not depend on partitioning")
+  }
 }

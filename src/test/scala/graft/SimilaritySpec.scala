@@ -220,6 +220,45 @@ class SimilaritySpec extends AnyFunSuite {
       "IVF-PQ candidates must be exactly the IVF-probed cell members")
   }
 
+  test("ivfPqRerankTopK: exact cosines, candidates ⊆ ADC pool, recall ≥ plain ADC@k") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 10)
+    val cents = Similarity.trainIvfCentroids(emb, "embedding", nCells = 16)
+    val books = Similarity.trainPqCodebooks(emb, "embedding", m = 16, ksub = 64)
+    val rerank = Similarity.ivfPqRerankTopK(emb, q, "vec_id", "embedding",
+      cents, books, k = 5, nCandidates = 20, nProbe = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getInt(3))))
+    val pool = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding",
+      cents, books, k = 20, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rerank.map(_._1).toSet.subsetOf(pool),
+      "re-ranked neighbors must come from the ADC candidate pool")
+    // re-ranked scores are the EXACT cosines (identical to brute force on
+    // shared pairs), and ranks follow cosine desc within each query
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 500)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    rerank.foreach { case (key, (cos, _)) =>
+      assert(brute(key) == cos, s"re-rank score must be the exact cosine at $key")
+    }
+    rerank.groupBy(_._1._1).values.foreach { rs =>
+      val byRank = rs.sortBy(_._2._2).map(_._2._1)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        "ranks must be ordered by exact cosine desc")
+    }
+    // with the SAME candidate pool, exact re-ranking can only help: any true
+    // top-5 neighbor present in the pool is retained by cosine ordering
+    val true5 = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adc5 = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding",
+      cents, books, k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rerankKeys = rerank.map(_._1).toSet
+    val rRerank = true5.count(rerankKeys.contains).toDouble / true5.size
+    val rAdc = true5.count(adc5.contains).toDouble / true5.size
+    assert(rRerank >= rAdc,
+      s"re-rank recall@5 ($rRerank) must not trail plain ADC@5 ($rAdc)")
+  }
+
   test("cosineNearDupPairs: i<j ordering, threshold respected") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4).collect()

@@ -263,4 +263,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert((r.getString(2), r.getString(3), r.getString(4), r.getInt(5)) ==
       (("aa", "a a a", "aa a", 1)), r.toString)
   }
+
+  test("classifierScore: known weights — margin is an exact bag-of-words dot") {
+    import SparkTestSession.spark.implicits._
+    // dim 1 collapses every token to bucket 0: margin = w0 · n_tokens
+    val docs = Seq((1L, "a b c"), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    val out = TextOps.classifierScore(docs, "doc_id", "text", Seq(-7L))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    assert(out(1L) == ((3L, -21L, -700L, 0)), s"doc 1: ${out(1L)}")
+    // empty / whitespace-only docs are gate-neutral: margin 0, kept
+    assert(out(2L) == ((0L, 0L, 0L, 1)))
+    assert(out(3L) == ((0L, 0L, 0L, 1)))
+  }
+
+  test("classifierScore: margin_cb is FLOOR division on the corpus (both margin signs)") {
+    val docs = SparkTestSession.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = TextOps.classifierScore(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(rows.exists(_._2 > 0) && rows.exists(_._2 < 0),
+      "corpus should exercise both margin signs")
+    rows.foreach { case (n, margin, cb, kept) =>
+      val expected = if (n == 0) 0L else Math.floorDiv(margin * 100L, n)
+      assert(cb == expected, s"margin_cb: n=$n margin=$margin → $cb, want $expected")
+      assert(kept == (if (cb >= 0) 1 else 0))
+    }
+  }
 }
