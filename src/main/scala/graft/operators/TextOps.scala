@@ -463,11 +463,14 @@ object TextOps {
       "weights must be non-empty with |w| < 1000 (the div-shift bound)")
     val wArr = array(weights.map(lit): _*)
     docs
-      // tokens staged as an attribute (the tokenBigramsOf caveat)
-      .select(col(idCol), tokens(col(textCol)).as("tk"))
+      // tokens AND the weight vector staged as attributes: an expression
+      // referenced inside a HOF lambda re-evaluates per element (the
+      // tokenBigramsOf caveat), so an unstaged literal array would rebuild
+      // its 64 boxed longs once per TOKEN instead of once per row
+      .select(col(idCol), tokens(col(textCol)).as("tk"), wArr.as("w"))
       .select(col(idCol), size(col("tk")).cast("long").as("n_tokens"),
         aggregate(col("tk"), lit(0L), (acc, t) =>
-          acc + element_at(wArr,
+          acc + element_at(col("w"),
             (Dedup.md5Hash48(t) % weights.size).cast("int") + 1))
           .as("margin"))
       .withColumn("margin_cb",
