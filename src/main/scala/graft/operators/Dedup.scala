@@ -202,13 +202,44 @@ object Dedup {
       .select(col("a.id").as("id_sub"), col("b.id").as("id_sup")).distinct()
 
     val da = ds.select(col("id").as("id_sub"), col("sh").as("sh_a"), col("n_sh").as("na"))
-    val db = ds.select(col("id").as("id_sup"), col("sh").as("sh_b"))
+    val db = ds.select(col("id").as("id_sup"), col("sh").as("sh_b"), col("n_sh").as("nb"))
     candidates.hint("shuffle_hash").join(da, "id_sub").join(db, "id_sup")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("containment",
         round(col("inter").cast("double") / col("na").cast("double"), 6))
       .where(col("containment") >= threshold)
-      .select(col("id_sub"), col("id_sup"), col("containment"))
+      .select(col("id_sub"), col("id_sup"), col("containment"),
+        col("na").as("n_sub"), col("nb").as("n_sup"))
+  }
+
+  /** END-TO-END inclusion dedup: survivors after dropping every doc whose
+    * shingle set is θ-contained in a doc with MORE CONTENT — the greedy
+    * "strip quoted inclusions" pass built on [[containmentJoin]]. Drop rule:
+    * id_sub goes when n_sub < n_sup, with the house min-id tie-break when
+    * sizes are equal (mutual near-equal containment keeps exactly the
+    * smaller id) — so the rule is asymmetric and can never drop both sides
+    * of a pair for each other. Transitive chains (A ⊂ B ⊂ C with B dropped
+    * for C) still drop A: A's content is covered through B — the standard
+    * greedy acceptance; a doc is kept iff NO larger doc θ-covers it.
+    *
+    * One distinct over the (bounded) pair list + one left-anti join back —
+    * nothing beyond [[containmentJoin]]'s own cost at any scale. */
+  def containmentSurvivors(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, threshold: Double = 0.8): DataFrame =
+    containmentSurvivorsFromPairs(docs, idCol,
+      containmentJoin(docs, idCol, textCol, n, threshold))
+
+  /** [[containmentSurvivors]] over a PRECOMPUTED [[containmentJoin]] pair
+    * list — callers running both the pairs and the survivors pin the
+    * (tiny) pair output once instead of re-running the similarity join
+    * (the nearDedupSurvivorsFromPairs discipline). */
+  def containmentSurvivorsFromPairs(docs: DataFrame, idCol: String,
+                                    pairs: DataFrame): DataFrame = {
+    val dropped = pairs
+      .where(col("n_sub") < col("n_sup") ||
+        (col("n_sub") === col("n_sup") && col("id_sub") > col("id_sup")))
+      .select(col("id_sub").as("__drop")).distinct()
+    docs.join(dropped, col(idCol) === col("__drop"), "left_anti")
   }
 
   /** EXACT hamming-distance self-join over 64-bit SimHash signatures via

@@ -118,6 +118,43 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** DETERMINISTIC GLOBAL SHUFFLE ORDER — contiguous positions 0..n−1 in a
+    * salted content-hash permutation: the epoch-shuffle primitive of a
+    * training pipeline (each epoch's read order must be a reproducible
+    * pseudo-random permutation — resume-from-step and data-order ablations
+    * both need position k to mean the same document on every run and every
+    * cluster). A different `salt` yields an independent permutation: the
+    * per-epoch reshuffle is just `globalHashOrder(df, key, id, salt = s"ep$i")`.
+    *
+    * Positions are a distributed enumeration (the zipWithIndex semantics as
+    * pure DataFrame ops, partitioning-independent where RDD zipWithIndex is
+    * not): per-bucket COUNTS (metadata-sized agg) → running offsets over
+    * `buckets` rows (the only unpartitioned window, driver-trivial) →
+    * per-bucket row_number in (hash, id) order, shifted by the bucket
+    * offset. No global single-partition sort at any corpus size — the
+    * [[budgetHead]] two-level discipline applied to numbering instead of
+    * cumulative weight. Output: (idCol, position). */
+  def globalHashOrder(df: DataFrame, keyCol: String, idCol: String,
+                      salt: String = "epoch0", buckets: Int = 64): DataFrame = {
+    require(buckets > 0, "buckets > 0")
+    import org.apache.spark.sql.expressions.Window
+    val withB = df
+      .withColumn("__h", Dedup.md5Hash48(
+        concat(lit(salt), lit(":"), col(keyCol))))
+      .withColumn("__b", pmod(col("__h"), lit(buckets.toLong)))
+    val perBucket = withB.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+    val wB = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perBucket
+      .withColumn("__off", coalesce(sum(col("__n")).over(wB), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("__h"), col(idCol))
+    withB.join(broadcast(offsets), "__b")
+      .withColumn("position",
+        col("__off") + row_number().over(wIn).cast("long") - 1L)
+      .select(col(idCol), col("position"))
+  }
+
   /** WEIGHTED Poisson sampling: include each row independently with
     * probability proportional to its weight, π_i = min(1, n·w_i/W) — the
     * importance-sampling primitive (draw a ~n-row sample where a

@@ -36,6 +36,15 @@ object DedupQueries {
       Dedup.exactJaccardJoin(Sources.documents(s, dir), "doc_id", "text",
         n = 3, threshold = JaccardThreshold).localCheckpoint())
 
+  /** Containment pair list shared by the pairs and survivors queries —
+    * the same pin-the-tiny-output rationale as [[jaccardPairs]]. */
+  private val containmentCache =
+    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+  private def containmentPairs(s: SparkSession, dir: String): DataFrame =
+    containmentCache.getOrElseUpdate((System.identityHashCode(s), dir),
+      Dedup.containmentJoin(Sources.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = JaccardThreshold).localCheckpoint())
+
   /** The xxhash64 SimHash signatures computed at query-run time, captured so
     * the oracle generator can embed them (the IVF/PQ artifact-embedding
     * pattern — DuckDB cannot reproduce xxhash64, but it CAN verify the banded
@@ -75,9 +84,19 @@ object DedupQueries {
     // container index), exact verify; the quadratic oracle proves
     // recall 1.0.
     "dedup_containment_pairs" -> q((s, dir) =>
-      Dedup.containmentJoin(Sources.documents(s, dir), "doc_id", "text",
-          n = 3, threshold = JaccardThreshold)
+      containmentPairs(s, dir)
+        .select(col("id_sub"), col("id_sup"), col("containment"))
         .orderBy(col("id_sub"), col("id_sup"))),
+
+    // End-to-end inclusion dedup (X82): drop every doc θ-contained in a doc
+    // with more content (min-id tie-break on equal sizes) — the greedy
+    // "strip quoted inclusions" pass. Oracle: quadratic directed form +
+    // the same asymmetric drop rule.
+    "dedup_containment_survivors" -> q((s, dir) =>
+      Dedup.containmentSurvivorsFromPairs(
+        Sources.documents(s, dir), "doc_id", containmentPairs(s, dir))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
 
     // Near-dup components: min-label propagation over the (shared) jaccard
     // pairs. Oracle: recursive-CTE transitive closure in DuckDB.
@@ -119,6 +138,16 @@ object DedupQueries {
       graft.operators.Sampling.capPerKey(
         Sources.documents(s, dir), "source", "text", "doc_id", k = 10)
         .orderBy(col("doc_id"))),
+
+    // Deterministic epoch-shuffle order (X83): contiguous global positions
+    // 0..n−1 in a salted content-hash permutation — the reproducible
+    // training read order, enumerated by the two-level counting scheme
+    // (never a global single-partition sort). Salt 'ep1' ≠ the default:
+    // each epoch is an independent permutation of the same corpus.
+    "corpus_epoch_order" -> q((s, dir) =>
+      graft.operators.Sampling.globalHashOrder(
+        Sources.documents(s, dir), "text", "doc_id", salt = "ep1")
+        .orderBy(col("position"))),
 
     // Weighted Poisson sampling (X80): inclusion probability ∝ n_chars
     // (importance sampling — long docs proportionally likelier), exact
@@ -463,6 +492,15 @@ object DedupQueries {
         |  FROM documents)
         |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
 
+    // Same salted fold, same (bucket, hash, id) permutation as one global
+    // window — legal at oracle scale; the Spark side never runs one.
+    "corpus_epoch_order" ->
+      s"""SELECT doc_id,
+        |       row_number() OVER (ORDER BY h % 64, h, doc_id) - 1 AS position
+        |FROM (SELECT doc_id, ${hexFold48("'ep1:' || text")} AS h
+        |      FROM documents)
+        |ORDER BY position""".stripMargin,
+
     // Same u·W < n·w·M decimal comparison (HUGEINT here — both exceed the
     // exact-integer range of a 64-bit product).
     "sample_weighted" ->
@@ -575,6 +613,19 @@ object DedupQueries {
         |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
         |WHERE round(len(list_intersect(a.s, b.s))::double / len(a.s), 6) >= 0.8
         |ORDER BY id_sub, id_sup""".stripMargin,
+
+    // Same asymmetric drop rule over the quadratic pair form.
+    "dedup_containment_survivors" ->
+      raw"""$shingleCte,
+        |dropped AS (
+        |  SELECT DISTINCT a.doc_id AS id
+        |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        |  WHERE round(len(list_intersect(a.s, b.s))::double / len(a.s), 6) >= 0.8
+        |    AND (len(a.s) < len(b.s)
+        |         OR (len(a.s) = len(b.s) AND a.doc_id > b.doc_id)))
+        |SELECT doc_id, source FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM dropped)
+        |ORDER BY doc_id""".stripMargin,
 
     // Span CTE shared by both span-dedup oracles: full 8-token chunks only
     // (DuckDB range() is half-open; list slice is inclusive 1-based).

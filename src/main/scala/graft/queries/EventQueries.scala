@@ -313,6 +313,22 @@ object EventQueries {
           concat_ws(",", col("bp").cast("array<string>")).as("bp_csv"))
         .orderBy(col("asset_id"))),
 
+    // Byte-chunk / frame sampling over opaque payloads (X19 driver-checked):
+    // every 4th 32-byte chunk — the video-frame-stride / audio-window
+    // skeleton, pure byte arithmetic before any decode (a narrow map +
+    // generate; binary never leaves executors at scale). Compared as raw
+    // chunk hex: DuckDB has no BLOB slicing, so its twin slices the hex
+    // encoding character-wise — byte-exact on any UTF-8 content.
+    "multimodal_chunk_sample" -> q((s, dir) =>
+      Multimodal.ingest(Sources.documents(s, dir), "doc_id", col("text"))
+        .select(col("asset_id"),
+          posexplode(Multimodal.sampleChunks(col("payload"),
+            chunkSize = 32, stride = 4)).as(Seq("chunk_idx", "chunk")))
+        .select(col("asset_id"), col("chunk_idx"),
+          length(col("chunk")).as("n_bytes"),
+          hex(col("chunk")).as("chunk_hex"))
+        .orderBy(col("asset_id"), col("chunk_idx"))),
+
     // Hopping (sliding) event-time windows (X65): 1-hour windows advancing
     // every 15 minutes — each event lands in exactly 4 overlapping windows.
     // Same plan shape as the tumbling form (window() generates the window
@@ -511,6 +527,23 @@ object EventQueries {
         | AND l.user_id = r.user_id
         | AND r.ts >= l.ts - INTERVAL 30 MINUTE AND r.ts <= l.ts
         |ORDER BY l.event_id, error_event_id""".stripMargin,
+
+    // Kept offsets 1, 129, 257, … (chunkSize·stride bytes apart) — the
+    // arithmetic image of sampleChunks' index filter; hex slicing is
+    // (off−1)·2+1 .. 64 chars ≡ 32 bytes, clamped at the end like Spark's
+    // binary substr.
+    "multimodal_chunk_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+        |         greatest(octet_length(encode(text)), 1) AS len
+        |  FROM documents),
+        |c AS (
+        |  SELECT asset_id, hx, unnest(range(1, len + 1, 128)) AS off
+        |  FROM h)
+        |SELECT asset_id, ((off - 1) // 128)::int AS chunk_idx,
+        |       (strlen(substr(hx, (off - 1) * 2 + 1, 64)) // 2)::int AS n_bytes,
+        |       substr(hx, (off - 1) * 2 + 1, 64) AS chunk_hex
+        |FROM c ORDER BY asset_id, chunk_idx""".stripMargin,
 
     // The mime CASE mirrors Multimodal.sniffMime over the same bytes: of the
     // five sniffed magics only the ASCII-representable ones (GIF8 / RIFF /

@@ -220,6 +220,27 @@ object FunctionQueries {
           exists(col("lines"), x => x > 5).cast("int").as("has_gt5"))
         .orderBy(col("l_orderkey"))),
 
+    // MAP-typed column surface (X81): build a per-brand container→count map
+    // from sorted entries (map_from_entries — sorted so map order is
+    // deterministic), read its cardinality (map_keys), rewrite values with
+    // a key-aware lambda (transform_values), and explode back to rows (the
+    // driver checker needs scalars; exploding also pins key↔value pairing).
+    // Maps are the natural carrier for per-doc feature bags / per-entity
+    // counters in a curation pipeline — this pins the round-trip semantics.
+    "fn_maps" -> q((s, dir) => {
+      val entries = Sources.part(s, dir)
+        .groupBy(col("p_brand"), col("p_type"))
+        .agg(count(lit(1)).as("n"))
+      entries.groupBy(col("p_brand"))
+        .agg(map_from_entries(
+          array_sort(collect_list(struct(col("p_type"), col("n")))))
+          .as("m"))
+        .select(col("p_brand"), size(map_keys(col("m"))).as("n_keys"),
+          explode(transform_values(col("m"),
+            (k, v) => v * 100L + length(k))).as(Seq("container", "score")))
+        .orderBy(col("p_brand"), col("container"))
+    }),
+
     // Exact decimal money arithmetic: sums/extrema over DECIMAL(12,2) are
     // exact in both engines (unlike double accumulation); final values
     // compared as canonical strings because decimal dtype physical widths
@@ -435,6 +456,19 @@ object FunctionQueries {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
+
+    // The map is plumbing; the observable is the grouped counts with the
+    // key-aware value rewrite, which plain SQL reproduces directly.
+    "fn_maps" ->
+      """WITH e AS (
+        |  SELECT p_brand, p_type, count(*) AS n
+        |  FROM part GROUP BY p_brand, p_type),
+        |k AS (SELECT p_brand, count(*) AS n_keys FROM e GROUP BY p_brand)
+        |SELECT e.p_brand, k.n_keys::int AS n_keys,
+        |       e.p_type AS container,
+        |       (e.n * 100 + length(e.p_type))::bigint AS score
+        |FROM e JOIN k USING (p_brand)
+        |ORDER BY e.p_brand, container""".stripMargin,
 
     "fn_hof_arrays" ->
       """WITH la AS (

@@ -121,6 +121,20 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "planted near-dups should qualify in both directions")
   }
 
+  test("containmentSurvivors: contained doc dropped, container kept, near-equal keeps min id") {
+    import spark.implicits._
+    val inner = "alpha beta gamma delta epsilon zeta"
+    val outer = inner + " " + (1 to 40).map(i => s"filler$i").mkString(" ")
+    val local = Seq((1L, inner), (2L, outer), (3L, outer),
+      (4L, "totally different words about other things entirely here"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.containmentSurvivors(local, "doc_id", "text",
+      n = 3, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 1 ⊂ 2,3 → dropped; 2≈3 mutual containment → min id 2 survives; 4 free
+    assert(kept == Set(2L, 4L), s"survivors: $kept")
+  }
+
   test("minHashLsh: exact precision (verified pairs), recall 1.0 on planted dups") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val lsh = Dedup.minHashLsh(docs, "doc_id", "text", n = 3, threshold = 0.8)

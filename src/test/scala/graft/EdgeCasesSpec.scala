@@ -23,6 +23,39 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(Dedup.exactJaccardJoin(emptyDocs, "doc_id", "text").count() == 0)
     assert(Dedup.minHashLsh(emptyDocs, "doc_id", "text").count() == 0)
     assert(Dedup.nearDedupSurvivors(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.containmentJoin(emptyDocs, "doc_id", "text").count() == 0)
+  }
+
+  test("round-7 additions on empty / degenerate corpora return empty or neutral, not errors") {
+    import org.apache.spark.sql.functions.col
+    // classifier: empty corpus → empty; whitespace-only doc → gate-neutral
+    assert(graft.operators.TextOps.classifierScore(emptyDocs, "doc_id", "text")
+      .count() == 0)
+    val blank = Seq((1L, " ")).toDF("doc_id", "text")
+    val r = graft.operators.TextOps.classifierScore(blank, "doc_id", "text")
+      .collect()(0)
+    assert(r.getLong(1) == 0L && r.getLong(2) == 0L && r.getInt(4) == 1)
+    // quantile norm: empty → empty (the per-source window over nothing)
+    val emptySrc = emptyDocs.withColumn("source",
+      org.apache.spark.sql.functions.lit("s"))
+    assert(graft.operators.Curation.sourceQuantileNorm(
+      emptySrc, "doc_id", "text", "source").count() == 0)
+    // compaction plan: empty → empty; single row → bin 0
+    val emptyW = emptySrc.withColumn("n_chars",
+      org.apache.spark.sql.functions.lit(1L))
+    assert(graft.operators.Layout.compactionPlan(
+      emptyW, "source", "n_chars", "doc_id", 100L).count() == 0)
+    val one = Seq(("s", 1L, 5L)).toDF("source", "doc_id", "n_chars")
+    val bins = graft.operators.Layout.compactionPlan(
+      one, "source", "n_chars", "doc_id", 100L).collect()
+    assert(bins.length == 1 && bins(0).getLong(3) == 0L)
+    // weighted sampling: zero expectedN keeps nothing; empty corpus is empty
+    val docs1 = Seq((1L, "x", 10L)).toDF("doc_id", "text", "n_chars")
+    assert(graft.operators.Sampling.weightedPoissonSample(
+      docs1, "text", "n_chars", expectedN = 0L).count() == 0)
+    assert(graft.operators.Sampling.weightedPoissonSample(
+      emptyW.withColumnRenamed("source", "src"), "text", "n_chars", 1L)
+      .count() == 0)
   }
 
   test("span dedup / vocabulary / repetition on an empty corpus return empty, not errors") {

@@ -112,6 +112,32 @@ class SamplingSpec extends AnyFunSuite {
     assert(sampled.count() == all)
   }
 
+  test("globalHashOrder: exact 0..n-1 bijection, ≡ global-window reference, salt varies the permutation, partition-invariant") {
+    val n = docs.count()
+    def order(df: org.apache.spark.sql.DataFrame, salt: String) =
+      Sampling.globalHashOrder(df, "text", "doc_id", salt = salt)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = order(docs, "epA")
+    assert(got.size == n && got.values.toSeq.sorted == (0L until n),
+      "positions must be a contiguous 0..n-1 bijection")
+    // two-level enumeration ≡ one global window over the same permutation
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.operators.Dedup.md5Hash48(
+      concat(lit("epA"), lit(":"), col("text")))
+    val ref = docs.select(col("doc_id"), h.as("h"))
+      .withColumn("position", row_number().over(
+        Window.orderBy(pmod(col("h"), lit(64L)), col("h"), col("doc_id")))
+        .cast("long") - 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == ref, "two-level enumeration must equal the global window")
+    // a different salt is an (almost surely) different permutation
+    val other = order(docs, "epB")
+    assert(other != got, "salts must vary the permutation")
+    assert(other.values.toSeq.sorted == (0L until n))
+    // partition invariance
+    assert(order(docs.repartition(17), "epA") == got)
+  }
+
   test("weightedPoissonSample: exact membership rule, saturation keeps, partition-invariant") {
     val n = 100L
     val M = 1000000L
