@@ -392,10 +392,86 @@ object EventQueries {
         .agg(count(lit(1)).as("n"),
           min(col("a")).as("min_a"), max(col("a")).as("max_a"),
           min(col("b")).as("min_b"), max(col("b")).as("max_b"))
-        .orderBy(col("bucket")))
+        .orderBy(col("bucket"))),
+
+    // Markov transition matrix over per-user event traces (X84): edge
+    // (prev event_type → event_type) per user in (ts, event_id) order,
+    // row-normalized to integer basis points — the session-flow analytics
+    // a funnel/abandonment report reads. One user-partitioned window + one
+    // (src,dst) count aggregate; the |states|-row out-weight table
+    // broadcasts back via AQE.
+    "graph_event_transitions" -> q((s, dir) =>
+      graft.operators.Graph.transitionMatrix(
+        graft.operators.Graph.transitionEdges(
+          Sources.events(s, dir), "user_id",
+          Seq(col("ts"), col("event_id")), "event_type"))
+        .orderBy(col("src"), col("dst"))),
+
+    // PageRank power iteration over the same transition graph (X84):
+    // exact integer fixed-point (scale 10¹², damping 8500 bp, 3 rounds) so
+    // the iterative result is partitioning-independent AND hash-comparable
+    // against the oracle's unrolled replay. Ranks states by stationary
+    // visit mass — the graph-valuation primitive (same iteration shape as
+    // domain-graph or citation-graph data valuation at corpus scale).
+    "graph_event_pagerank" -> q((s, dir) =>
+      graft.operators.Graph.pageRank(
+        graft.operators.Graph.transitionEdges(
+          Sources.events(s, dir), "user_id",
+          Seq(col("ts"), col("event_id")), "event_type"),
+        iterations = 3, dampingBp = 8500)
+        .orderBy(col("node")))
   )
 
+  /** Shared CTE text: per-user successor edges → (src, dst, weight). */
+  private val edgesCte =
+    """seq AS (
+      |  SELECT event_type AS dst,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS src
+      |  FROM events),
+      |edges AS (
+      |  SELECT src, dst, count(*) AS weight FROM seq
+      |  WHERE src IS NOT NULL GROUP BY 1, 2)""".stripMargin
+
+  /** One unrolled PageRank round: previous rank CTE `prev` → next.
+    * Mirrors Graph.pageRank bit-for-bit: HUGEINT product, floor division,
+    * long inflow sum, base + damped inflow. */
+  private def prRound(prev: String, next: String): String =
+    s"""$next AS (
+      |  SELECT n.node,
+      |         ((((10000 - 8500) * ((1000000000000 // nn.n))) // 10000)
+      |          + (8500 * coalesce(f.inf, 0)) // 10000)::BIGINT AS r
+      |  FROM nodes n CROSS JOIN nn LEFT JOIN (
+      |    SELECT e.dst AS node,
+      |           sum((p.r::HUGEINT * e.weight) // o.ow)::BIGINT AS inf
+      |    FROM edges e JOIN $prev p ON p.node = e.src
+      |                 JOIN outw o ON o.src = e.src
+      |    GROUP BY 1) f ON f.node = n.node)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+
+    "graph_event_transitions" ->
+      s"""WITH $edgesCte,
+        |outw AS (SELECT src, sum(weight) AS ow FROM edges GROUP BY 1)
+        |SELECT e.src, e.dst, e.weight,
+        |       ((e.weight * 10000) // o.ow)::BIGINT AS p_bp
+        |FROM edges e JOIN outw o ON o.src = e.src
+        |ORDER BY e.src, e.dst""".stripMargin,
+
+    // The exact integer power iteration replayed: same fixed-point scale,
+    // same floor divisions, same damping, three unrolled rounds.
+    "graph_event_pagerank" ->
+      s"""WITH $edgesCte,
+        |nodes AS (SELECT src AS node FROM edges
+        |          UNION SELECT dst FROM edges),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |outw AS (SELECT src, sum(weight) AS ow FROM edges GROUP BY 1),
+        |r0 AS (SELECT node, (1000000000000 // nn.n)::BIGINT AS r
+        |       FROM nodes CROSS JOIN nn),
+        |${prRound("r0", "r1")},
+        |${prRound("r1", "r2")},
+        |${prRound("r2", "r3")}
+        |SELECT node, r AS rank_sc FROM r3 ORDER BY node""".stripMargin,
 
     // Same content fingerprint (md5 over the '|'-joined utf8 string) and
     // the same anti semantics — stateless, so batch SQL reproduces the
