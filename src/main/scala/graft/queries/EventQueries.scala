@@ -407,6 +407,50 @@ object EventQueries {
           Seq(col("ts"), col("event_id")), "event_type"))
         .orderBy(col("src"), col("dst"))),
 
+    // Daily cohort retention matrix (X85): each user joins the cohort of
+    // its first active day (integer epoch-day buckets — engine-portable, no
+    // calendar-truncation convention); n_users at each (cohort, day offset).
+    // Two hash aggregates + one join, all keyed on user_id — one fact
+    // shuffle, co-partitioned stages (see Behavior.retention).
+    "events_retention_cohorts" -> q((s, dir) =>
+      graft.operators.Behavior.retention(
+        Sources.events(s, dir), "user_id", "ts", bucketUs = 86400000000L)
+        .orderBy(col("cohort_bucket"), col("bucket_offset"))),
+
+    // Ordered conversion funnel (X86): signup → view → click → purchase,
+    // each step's clock starting at the user's earliest qualifying time for
+    // the previous step (sequential-min funnel; ties at-or-after count).
+    // Step frames shrink monotonically and every stage keys on user_id.
+    "events_funnel" -> q((s, dir) =>
+      graft.operators.Behavior.funnel(
+        Sources.events(s, dir), "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"))
+        .orderBy(col("step_idx"))),
+
+    // Session trajectory mining (X87): 30-minute gap sessions rendered as
+    // ordered event-type paths, counted per distinct path — the behavioral-
+    // sequence corpus rewrite (events → trainable traces) and the UX
+    // funnel-discovery report. Oracle replays the lag+cumsum sessionization
+    // with an ORDER BY inside string_agg.
+    "events_session_paths" -> q((s, dir) =>
+      graft.operators.Behavior.sessionTrajectories(
+        Sources.events(s, dir), "user_id", "ts", "event_id", "event_type")
+        .orderBy(col("n_sessions").desc, col("path"))),
+
+    // Validity-interval state timeline / SCD2 build (X88): consecutive runs
+    // of the same event_type per user collapsed to [valid_from, valid_to)
+    // rows (valid_to = next run's start, null while current) — the
+    // changelog→temporal-table primitive a point-in-time (as-of) join
+    // serves. One user-partitioned window pass + a per-run aggregate.
+    "events_state_timeline" -> q((s, dir) =>
+      graft.operators.Behavior.stateTimeline(
+        Sources.events(s, dir), "user_id", "ts", "event_id", "event_type")
+        .select(col("user").as("user_id"), col("state"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("n_events"), col("tie0").as("first_event_id"))
+        .orderBy(col("user_id"), col("first_event_id"))),
+
     // PageRank power iteration over the same transition graph (X84):
     // exact integer fixed-point (scale 10¹², damping 8500 bp, 3 rounds) so
     // the iterative result is partitioning-independent AND hash-comparable
@@ -484,6 +528,89 @@ object EventQueries {
         |WHERE md5(concat_ws('|', e.user_id, e.event_type, e.props))
         |      NOT IN (SELECT fp FROM h)
         |ORDER BY event_id""".stripMargin,
+
+    // Same integer epoch-day buckets (`//` ≡ Spark `div`); act is DISTINCT
+    // per (user, bucket), so count(*) is distinct users.
+    "events_retention_cohorts" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS bucket
+        |  FROM events),
+        |f AS (SELECT u, min(bucket) AS cohort_bucket FROM act GROUP BY 1)
+        |SELECT f.cohort_bucket, a.bucket - f.cohort_bucket AS bucket_offset,
+        |       count(*) AS n_users
+        |FROM act a JOIN f ON a.u = f.u
+        |GROUP BY 1, 2 ORDER BY cohort_bucket, bucket_offset""".stripMargin,
+
+    // The sequential-min funnel unrolled: stage i+1 filters its step's
+    // events by stage i's per-user min time (at-or-after, >=).
+    "events_funnel" ->
+      """WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.u
+        |       WHERE e.event_type = 'view' AND e.ts >= s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.u
+        |       WHERE e.event_type = 'click' AND e.ts >= s2.t GROUP BY 1),
+        |s4 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |       JOIN s3 ON e.user_id = s3.u
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s3.t GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 1 AS step_idx, 'signup' AS step,
+        |         (SELECT count(*) FROM s1) AS n_users
+        |  UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+        |  UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4))
+        |ORDER BY step_idx""".stripMargin,
+
+    // The lag+cumsum sessionization (events_sessionize's proven twin of
+    // session_window) with the path rendered by an ordered string_agg —
+    // the same (ts, event_id) total order Spark's array_sort uses.
+    "events_session_paths" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+        |              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged),
+        |paths AS (
+        |  SELECT user_id, sid,
+        |         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM sessions GROUP BY user_id, sid)
+        |SELECT path, count(*) AS n_sessions FROM paths GROUP BY path
+        |ORDER BY n_sessions DESC, path""".stripMargin,
+
+    // Run-length collapse via lag-flag + cumsum, interval end via lead over
+    // the per-run rows in the same (valid_from, first_event_id) order as
+    // the Spark window; the run's min event_id is the unique order key.
+    "events_state_timeline" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN lag(event_type) OVER w IS NULL
+        |              OR lag(event_type) OVER w <> event_type
+        |              THEN 1 ELSE 0 END AS new_run
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |runs AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         sum(new_run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                            ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM r),
+        |per AS (
+        |  SELECT user_id, run_id, min(event_type) AS state, min(ts) AS vf,
+        |         min(event_id) AS first_event_id, count(*) AS n_events
+        |  FROM runs GROUP BY 1, 2)
+        |SELECT user_id, state,
+        |       strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |       strftime(lead(vf) OVER (PARTITION BY user_id
+        |                               ORDER BY vf, first_event_id),
+        |                '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |       n_events, first_event_id
+        |FROM per
+        |ORDER BY user_id, first_event_id""".stripMargin,
 
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
