@@ -620,4 +620,61 @@ object Similarity {
           col("id_a") < col("id_b") && prefilter && cosineExpr >= lit(threshold))
       .select(col("id_a"), col("id_b"), cosineExpr.as("cosine"))
   }
+
+  /** SEMANTIC decontamination screen: corpus vectors whose cosine against
+    * ANY held-out eval vector reaches `threshold` — the embedding-level
+    * twin of [[Curation.contaminationReport]]'s n-gram overlap (paraphrased
+    * eval leakage that no n-gram join can see). The eval suite is tiny
+    * relative to the corpus by definition, so it BROADCASTS and the corpus
+    * is touched by exactly one narrow scan — the threshold rides inside the
+    * join condition (the [[cosineNearDupPairs]] rationale). Output: every
+    * flagged (vec_id, eval_id, cosine) pair — the removal list plus its
+    * evidence. */
+  def semanticScreen(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+                     vecCol: String, threshold: Double): DataFrame = {
+    val c = prep(corpus, idCol, vecCol)
+    val e = prep(evalSet, idCol, vecCol)
+      .select(col("id").as("eval_id"), col("vec").as("evec"),
+        col("nrm").as("enrm"))
+    val cosineExpr =
+      round(cosinePrenormed(col("vec"), col("evec"), col("nrm"), col("enrm")), 6)
+    c.join(broadcast(e), cosineExpr >= lit(threshold))
+      .select(col("id").as("vec_id"), col("eval_id"), cosineExpr.as("cosine"))
+  }
+
+  /** Hard-negative mining for contrastive/embedding training: per anchor,
+    * its most-similar vector carrying a DIFFERENT label, restricted to the
+    * anchor's k-means cell (the [[cellNearDupPairs]] SemDeDup restriction —
+    * a hard negative is by definition nearby, so the within-cell candidate
+    * set is exactly where they live). Same Σ n_c² bound, never n²; the
+    * per-anchor argmax is a bounded window (cosine desc, id asc). Output:
+    * (src_id, src_label, neg_id, neg_label, cosine), ≤ 1 row per anchor —
+    * anchors whose cell holds no other-label vector emit nothing. */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, nCells: Int = 16, seed: Long = 42L,
+                    centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cents: Seq[Seq[Double]] =
+      centroids.getOrElse(trainIvfCentroids(df, vecCol, nCells, seed))
+        .map(_.toSeq).toSeq
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        col(labelCol).as("lbl"))
+      .withColumn("nrm", norm(col("vec")))
+      .withColumn("cell", element_at(cellDists(col("vec"), cents), 1).getField("cell"))
+    val a = base.select(col("id").as("src_id"), col("lbl").as("src_label"),
+      col("vec").as("vec_a"), col("nrm").as("nrm_a"), col("cell"))
+    val b = base.select(col("id").as("neg_id"), col("lbl").as("neg_label"),
+      col("vec").as("vec_b"), col("nrm").as("nrm_b"), col("cell"))
+    val cosineExpr =
+      round(cosinePrenormed(col("vec_a"), col("vec_b"), col("nrm_a"), col("nrm_b")), 6)
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("cosine").desc, col("neg_id").asc)
+    a.as("a").join(b.hint("shuffle_hash").as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("src_label") =!= col("neg_label"))
+      .select(col("src_id"), col("src_label"), col("neg_id"),
+        col("neg_label"), cosineExpr.as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") === 1)
+      .drop("rnk")
+  }
 }

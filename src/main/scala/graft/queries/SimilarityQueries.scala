@@ -255,6 +255,65 @@ object SimilarityQueries {
       Similarity.cellKnnGraph(emb, "vec_id", "embedding", k = 3,
         nCells = 16, centroids = Some(cents))
         .orderBy(col("src_id"), col("rank"))
+    }),
+
+    // Whitening FIT (X89): per-dimension exact integer moments (micro-unit
+    // Σv, Σv² in decimal — order-independent, overflow-safe); the dim-row
+    // table a standardize pass broadcasts. Outputs cast to bigint for the
+    // compare (values fit at verify scales; decimals stay internal).
+    "emb_dim_stats" -> q((s, dir) =>
+      graft.operators.Embeddings.dimStats(
+        Sources.embeddings(s, dir), "embedding")
+        .select(col("pos"), col("n"), col("sum_u").cast("bigint").as("sum_u"),
+          col("sumsq_u").cast("bigint").as("sumsq_u"))
+        .orderBy(col("pos"))),
+
+    // Whitening APPLY (X89): z = (vu·n − S)/√(n·Q − S²) — exact integer
+    // numerator and sqrt argument, so the only floating steps are one sqrt
+    // and one divide (identical IEEE bits in both engines), rounded to 6.
+    "emb_standardize" -> q((s, dir) =>
+      graft.operators.Embeddings.standardize(
+        Sources.embeddings(s, dir), "vec_id", "embedding")
+        .select(col("id").as("vec_id"), col("pos"), col("z"))
+        .orderBy(col("vec_id"), col("pos"))),
+
+    // Signed random projection (X90): 64 → 16 dims via a seeded md5-parity
+    // ±1 matrix over micro-unit elements — an exact integer JL sketch,
+    // zero shuffles (literal signs folded per row). The generated oracle
+    // embeds the same sign matrix as SQL literals.
+    "emb_random_projection" -> q((s, dir) =>
+      graft.operators.Embeddings.signedProjection(
+        Sources.embeddings(s, dir), "vec_id", "embedding",
+        outDim = 16, inDim = 64, seed = 42L)
+        .select(col("id").as("vec_id"), col("j"), col("proj_u"))
+        .orderBy(col("vec_id"), col("j"))),
+
+    // Semantic decontamination screen (X91): corpus vectors (vec_id % 25
+    // ≠ 0) too cosine-close to ANY held-out eval vector (vec_id % 25 = 0)
+    // — the embedding-level twin of the n-gram decontamination join (X44),
+    // catching paraphrased eval leakage. Eval side broadcasts; one corpus
+    // scan; threshold inside the join condition.
+    "sim_semantic_screen" -> q((s, dir) => {
+      val emb = Sources.embeddings(s, dir)
+      Similarity.semanticScreen(
+        emb.where(col("vec_id") % 25 =!= 0),
+        emb.where(col("vec_id") % 25 === 0),
+        "vec_id", "embedding", CosineThreshold)
+        .orderBy(col("vec_id"), col("eval_id"))
+    }),
+
+    // Hard-negative mining (X92): per anchor, the most-similar OTHER-label
+    // vector within the anchor's k-means cell (hard negatives live nearby
+    // by definition — the SemDeDup restriction applied to contrastive
+    // training-pair construction). Shares the memoized IVF quantizer, so
+    // the generated oracle embeds identical centroid literals.
+    "sim_hard_negatives" -> q((s, dir) => {
+      val emb = Sources.embeddings(s, dir)
+      val cents = centroidCache.getOrElseUpdate((dir, 16, 42L),
+        Similarity.trainIvfCentroids(emb, "embedding", nCells = 16, seed = 42L))
+      Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+        nCells = 16, centroids = Some(cents))
+        .orderBy(col("src_id"))
     })
   )
 
@@ -291,6 +350,26 @@ object SimilarityQueries {
       |           ORDER BY $cosExpr DESC, c.vec_id ASC) AS rnk
       |  FROM qb q JOIN cb c ON c.b = q.b AND c.vec_id <> q.vec_id)
       |WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Signed-projection oracle: the SAME seeded md5-parity ±1 matrix
+    * (Embeddings.signMatrix is pure — deterministic from the seed alone)
+    * embedded as VALUES literals; the fold is an exact integer
+    * list_transform+list_sum over 1-based slots. */
+  private def rpOracle: String = {
+    val signs = graft.operators.Embeddings.signMatrix(16, 64, 42L)
+    val values = signs.zipWithIndex.map { case (row, j) =>
+      s"($j, ${row.mkString("[", ", ", "]")})"
+    }.mkString(",\n         ")
+    s"""WITH s(j, sgn) AS (VALUES $values),
+      |e AS (SELECT vec_id,
+      |             list_transform(embedding,
+      |               v -> floor(v::DOUBLE * 1000000 + 0.5)::BIGINT) AS vu
+      |      FROM embeddings)
+      |SELECT e.vec_id, s.j, list_sum(list_transform(range(1, 65),
+      |         i -> e.vu[i] * s.sgn[i]))::BIGINT AS proj_u
+      |FROM e CROSS JOIN s
+      |ORDER BY vec_id, j""".stripMargin
+  }
 
   /** IVF oracle, generated AFTER the query has run: Verify executes every
     * registered query (training + memoizing the IVF centroids for its sf
@@ -387,6 +466,21 @@ object SimilarityQueries {
             |  FROM cells q JOIN cells c
             |    ON q.cell = c.cell AND q.vec_id <> c.vec_id)
             |WHERE rnk <= 3 ORDER BY src_id, rank""".stripMargin,
+        // hard negatives share the cell CTEs: same-cell self-join with the
+        // label-mismatch predicate, per-anchor top-1 (cosine desc, id asc)
+        "sim_hard_negatives" ->
+          s"""WITH $cellCtes
+            |SELECT src_id, src_label, neg_id, neg_label, cosine FROM (
+            |  SELECT q.vec_id AS src_id, lq.label AS src_label,
+            |         c.vec_id AS neg_id, lc.label AS neg_label,
+            |         $cosExpr AS cosine,
+            |         row_number() OVER (PARTITION BY q.vec_id
+            |           ORDER BY $cosExpr DESC, c.vec_id ASC) AS rnk
+            |  FROM cells q JOIN cells c ON q.cell = c.cell
+            |  JOIN embeddings lq ON lq.vec_id = q.vec_id
+            |  JOIN embeddings lc ON lc.vec_id = c.vec_id
+            |  WHERE lq.label <> lc.label)
+            |WHERE rnk = 1 ORDER BY src_id""".stripMargin,
         "sim_semdedup_pairs" ->
           s"WITH $cellCtes\n$pairsSql\nORDER BY id_a, id_b",
         "sim_semdedup_survivors" ->
@@ -613,6 +707,47 @@ object SimilarityQueries {
     // Recursive transitive closure over the ≥θ cosine pairs — the embedding
     // twin of DedupQueries' component oracle; survivors = everything except
     // non-min component members.
+    // Positional double-unnest zips (pos, element); the micro-unit basis
+    // (floor(v·10⁶ + 0.5) of the exact float→double widening) matches
+    // Embeddings.vu term-for-term.
+    "emb_dim_stats" ->
+      """WITH e AS (
+        |  SELECT unnest(range(len(embedding))) AS pos,
+        |         unnest(list_transform(embedding,
+        |           v -> floor(v::DOUBLE * 1000000 + 0.5)::BIGINT)) AS vu
+        |  FROM embeddings)
+        |SELECT pos::int AS pos, count(*) AS n, sum(vu)::BIGINT AS sum_u,
+        |       sum(vu * vu)::BIGINT AS sumsq_u
+        |FROM e GROUP BY pos ORDER BY pos""".stripMargin,
+
+    // z = (vu·n − S)/√(n·Q − S²): integer numerator and sqrt argument
+    // (HUGEINT here, decimal(38,0) Spark-side), one sqrt + one divide in
+    // double — identical IEEE bits — then round(·, 6).
+    "emb_standardize" ->
+      """WITH e AS (
+        |  SELECT vec_id, unnest(range(len(embedding))) AS pos,
+        |         unnest(list_transform(embedding,
+        |           v -> floor(v::DOUBLE * 1000000 + 0.5)::BIGINT)) AS vu
+        |  FROM embeddings),
+        |st AS (SELECT pos, count(*) AS n, sum(vu) AS s, sum(vu * vu) AS q
+        |       FROM e GROUP BY pos)
+        |SELECT e.vec_id, e.pos::int AS pos,
+        |       CASE WHEN st.n * st.q - st.s * st.s <= 0 THEN 0.0
+        |            ELSE round((e.vu * st.n - st.s)::DOUBLE /
+        |                       sqrt((st.n * st.q - st.s * st.s)::DOUBLE), 6)
+        |       END AS z
+        |FROM e JOIN st USING (pos)
+        |ORDER BY vec_id, pos""".stripMargin,
+
+    "emb_random_projection" -> rpOracle,
+
+    "sim_semantic_screen" ->
+      s"""SELECT c.vec_id, q.vec_id AS eval_id, $cosExpr AS cosine
+        |FROM embeddings c JOIN embeddings q
+        |  ON c.vec_id % 25 <> 0 AND q.vec_id % 25 = 0
+        |WHERE $cosExpr >= $CosineThreshold
+        |ORDER BY c.vec_id, eval_id""".stripMargin,
+
     "sim_neardup_survivors" ->
       s"""WITH RECURSIVE pairs AS (
         |  SELECT q.vec_id AS id_a, c.vec_id AS id_b
