@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact, exact
@@ -684,6 +685,79 @@ object Dedup {
         count(lit(1)).as("n_occurrences"),
         min(col("id")).as("min_doc_id"))
       .where(col("n_docs") >= minDocs)
+
+  /** Duplicated-REGION extraction: maximal token intervals of each document
+    * covered by cross-document duplicated spans — the interval-union step an
+    * ExactSubstr-style remover rewrites by, built on OVERLAPPING spans
+    * (stride 1: a span starts at every token position, so region boundaries
+    * are token-exact, unlike [[duplicateSpans]]' aligned chunks).
+    *
+    * Plan: one map-only explode to (id, pos, hash) — `spanTokens`× data
+    * amplification, the standard memory/recall trade of suffix-free
+    * substring dedup; one span_hash-partitioned distinct-doc aggregate; one
+    * co-partitioned join back; then the islands computation — a per-doc
+    * window (running max of interval ends marks island starts, cumulative
+    * sum numbers them) + one (id, island) aggregate. Nothing is quadratic
+    * in docs or corpus size; per-doc window state is one row of look-back.
+    * Touching intervals merge (a region is contiguous duplicated text).
+    * Output: (id, start_tok, end_tok, n_spans) — token-offset half-open
+    * intervals, the removal list a rewriter applies. */
+  def duplicateRegions(docs: DataFrame, idCol: String, textCol: String,
+                       spanTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(spanTokens > 0, "spanTokens must be positive")
+    val toks = TextOps.tokens(col(textCol))
+    val spans = docs.select(col(idCol).as("id"), toks.as("tk"))
+      .withColumn("nSpans", (size(col("tk")) - spanTokens + 1).cast("int"))
+      .where(col("nSpans") > 0)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), col("nSpans") - 1),
+        i => md5(concat_ws(" ",
+          slice(col("tk"), i + 1, lit(spanTokens))).cast("binary"))))
+        .as(Seq("pos", "span_hash")))
+      .localCheckpoint(eager = false)
+    val dup = spans.groupBy(col("span_hash"))
+      .agg(countDistinct(col("id")).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select(col("span_hash"))
+    val flagged = spans.join(dup, "span_hash")
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        (col("pos") + spanTokens).cast("long").as("e"))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    flagged
+      .withColumn("prev_max", max(col("e")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("st",
+        when(col("pos") > coalesce(col("prev_max"), lit(-1L)), 1L)
+          .otherwise(0L))
+      .withColumn("g", sum(col("st")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("g"))
+      .agg(min(col("pos")).as("start_tok"), max(col("e")).as("end_tok"),
+        count(lit(1)).as("n_spans"))
+      .select(col("id"), col("start_tok"), col("end_tok"), col("n_spans"))
+  }
+
+  /** Per-document duplicated-REGION coverage in basis points: how much of
+    * each doc's token stream sits inside a [[duplicateRegions]] interval —
+    * the doc-level "mostly duplicated" signal with token-exact boundaries
+    * (vs [[docDuplicateSpanRates]]' aligned-chunk approximation). Docs with
+    * no regions report 0. */
+  def duplicateRegionCoverage(docs: DataFrame, idCol: String, textCol: String,
+                              spanTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+    val cov = duplicateRegions(docs, idCol, textCol, spanTokens, minDocs)
+      .groupBy(col("id"))
+      .agg(sum(col("end_tok") - col("start_tok")).as("covered_tokens"),
+        count(lit(1)).as("n_regions"))
+    docs.select(col(idCol).as("id"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(cov, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        coalesce(col("n_regions"), lit(0L)).as("n_regions"),
+        when(col("n_tokens") === 0L, lit(0L))
+          .otherwise(expr("coalesce(covered_tokens, 0L) * 10000 div n_tokens"))
+          .as("coverage_bp"))
+  }
 
   /** Per-document duplicated-span rate: the fraction of a doc's spans whose
     * hash also occurs in ANOTHER document — the doc-level filter signal

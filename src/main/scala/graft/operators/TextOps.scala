@@ -20,6 +20,18 @@ object TextOps {
     when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))
 
+  /** Text canonicalization for dedup/fingerprint stability: every run of
+    * ASCII control-or-space bytes (0x00–0x20 — tabs, newlines, CR, VT, FF,
+    * NUL, and the space itself) collapses to ONE space, then ends trim.
+    * The single character class keeps the rewrite engine-portable: Java's
+    * `\s` includes 0x0B where RE2's does not, so neither engine's `\s` is
+    * used — the explicit range means Spark and any RE2-based engine (or
+    * DuckDB) rewrite identically. A narrow map — no shuffle; run it before
+    * hashing/shingling so byte-level whitespace noise can't split exact-dup
+    * groups. */
+  def canonicalize(text: Column): Column =
+    trim(regexp_replace(text, "[\\x00-\\x20]+", " "))
+
   /** BPE-ish regex tokenization: runs of letters, runs of digits, or runs of
     * other non-space symbols, each with an optional leading space — the
     * GPT-2-style pretokenizer shape, minus the library. */

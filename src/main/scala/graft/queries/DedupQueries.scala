@@ -297,6 +297,27 @@ object DedupQueries {
     "dedup_span_doc_rates" -> q((s, dir) =>
       Dedup.docDuplicateSpanRates(Sources.documents(s, dir), "doc_id", "text",
         spanTokens = 8)
+        .orderBy(col("doc_id"))),
+
+    // Duplicated-REGION extraction (X93): maximal token intervals covered
+    // by cross-doc duplicated spans at stride 1 — token-exact boundaries,
+    // the removal list an ExactSubstr-style rewriter applies (vs the
+    // aligned-chunk detector above). Islands via per-doc running-max
+    // window; touching intervals merge.
+    "dedup_regions" -> q((s, dir) =>
+      Dedup.duplicateRegions(Sources.documents(s, dir), "doc_id", "text",
+        spanTokens = 8, minDocs = 2)
+        .select(col("id").as("doc_id"), col("start_tok"), col("end_tok"),
+          col("n_spans"))
+        .orderBy(col("doc_id"), col("start_tok"))),
+
+    // Per-doc duplicated-region coverage in basis points (X93's doc-level
+    // aggregate): token-exact "how much of this doc is copied elsewhere".
+    "dedup_region_coverage" -> q((s, dir) =>
+      Dedup.duplicateRegionCoverage(Sources.documents(s, dir), "doc_id",
+        "text", spanTokens = 8, minDocs = 2)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          col("covered_tokens"), col("n_regions"), col("coverage_bp"))
         .orderBy(col("doc_id")))
   )
 
@@ -328,6 +349,21 @@ object DedupQueries {
   private val jaccardExpr =
     """round(len(list_intersect(a.s, b.s))::double
       |             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)""".stripMargin
+
+  /** DuckDB twin of Dedup.duplicateRegions' stride-1 spans: one 8-token
+    * span per token position (overlapping), md5 over the space-joined
+    * span text — token-exact region boundaries. */
+  private val strideSpanCte =
+    raw"""WITH t AS (
+      |  SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS tk
+      |  FROM documents),
+      |sidx AS (
+      |  SELECT id, tk, unnest(range(0, greatest(len(tk) - 7, 0))) AS i
+      |  FROM t),
+      |sspans AS (
+      |  SELECT id, i AS pos,
+      |         md5(array_to_string(tk[i+1 : i+8], ' ')) AS h
+      |  FROM sidx)""".stripMargin
 
   /** DuckDB twin of Dedup.docSpans(spanTokens=8): contiguous full 8-token
     * chunks, md5 over the space-joined chunk text. */
@@ -625,6 +661,64 @@ object DedupQueries {
         |         OR (len(a.s) = len(b.s) AND a.doc_id > b.doc_id)))
         |SELECT doc_id, source FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM dropped)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Stride-1 overlapping spans → duplicated hashes → per-doc interval
+    // union via running-max islands — the same window algebra as the Spark
+    // side, term-for-term.
+    "dedup_regions" ->
+      raw"""$strideSpanCte,
+        |dups AS (SELECT h FROM sspans GROUP BY h
+        |         HAVING count(DISTINCT id) >= 2),
+        |f AS (SELECT s.id, s.pos, s.pos + 8 AS e
+        |      FROM sspans s JOIN dups USING (h)),
+        |w AS (SELECT id, pos, e,
+        |        CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY id
+        |               ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+        |               AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS st
+        |      FROM f),
+        |isl AS (SELECT id, pos, e,
+        |          sum(st) OVER (PARTITION BY id ORDER BY pos
+        |                        ROWS UNBOUNDED PRECEDING) AS g
+        |        FROM w)
+        |SELECT id AS doc_id, min(pos) AS start_tok, max(e) AS end_tok,
+        |       count(*) AS n_spans
+        |FROM isl GROUP BY id, g ORDER BY doc_id, start_tok""".stripMargin,
+
+    "dedup_region_coverage" ->
+      raw"""$strideSpanCte,
+        |dups AS (SELECT h FROM sspans GROUP BY h
+        |         HAVING count(DISTINCT id) >= 2),
+        |f AS (SELECT s.id, s.pos, s.pos + 8 AS e
+        |      FROM sspans s JOIN dups USING (h)),
+        |w AS (SELECT id, pos, e,
+        |        CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY id
+        |               ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+        |               AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS st
+        |      FROM f),
+        |isl AS (SELECT id, pos, e,
+        |          sum(st) OVER (PARTITION BY id ORDER BY pos
+        |                        ROWS UNBOUNDED PRECEDING) AS g
+        |        FROM w),
+        |regions AS (
+        |  SELECT id, min(pos) AS s, max(e) AS e
+        |  FROM isl GROUP BY id, g),
+        |cov AS (
+        |  SELECT id, sum(e - s) AS covered_tokens, count(*) AS n_regions
+        |  FROM regions GROUP BY id),
+        |toks AS (
+        |  SELECT doc_id AS id,
+        |         CASE WHEN trim(text) = '' THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+        |         END AS n_tokens
+        |  FROM documents)
+        |SELECT t.id AS doc_id, t.n_tokens,
+        |       coalesce(c.covered_tokens, 0)::BIGINT AS covered_tokens,
+        |       coalesce(c.n_regions, 0)::BIGINT AS n_regions,
+        |       CASE WHEN t.n_tokens = 0 THEN 0
+        |            ELSE coalesce(c.covered_tokens, 0) * 10000 // t.n_tokens
+        |       END::BIGINT AS coverage_bp
+        |FROM toks t LEFT JOIN cov c ON c.id = t.id
         |ORDER BY doc_id""".stripMargin,
 
     // Span CTE shared by both span-dedup oracles: full 8-token chunks only

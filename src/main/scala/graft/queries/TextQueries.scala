@@ -138,6 +138,23 @@ object TextQueries {
     // so the whole inference pass hash-compares against the oracle.
     "text_quality_classifier" -> q((s, dir) =>
       TextOps.classifierScore(Sources.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Canonicalization report (X94): runs of ASCII control-or-space bytes
+    // (0x00–0x20) collapse to one space + ends trim — the byte-noise
+    // normalizer that runs BEFORE hashing/shingling so whitespace variants
+    // can't split exact-dup groups. The explicit range keeps Java and RE2
+    // `\s` divergence (0x0B) out of the rewrite. Emits before/after
+    // lengths, a changed flag, and the canonical md5 — not the rewritten
+    // corpus (a report, like text_scrub).
+    "text_canonicalize" -> q((s, dir) =>
+      Sources.documents(s, dir)
+        .select(col("doc_id"), length(col("text")).as("n_before"),
+          TextOps.canonicalize(col("text")).as("canon"))
+        .select(col("doc_id"), col("n_before"),
+          length(col("canon")).as("n_after"),
+          (col("n_before") =!= length(col("canon"))).as("changed"),
+          md5(col("canon").cast("binary")).as("canon_md5"))
         .orderBy(col("doc_id")))
   )
 
@@ -145,6 +162,17 @@ object TextQueries {
   private val toks = raw"regexp_split_to_array(trim(text), '\s+')"
 
   val oracles: Map[String, String] = Map(
+    // Same explicit byte-range class + 'g' flag (Spark regexp_replace is
+    // global by default); length() is characters in both engines.
+    "text_canonicalize" ->
+      raw"""WITH c AS (
+        |  SELECT doc_id, length(text) AS n_before,
+        |         trim(regexp_replace(text, '[\x00-\x20]+', ' ', 'g')) AS canon
+        |  FROM documents)
+        |SELECT doc_id, n_before, length(canon) AS n_after,
+        |       n_before <> length(canon) AS changed, md5(canon) AS canon_md5
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "text_token_stats" ->
       raw"""SELECT doc_id,
         |  len($toks)::int AS token_count,

@@ -277,6 +277,32 @@ class DedupSpec extends AnyFunSuite {
     assert(rates(3L) == (0L, 0L))
   }
 
+  test("duplicateRegions: islands are disjoint, maximal, and cover aligned dups") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val regions = Dedup.duplicateRegions(docs, "doc_id", "text",
+      spanTokens = 8, minDocs = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(regions.nonEmpty)
+    regions.foreach { case (_, s, e, n) =>
+      assert(e - s >= 8, "a region holds at least one span")
+      assert(n >= 1 && n <= e - s - 7, "span count bounded by positions")
+    }
+    // disjoint AND non-touching per doc (touching intervals must have merged)
+    regions.groupBy(_._1).values.foreach { rs =>
+      rs.sortBy(_._2).sliding(2).filter(_.length == 2).foreach { w =>
+        assert(w(1)._2 > w(0)._3, s"regions must be gap-separated: $w")
+      }
+    }
+    // coverage aggregate is consistent with the island list
+    val cov = Dedup.duplicateRegionCoverage(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val byDoc = regions.groupBy(_._1).map { case (id, rs) =>
+      id -> (rs.map(r => r._3 - r._2).sum, rs.size.toLong)
+    }
+    byDoc.foreach { case (id, v) => assert(cov(id) == v, s"doc $id") }
+    assert(cov.filterKeys(!byDoc.contains(_)).values.forall(_ == (0L, 0L)))
+  }
+
   test("minHashSignature: deterministic across runs, k-wide") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").limit(10)
       .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))

@@ -264,6 +264,22 @@ class TextOpsSpec extends AnyFunSuite {
       (("aa", "a a a", "aa a", 1)), r.toString)
   }
 
+  test("canonicalize: control/space runs collapse, ends trim, idempotent") {
+    import SparkTestSession.spark.implicits._
+    val docs = Seq(
+      (1L, "a\t\tb\n  c"), (2L, "  x y  "), (3L, "clean text"),
+      (4L, ""), (5L, " \t\r\n ")).toDF("doc_id", "text")
+    val out = docs.select($"doc_id", TextOps.canonicalize($"text").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a b c", 2L -> "x y", 3L -> "clean text",
+      4L -> "", 5L -> ""))
+    // idempotent: canonical text is a fixed point
+    val twice = docs.select($"doc_id",
+      TextOps.canonicalize(TextOps.canonicalize($"text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(twice == out)
+  }
+
   test("classifierScore: known weights — margin is an exact bag-of-words dot") {
     import SparkTestSession.spark.implicits._
     // dim 1 collapses every token to bucket 0: margin = w0 · n_tokens
