@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CurationQueries, DedupQueries, EventQueries, FunctionQueries, RefParityQueries, SimilarityQueries, TextQueries}
+import graft.queries.{CurationQueries, DedupQueries, EventQueries, FunctionQueries, LexicalQueries, RefParityQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RefParityQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ EventQueries.queries ++
-      FunctionQueries.queries ++ CurationQueries.queries
+      FunctionQueries.queries ++ CurationQueries.queries ++
+      LexicalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys (non-SQL-expressible ops — seeded
@@ -31,5 +32,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RefParityQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ EventQueries.oracles ++
-      FunctionQueries.oracles ++ CurationQueries.oracles
+      FunctionQueries.oracles ++ CurationQueries.oracles ++
+      LexicalQueries.oracles
 }

@@ -36,7 +36,11 @@ class AllQueriesSpec extends AnyFunSuite {
     // max-achievable-total scalar) cross-join ONE-row aggregate scalars —
     // the broadcast side is a single row by construction. Everything else
     // must stay equi.
+    // sim_semantic_screen joins the same way: the held-out EVAL suite
+    // broadcasts (small by definition) with the cosine threshold inside the
+    // join condition — one corpus scan, bounded broadcast side.
     val allowed = Set("sim_topk_bruteforce", "sim_topk_pq",
+      "sim_semantic_screen",
       "text_quality_gate", "text_quality_gate_approx", "agg_hll_union",
       "text_filter_cascade", "sample_mixture_lang")
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
