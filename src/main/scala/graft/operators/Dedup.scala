@@ -454,6 +454,39 @@ object Dedup {
       .select(col(idCol))
   }
 
+  /** BEST-COPY survivor selection: within each duplicate cluster keep the
+    * member with the highest `scoreCol` (ties → lowest id) instead of the
+    * arbitrary min-id rule — the policy real pipelines want, because
+    * duplicate clusters routinely span sources of very different quality
+    * (the clean publisher page vs the ad-wrapped scraper copy of the same
+    * article) and min-id keeps whichever happened to be crawled first.
+    *
+    * `scored` must carry (`idCol`, `scoreCol`); `pairs` is any duplicate
+    * pair list (id_a, id_b) — jaccard, containment, LSH-verified, semantic.
+    * Docs in no pair are their own singleton cluster and survive.
+    *
+    * Shape: [[connectedComponents]] over the (bounded) pair list, one LEFT
+    * join of the scored corpus to the |pair-members|-sized label table
+    * (AQE broadcasts it when small; the corpus never re-shuffles), then one
+    * cluster-keyed argmax via `max(struct(score, −id))` — a map-side-
+    * combined aggregate carrying one row per cluster per mapper, no
+    * per-cluster window sort. Output: (comp, idCol, scoreCol, n_members).
+    */
+  def bestCopySurvivors(scored: DataFrame, idCol: String, scoreCol: String,
+                        pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs, "id_a", "id_b")
+    val member = scored
+      .join(comps.hint("shuffle_hash"), scored(idCol) === comps("id"), "left")
+      .select(coalesce(col("comp"), scored(idCol)).as("comp"),
+        scored(idCol).as("__id"), col(scoreCol))
+    member
+      .groupBy(col("comp"))
+      .agg(max(struct(col(scoreCol), (-col("__id")).as("neg_id"))).as("w"),
+        count(lit(1)).as("n_members"))
+      .select(col("comp"), (-col("w.neg_id")).as(idCol),
+        col("w." + scoreCol).as(scoreCol), col("n_members"))
+  }
+
   /** 48-bit token/shingle hash from the leading 48 md5 bits — deliberately
     * SQL-reproducible (DuckDB folds the same 12-hex-char prefix), so
     * MinHash/SimHash built on it are fully oracle-checkable. xxhash64 stays

@@ -111,4 +111,58 @@ object Graph {
     }
     ranks.select(col("node"), col("r").as("rank_sc"))
   }
+
+  /** TRIANGLE ENUMERATION over an undirected edge list, degree-ordered —
+    * the clustering-structure primitive (a kNN graph's triangle density is
+    * the standard manifold-quality diagnostic; co-occurrence-graph
+    * triangles surface phrase cliques). `pairs` is any (aCol, bCol) pair
+    * frame; direction and duplicates are normalized away first.
+    *
+    * Algorithm: orient every edge from the endpoint with the smaller
+    * (degree, node) key to the larger — a DAG under a total order, in which
+    * each triangle has EXACTLY one node with two out-edges — then join
+    * out-edge pairs (wedges, ordered by the same key so each wedge forms
+    * once) against the edge set. Degree ordering is what makes this scale:
+    * out-degrees are bounded by O(√|E|) on any graph (arboricity bound), so
+    * the wedge count is Σ outdeg² ≤ |E|^{3/2} instead of Σ deg² — the
+    * hub-node blowup a naive enumeration hits on skewed graphs. Three
+    * vocab-/graph-sized hash joins, the corpus is never touched.
+    *
+    * Output: one row per triangle as the sorted triple (w_a < w_b < w_c) —
+    * directly comparable to a lexicographic SQL enumeration. */
+  def triangles(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val und = pairs
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val deg = und.select(col("u").as("n"))
+      .unionAll(und.select(col("v")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t"), col("dv").as("dt")))
+          .otherwise(
+            struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
+          .as("o"))
+      .select(col("o.s").as("src"), col("o.t").as("dst"), col("o.dt").as("ddeg"))
+      .localCheckpoint(eager = false)
+    val wedges = oriented.as("a")
+      .join(oriented.as("b"),
+        col("a.src") === col("b.src") &&
+          (col("a.ddeg") < col("b.ddeg") ||
+            (col("a.ddeg") === col("b.ddeg") && col("a.dst") < col("b.dst"))))
+      .select(col("a.src").as("w"), col("a.dst").as("v1"), col("b.dst").as("v2"))
+    wedges
+      .join(oriented.select(col("src").as("v1"), col("dst").as("v2"))
+        .hint("shuffle_hash"), Seq("v1", "v2"))
+      .select(array_sort(array(col("w"), col("v1"), col("v2"))).as("t"))
+      .select(col("t").getItem(0).as("w_a"), col("t").getItem(1).as("w_b"),
+        col("t").getItem(2).as("w_c"))
+  }
 }

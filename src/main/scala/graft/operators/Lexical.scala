@@ -183,6 +183,35 @@ object Lexical {
       .limit(k)
   }
 
+  // ------------------------------------------------------------------ oov
+
+  /** Vocabulary truncation with OUT-OF-VOCABULARY accounting: keep the
+    * `k` most frequent tokens (count desc, token asc — a deterministic
+    * cut), then report each document's token total, OOV count and OOV rate
+    * in integer basis points. This is the tokenizer-budget question asked
+    * before fixing a vocab size: what coverage does a k-entry vocabulary
+    * buy, and which documents fall off it.
+    *
+    * Shape: the corpus reduces to the vocab aggregate once; the top-k cut
+    * is a k-row table that BROADCASTS (k is a design constant — 32k/64k in
+    * practice); the per-doc report is one exploded left join against the
+    * broadcast + one doc-keyed count aggregate. The corpus shuffles once,
+    * on doc_id. Output: (doc_id, n_tokens, n_oov, oov_bp). */
+  def oovReport(docs: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    val top = TextOps.vocabulary(docs, idCol, textCol)
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(k)
+      .select(col("token"), lit(1).as("__in_vocab"))
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("token"))
+      .join(broadcast(top), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_bp", expr("n_oov * 10000 div n_tokens"))
+  }
+
   // ------------------------------------------------------------ fertility
 
   /** Tokenizer fertility evaluation per group (the per-language /

@@ -215,8 +215,10 @@ object CurationQueries {
          |  ELSE list_transform(range(1, len(tk) - 3), i -> array_to_string(tk[i:i+4], ' ')) END)""".stripMargin
 
   /** Integer quality bp — the TextOps.qualityBp twin (same component
-    * expressions as the text_quality oracle, before the final division). */
-  private val qualityBp =
+    * expressions as the text_quality oracle, before the final division).
+    * Shared with [[DedupQueries]] (best-copy survivor selection scores
+    * duplicates with the same fragment). */
+  private[queries] val qualityBp =
     raw"""(least(length(text) * 20, 10000) * 4
          | + least((len(list_filter($toks, t -> list_contains(['the','a','an','of','and','to','in','is','it','that'], t))) * 50000) // len($toks), 10000) * 3
          | + greatest(10000 - (length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 100000) // length(text), 0) * 3)""".stripMargin

@@ -113,6 +113,20 @@ object DedupQueries {
         Sources.documents(s, dir), "doc_id", jaccardPairs(s, dir))
         .orderBy(col("doc_id"))),
 
+    // BEST-COPY survivor selection (X99): within each duplicate cluster
+    // keep the highest-quality member (ties → lowest id) instead of
+    // min-id — the cross-source "keep the clean copy" policy. Shares the
+    // pinned jaccard pair list; one cluster-keyed argmax, no per-cluster
+    // sort. Oracle: recursive-CTE components + a window argmax.
+    "dedup_survivors_best_quality" -> q((s, dir) => {
+      val scored = Sources.documents(s, dir).select(col("doc_id"),
+        graft.operators.TextOps.qualityBp(col("text")).cast("long")
+          .as("quality_bp"))
+      Dedup.bestCopySurvivors(scored, "doc_id", "quality_bp",
+          jaccardPairs(s, dir))
+        .orderBy(col("comp"))
+    }),
+
     // Deterministic content-hash sampling (reproducible corpus subsetting:
     // membership from md5 of the text, stable across partitionings/engines
     // — seeded Bernoulli would not survive an oracle compare BY DESIGN).
@@ -507,6 +521,25 @@ object DedupQueries {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE c <> id)
         |ORDER BY doc_id""".stripMargin,
+
+    // Same components; survivor = window argmax (quality desc, id asc),
+    // singletons are their own cluster. The quality fragment is the shared
+    // TextOps.qualityBp twin (CurationQueries.qualityBp).
+    "dedup_survivors_best_quality" ->
+      s"""$componentCtes,
+        |scored AS (
+        |  SELECT doc_id, ${CurationQueries.qualityBp}::bigint AS quality_bp
+        |  FROM documents),
+        |m AS (
+        |  SELECT coalesce(c.c, s.doc_id) AS comp, s.doc_id, s.quality_bp
+        |  FROM scored s LEFT JOIN comp c ON s.doc_id = c.id)
+        |SELECT comp, doc_id, quality_bp, n_members FROM (
+        |  SELECT comp, doc_id, quality_bp,
+        |         count(*) OVER (PARTITION BY comp) AS n_members,
+        |         row_number() OVER (PARTITION BY comp
+        |           ORDER BY quality_bp DESC, doc_id ASC) AS rn
+        |  FROM m)
+        |WHERE rn = 1 ORDER BY comp""".stripMargin,
 
     "sample_hash_docs" ->
       s"""SELECT doc_id, lang, n_chars FROM documents

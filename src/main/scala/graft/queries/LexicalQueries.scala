@@ -57,7 +57,13 @@ object LexicalQueries {
     "text_tokenizer_fertility" -> q((s, dir) =>
       Lexical.tokenizerFertility(Sources.documents(s, dir), "text",
           Seq("lang", "source"))
-        .orderBy(col("lang"), col("source"))))
+        .orderBy(col("lang"), col("source"))),
+
+    // Vocabulary truncation + OOV accounting (X100): per-doc out-of-vocab
+    // rate against the deterministic top-16 vocabulary cut.
+    "text_oov_rate" -> q((s, dir) =>
+      Lexical.oovReport(Sources.documents(s, dir), "doc_id", "text", k = 16)
+        .orderBy(col("doc_id"))))
 
   private val toks = raw"regexp_split_to_array(trim(text), '\s+')"
   private val bpeish = raw"regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+')"
@@ -119,6 +125,18 @@ object LexicalQueries {
         |FROM bc, uc x, uc y, n
         |WHERE bc.w1 = x.w AND bc.w2 = y.w
         |ORDER BY lift_bp DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    "text_oov_rate" ->
+      raw"""WITH top AS (
+        |  SELECT w FROM (SELECT unnest($toks) AS w FROM documents)
+        |  GROUP BY w ORDER BY count(*) DESC, w LIMIT 16),
+        |t AS (SELECT doc_id, unnest($toks) AS w FROM documents)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       sum(CASE WHEN w IN (SELECT w FROM top) THEN 0 ELSE 1 END)::bigint
+        |         AS n_oov,
+        |       (sum(CASE WHEN w IN (SELECT w FROM top) THEN 0 ELSE 1 END)
+        |        * 10000) // count(*) AS oov_bp
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_tokenizer_fertility" ->
       raw"""WITH s AS (

@@ -314,6 +314,24 @@ object SimilarityQueries {
       Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
         nCells = 16, centroids = Some(cents))
         .orderBy(col("src_id"))
+    }),
+
+    // Triangle enumeration over the kNN graph (X101): the clustering-
+    // structure diagnostic — triangle density measures how manifold-like
+    // the embedding neighborhoods are (random-noise kNN graphs are nearly
+    // triangle-free; clustered corpora are triangle-rich). Degree-ordered
+    // enumeration over the |E|=3n edge list; shares the memoized
+    // quantizer, so the generated oracle replays cells → kNN → lex
+    // triple join over identical centroid literals.
+    "sim_knn_triangles" -> q((s, dir) => {
+      val emb = Sources.embeddings(s, dir)
+      val cents = centroidCache.getOrElseUpdate((dir, 16, 42L),
+        Similarity.trainIvfCentroids(emb, "embedding", nCells = 16, seed = 42L))
+      val edges = Similarity.cellKnnGraph(emb, "vec_id", "embedding", k = 3,
+          nCells = 16, centroids = Some(cents))
+        .select(col("src_id"), col("nbr_id"))
+      graft.operators.Graph.triangles(edges, "src_id", "nbr_id")
+        .orderBy(col("w_a"), col("w_b"), col("w_c"))
     })
   )
 
@@ -466,6 +484,27 @@ object SimilarityQueries {
             |  FROM cells q JOIN cells c
             |    ON q.cell = c.cell AND q.vec_id <> c.vec_id)
             |WHERE rnk <= 3 ORDER BY src_id, rank""".stripMargin,
+        // same cells → kNN edges, undirected-distinct, then the canonical
+        // lexicographic triple join (a<b<c: edges (a,b),(a,c),(b,c)) —
+        // equal output proves the degree-ordered enumeration exact
+        "sim_knn_triangles" ->
+          s"""WITH $cellCtes,
+            |knn AS (
+            |  SELECT src_id, nbr_id FROM (
+            |    SELECT q.vec_id AS src_id, c.vec_id AS nbr_id,
+            |           row_number() OVER (PARTITION BY q.vec_id
+            |             ORDER BY $cosExpr DESC, c.vec_id ASC) AS rnk
+            |    FROM cells q JOIN cells c
+            |      ON q.cell = c.cell AND q.vec_id <> c.vec_id)
+            |  WHERE rnk <= 3),
+            |e AS (
+            |  SELECT DISTINCT least(src_id, nbr_id) AS w1,
+            |                  greatest(src_id, nbr_id) AS w2 FROM knn)
+            |SELECT e1.w1 AS w_a, e1.w2 AS w_b, e2.w2 AS w_c
+            |FROM e e1
+            |JOIN e e2 ON e1.w1 = e2.w1 AND e1.w2 < e2.w2
+            |JOIN e e3 ON e3.w1 = e1.w2 AND e3.w2 = e2.w2
+            |ORDER BY w_a, w_b, w_c""".stripMargin,
         // hard negatives share the cell CTEs: same-cell self-join with the
         // label-mismatch predicate, per-anchor top-1 (cosine desc, id asc)
         "sim_hard_negatives" ->

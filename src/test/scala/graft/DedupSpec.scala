@@ -313,4 +313,17 @@ class DedupSpec extends AnyFunSuite {
     assert(sig1 == sig2)
     assert(sig1.values.forall(_.length == 64))
   }
+
+  test("bestCopySurvivors: argmax per cluster, min-id ties, singletons pass") {
+    import spark.implicits._
+    val scored = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L), (5L, 99L))
+      .toDF("id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.bestCopySurvivors(scored, "id", "score", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // cluster {1,2,3}: top score 30 shared by 2 and 3 → lowest id 2 wins;
+    // 4 and 5 are singletons (their own comp), n_members 1
+    assert(out == Set((1L, 2L, 30L, 3L), (4L, 4L, 5L, 1L), (5L, 5L, 99L, 1L)))
+  }
 }

@@ -75,4 +75,36 @@ class GraphSpec extends AnyFunSuite {
     // with full damping, round 1: a gets no inflow => rank 0
     assert(pure("a") == 0L)
   }
+
+  test("triangles: known graph — K4 + pendant + disjoint triangle, dup edges") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+        (3L, 4L), (4L, 5L), (6L, 7L), (7L, 8L), (6L, 8L),
+        (2L, 1L), (3L, 1L)) // reversed duplicates must not double-count
+      .toDF("a", "b")
+    val t = Graph.triangles(pairs, "a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(t.length == t.toSet.size, "each triangle enumerated exactly once")
+    assert(t.toSet == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L),
+      (2L, 3L, 4L), (6L, 7L, 8L)))
+  }
+
+  test("triangles: equals cubic brute force on a seeded random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 24
+    val es = (for {
+      i <- 0 until n; j <- (i + 1) until n if rnd.nextDouble() < 0.25
+    } yield (i.toLong, j.toLong)).toVector
+    val df = es.toDF("a", "b")
+    val got = Graph.triangles(df, "a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val eset = es.toSet
+    val want = (for {
+      a <- 0L until n.toLong; b <- (a + 1) until n.toLong
+      c <- (b + 1) until n.toLong
+      if eset((a, b)) && eset((a, c)) && eset((b, c))
+    } yield (a, b, c)).toSet
+    assert(got == want)
+  }
 }

@@ -101,6 +101,18 @@ class LexicalSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(5)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
   }
 
+  test("oovReport: oov bounded by totals, exact rate, full vocab ⇒ zero") {
+    val r = Lexical.oovReport(docs, "doc_id", "text", k = 16).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.nonEmpty && r.length == docs.count())
+    r.foreach { case (_, n, oov, bp) =>
+      assert(oov <= n)
+      assert(bp == oov * 10000 / n)
+    }
+    val full = Lexical.oovReport(docs, "doc_id", "text", k = 1 << 20).collect()
+    assert(full.forall(_.getLong(2) == 0L), "k ≥ |vocab| leaves nothing OOV")
+  }
+
   test("tokenizer fertility: group totals tie out to per-doc sums") {
     val f = Lexical.tokenizerFertility(docs, "text", Seq("lang")).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
