@@ -487,6 +487,70 @@ object Dedup {
         col("w." + scoreCol).as(scoreCol), col("n_members"))
   }
 
+  /** SORTED-NEIGHBORHOOD blocking dedup (Hernández–Stolfo): sort the corpus
+    * by a cheap canonical key, then compare only records within a sliding
+    * window of `window` positions — the third classic near-dup blocking
+    * family next to prefix-filtered set joins and LSH banding, and the one
+    * real record-linkage systems reach for when duplicates share a stable
+    * PREFIX (title, name, normalized URL) rather than a token set.
+    *
+    * Distributed shape with NO global single-partition sort:
+    *   1. key = first 32 chars of the canonicalized text; positions come
+    *      from the two-level numbering discipline
+    *      ([[Sampling.globalHashOrder]]) with ORDER-PRESERVING coarse
+    *      buckets (leading key byte) instead of hash buckets — per-bucket
+    *      row_number + broadcast bucket offsets. (A production variant
+    *      samples range boundaries for even buckets; the prefix-byte bucket
+    *      keeps positions deterministic on any layout, which the oracle
+    *      compare requires.)
+    *   2. Candidate pairs via position-block banding: the LEFT side emits
+    *      blocks ⌊p/W⌋ and ⌊p/W⌋+1, the right side only ⌊p/W⌋ — every pair
+    *      with 0 < Δp < W shares exactly ONE emitted block (no dedupe
+    *      pass), and each row joins O(W) neighbors.
+    *   3. Verify: exact shingle jaccard on the ≤ |docs|·(W−1) candidates.
+    *
+    * Output: (id_a < id_b, gap = Δposition, jaccard ≥ threshold). */
+  def sortedNeighborhoodPairs(docs: DataFrame, idCol: String, textCol: String,
+                              window: Int = 4, n: Int = 3,
+                              threshold: Double = 0.8): DataFrame = {
+    require(window >= 2, "window >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs.select(col(idCol).as("id"),
+        substring(TextOps.canonicalize(col(textCol)), 1, 32).as("__k"),
+        shingles(col(textCol), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .withColumn("__b", ascii(substring(col("__k"), 1, 1)))
+      .localCheckpoint(eager = false)
+    val perBucket = keyed.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+    val wB = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perBucket
+      .withColumn("__off", coalesce(sum(col("__n")).over(wB), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("__k"), col("id"))
+    val pos = keyed.join(broadcast(offsets), "__b")
+      .withColumn("p", col("__off") + row_number().over(wIn).cast("long") - 1L)
+      .select(col("id"), col("p"), col("sh"), col("n_sh"))
+      .localCheckpoint(eager = false)
+    val left = pos.select(col("id").as("ia"), col("p").as("pa"),
+      col("sh").as("sa"), col("n_sh").as("na"),
+      explode(array(expr(s"p div $window"), expr(s"p div $window + 1")))
+        .as("blk"))
+    val right = pos.select(col("id").as("ib"), col("p").as("pb"),
+      col("sh").as("sb"), col("n_sh").as("nb"),
+      expr(s"p div $window").as("blk"))
+    left.join(right.hint("shuffle_hash"), Seq("blk"))
+      .where(col("pb") > col("pa") && col("pb") - col("pa") < window)
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", round(
+        col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 6))
+      .where(col("jaccard") >= threshold)
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"),
+        (col("pb") - col("pa")).as("gap"), col("jaccard"))
+  }
+
   /** 48-bit token/shingle hash from the leading 48 md5 bits — deliberately
     * SQL-reproducible (DuckDB folds the same 12-hex-char prefix), so
     * MinHash/SimHash built on it are fully oracle-checkable. xxhash64 stays

@@ -305,6 +305,47 @@ object TextOps {
           .as("avg_surprisal_cb"))
   }
 
+  /** BIGRAM-LM surprisal quality score — the conditional-probability
+    * refinement of [[unigramSurprisal]]: per adjacent token pair,
+    * bits = ⌊log₂⌊c(w₁·)/c(w₁w₂)⌋⌋ (c(w₁·) = w₁'s count as a bigram head),
+    * the exact-integer `bin()`-length log₂ of 1/p(w₂|w₁) — no libm log in
+    * the compared value. A doc full of high-probability transitions
+    * (boilerplate, repeated templates) scores LOW; incoherent word salad
+    * scores HIGH — the perplexity filter's actual discriminator, which
+    * unigram frequency alone cannot see (it scores "the the the" as
+    * maximally predictable; the bigram model additionally scores every
+    * transition). Self-scored against the corpus's own counts (a held-out
+    * filter joins a reference count table instead — same plan).
+    *
+    * Shape: the bigram explode is pinned once and feeds the count tables
+    * and the scoring join; c₁₂ is vocab²-bounded, c₁ vocab-bounded (both
+    * map-side combined), the per-doc aggregate keys on the doc id. Output:
+    * (idCol, n_bigrams, avg_bigram_surprisal_cb) — centi-bits per bigram,
+    * 0 for docs with < 2 tokens. */
+  def bigramSurprisal(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String): org.apache.spark.sql.DataFrame = {
+    val bi = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(col("id"),
+        explode(transform(sequence(lit(1), size(col("tk")) - 1),
+          i => struct(element_at(col("tk"), i).as("w1"),
+            element_at(col("tk"), i + 1).as("w2")))).as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .localCheckpoint(eager = false)
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val scored = bi.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .withColumn("bits", (length(bin(expr("c1 div c12"))) - 1).cast("long"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sum_bits"))
+    docs.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(expr("(sum_bits * 100) div n_bigrams"), lit(0L))
+          .as("avg_bigram_surprisal_cb"))
+  }
+
   /** Content fingerprint: md5 hex of the raw text — exact-dup grouping key
     * that both engines compute identically. */
   def fingerprintMd5(text: Column): Column = md5(text.cast("binary"))

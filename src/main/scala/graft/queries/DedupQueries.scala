@@ -113,6 +113,16 @@ object DedupQueries {
         Sources.documents(s, dir), "doc_id", jaccardPairs(s, dir))
         .orderBy(col("doc_id"))),
 
+    // Sorted-neighborhood blocking (X102): sort by the canonical 32-char
+    // prefix key, compare only within a 4-position sliding window —
+    // positions by order-preserving two-level numbering (never a global
+    // single-partition sort), window pairs by one-sided position-block
+    // banding. Oracle: the definitional row_number window + Δp < w join.
+    "dedup_sorted_neighborhood" -> q((s, dir) =>
+      Dedup.sortedNeighborhoodPairs(Sources.documents(s, dir), "doc_id",
+          "text", window = 4, n = 3, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // BEST-COPY survivor selection (X99): within each duplicate cluster
     // keep the highest-quality member (ties → lowest id) instead of
     // min-id — the cross-source "keep the clean copy" policy. Shares the
@@ -521,6 +531,31 @@ object DedupQueries {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE c <> id)
         |ORDER BY doc_id""".stripMargin,
+
+    // Definitional sorted-neighborhood: one global row_number window (legal
+    // at oracle scale), range self-join on Δp < 4, same jaccard verify.
+    "dedup_sorted_neighborhood" ->
+      raw"""WITH sh AS (
+        |$shingleBody),
+        |k AS (
+        |  SELECT doc_id,
+        |         substring(trim(regexp_replace(text, '[\x00-\x20]+', ' ', 'g')),
+        |                   1, 32) AS kk
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY kk, doc_id) - 1 AS p
+        |  FROM k),
+        |cand AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, b.p - a.p AS gap
+        |  FROM p a JOIN p b ON b.p > a.p AND b.p - a.p < 4),
+        |v AS (
+        |  SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b, gap,
+        |         round(len(list_intersect(sa.s, sb.s))::double /
+        |               (len(sa.s) + len(sb.s)
+        |                - len(list_intersect(sa.s, sb.s))), 6) AS jaccard
+        |  FROM cand JOIN sh sa ON sa.doc_id = ia JOIN sh sb ON sb.doc_id = ib)
+        |SELECT id_a, id_b, gap, jaccard FROM v WHERE jaccard >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Same components; survivor = window argmax (quality desc, id asc),
     // singletons are their own cluster. The quality fragment is the shared

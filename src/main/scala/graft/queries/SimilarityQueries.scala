@@ -316,6 +316,32 @@ object SimilarityQueries {
         .orderBy(col("src_id"))
     }),
 
+    // ANN RECALL EVALUATION (X104): per-query recall@5 of the IVF path
+    // against the brute-force ground truth, computed in-engine — the
+    // self-evaluating-index harness every ANN deployment runs before
+    // trusting nProbe/nCells settings. Both paths share the corpus scan
+    // shapes they already have; the overlap join keys on
+    // (query_id, neighbor_id). Oracle: generated SQL replaying BOTH
+    // pipelines (embedded centroids) and the same overlap count.
+    "sim_ann_recall" -> q((s, dir) => {
+      val emb = Sources.embeddings(s, dir)
+      val cents = centroidCache.getOrElseUpdate((dir, 16, 42L),
+        Similarity.trainIvfCentroids(emb, "embedding", nCells = 16, seed = 42L))
+      val qs = emb.where(col("vec_id") < 10)
+      val truth = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding",
+          k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfTopK(emb, qs, "vec_id", "embedding", k = 5,
+          nCells = 16, nProbe = 4, centroids = Some(cents))
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+      truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall_bp", expr("n_hit * 10000 div k"))
+        .orderBy(col("query_id"))
+    }),
+
     // Triangle enumeration over the kNN graph (X101): the clustering-
     // structure diagnostic — triangle density measures how manifold-like
     // the embedding neighborhoods are (random-noise kNN graphs are nearly
@@ -433,6 +459,52 @@ object SimilarityQueries {
         |           ORDER BY $cosExpr DESC, c.vec_id ASC) AS rnk
         |  FROM queries q JOIN corpus c ON c.cell = q.cell AND c.vec_id <> q.vec_id)
         |WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
+    }
+  }
+
+  /** Recall-evaluation oracle: BOTH retrieval pipelines replayed — the
+    * brute-force ground truth and the embedded-centroid IVF path — then the
+    * same per-query overlap count and integer recall. */
+  private def annRecallOracle: Option[String] = {
+    val cached = centroidCache.readOnlySnapshot().toSeq
+    if (cached.size != 1) None else Some {
+      val distList = centDistList(cached.head._2)
+      s"""WITH vecs AS (
+        |  SELECT vec_id, embedding,
+        |         list_transform(embedding, x -> x::DOUBLE) AS e
+        |  FROM embeddings),
+        |dists AS (
+        |  SELECT vec_id, embedding, list_sort($distList) AS ds FROM vecs v),
+        |corpus AS (
+        |  SELECT vec_id, embedding, ds[1].cell AS cell FROM dists),
+        |qprobe AS (
+        |  SELECT vec_id, embedding,
+        |         unnest(list_transform(ds[1:4], s -> s.cell)) AS cell
+        |  FROM dists WHERE vec_id < 10),
+        |iv AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |           row_number() OVER (PARTITION BY q.vec_id
+        |             ORDER BY $cosExpr DESC, c.vec_id ASC) AS rnk
+        |    FROM qprobe q JOIN corpus c
+        |      ON c.cell = q.cell AND c.vec_id <> q.vec_id)
+        |  WHERE rnk <= 5),
+        |bf AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |           row_number() OVER (PARTITION BY q.vec_id
+        |             ORDER BY $cosExpr DESC, c.vec_id ASC) AS rnk
+        |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |    WHERE q.vec_id < 10)
+        |  WHERE rnk <= 5)
+        |SELECT bf.query_id, count(*)::bigint AS k,
+        |       sum(CASE WHEN iv.neighbor_id IS NULL THEN 0 ELSE 1 END)::bigint
+        |         AS n_hit,
+        |       ((sum(CASE WHEN iv.neighbor_id IS NULL THEN 0 ELSE 1 END)
+        |         * 10000) // count(*))::bigint AS recall_bp
+        |FROM bf LEFT JOIN iv
+        |  ON iv.query_id = bf.query_id AND iv.neighbor_id = bf.neighbor_id
+        |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
     }
   }
 
@@ -806,5 +878,6 @@ object SimilarityQueries {
         |ORDER BY vec_id""".stripMargin
   ) ++ ivfOracle.map("sim_topk_ivf" -> _) ++ pqOracles ++
     ivfPqOracle.map("sim_topk_ivfpq" -> _) ++
-    ivfPqRerankOracle.map("sim_topk_ivfpq_rerank" -> _) ++ semDedupOracles
+    ivfPqRerankOracle.map("sim_topk_ivfpq_rerank" -> _) ++ semDedupOracles ++
+    annRecallOracle.map("sim_ann_recall" -> _)
 }

@@ -85,6 +85,12 @@ object TextQueries {
       TextOps.unigramSurprisal(Sources.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Bigram conditional surprisal (X103): the transition-probability
+    // refinement — boilerplate/template docs score low, word salad high.
+    "text_bigram_surprisal" -> q((s, dir) =>
+      TextOps.bigramSurprisal(Sources.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // Count-min sketch over corpus tokens (X60): build the 4×512 mergeable
     // cell table (one narrow map + one map-side-combined agg — ≤ d·w cells
     // per mapper in the shuffle), probe the 50 most frequent tokens
@@ -284,6 +290,27 @@ object TextQueries {
         |SELECT d.doc_id, coalesce(s.n_tokens, 0)::bigint AS n_tokens,
         |       coalesce((s.sum_bits * 100) // s.n_tokens, 0)::bigint
         |         AS avg_surprisal_cb
+        |FROM documents d LEFT JOIN sc s ON s.id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Same bigram heads/counts, same bin()-length integer log2, same
+    // floor divisions.
+    "text_bigram_surprisal" ->
+      raw"""WITH tk AS (
+        |  SELECT doc_id AS id, $toks AS t FROM documents),
+        |bi AS (
+        |  SELECT id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM (SELECT id, t, unnest(range(1, len(t))) AS i FROM tk
+        |        WHERE len(t) >= 2)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+        |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+        |sc AS (
+        |  SELECT id, count(*) AS n_bigrams,
+        |         sum(length(bin((c1.c1 // c12.c12)::BIGINT)) - 1) AS sum_bits
+        |  FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1) GROUP BY id)
+        |SELECT d.doc_id, coalesce(s.n_bigrams, 0)::bigint AS n_bigrams,
+        |       coalesce((s.sum_bits * 100) // s.n_bigrams, 0)::bigint
+        |         AS avg_bigram_surprisal_cb
         |FROM documents d LEFT JOIN sc s ON s.id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 

@@ -39,8 +39,11 @@ class AllQueriesSpec extends AnyFunSuite {
     // sim_semantic_screen joins the same way: the held-out EVAL suite
     // broadcasts (small by definition) with the cosine threshold inside the
     // join condition — one corpus scan, bounded broadcast side.
+    // sim_ann_recall embeds the brute-force GROUND-TRUTH side (that is the
+    // point of a recall harness) — the same bounded broadcast NLJ as
+    // sim_topk_bruteforce; the IVF side under test stays equi.
     val allowed = Set("sim_topk_bruteforce", "sim_topk_pq",
-      "sim_semantic_screen",
+      "sim_semantic_screen", "sim_ann_recall",
       "text_quality_gate", "text_quality_gate_approx", "agg_hll_union",
       "text_filter_cascade", "sample_mixture_lang")
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>

@@ -314,6 +314,33 @@ class DedupSpec extends AnyFunSuite {
     assert(sig1.values.forall(_.length == 64))
   }
 
+  test("sortedNeighborhoodPairs equals the definitional window computation") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val w = 4
+    val got = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+        window = w, n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // definitional: global sort by (canonical 32-prefix, id), pairs within
+    // the window, exact jaccard from the same shingle sets
+    val keyed = docs.select(col("doc_id"),
+        substring(graft.operators.TextOps.canonicalize(col("text")), 1, 32)
+          .as("k"),
+        Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2).toSet))
+      .sortBy(x => (x._2, x._1))
+    val want = (for {
+      i <- keyed.indices; j <- (i + 1) until math.min(i + w, keyed.length)
+      (ia, _, sa) = keyed(i); (ib, _, sb) = keyed(j)
+      inter = (sa & sb).size
+      jac = BigDecimal(inter.toDouble / (sa.size + sb.size - inter))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      if jac >= BigDecimal("0.8")
+    } yield (math.min(ia, ib), math.max(ia, ib), (j - i).toLong)).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    assert(got.forall { case (_, _, gap) => gap >= 1 && gap < w })
+  }
+
   test("bestCopySurvivors: argmax per cluster, min-id ties, singletons pass") {
     import spark.implicits._
     val scored = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L), (5L, 99L))

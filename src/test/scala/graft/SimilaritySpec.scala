@@ -420,4 +420,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"kNN-graph join must stay equi:\n$plan")
   }
+
+  test("recall harness: probing every cell recovers brute force exactly") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = Similarity.trainIvfCentroids(emb, "embedding", nCells = 8,
+      seed = 42L)
+    val qs = emb.where(col("vec_id") < 6)
+    def ids(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = ids(Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding",
+      k = 4))
+    val all = ids(Similarity.ivfTopK(emb, qs, "vec_id", "embedding", k = 4,
+      nCells = 8, nProbe = 8, centroids = Some(cents)))
+    assert(all == truth, "nProbe = nCells must equal brute force (recall 1.0)")
+    // partial probe: still ≤ k per query and never a self-neighbor; the
+    // recall metric itself is what the registered sim_ann_recall query
+    // hash-checks against the replayed pipelines
+    val part = ids(Similarity.ivfTopK(emb, qs, "vec_id", "embedding", k = 4,
+      nCells = 8, nProbe = 2, centroids = Some(cents)))
+    assert(part.groupBy(_._1).forall(_._2.size <= 4))
+    assert(part.forall { case (q, n) => q != n })
+  }
 }

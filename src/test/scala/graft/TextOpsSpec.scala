@@ -306,4 +306,25 @@ class TextOpsSpec extends AnyFunSuite {
       assert(kept == (if (cb >= 0) 1 else 0))
     }
   }
+
+  test("bigramSurprisal: hand-checked counts and exact integer log2") {
+    val spark2 = graft.SparkTestSession.spark
+    import spark2.implicits._
+    // corpus: "a b a b" ⇒ bigrams ab, ba, ab → c(ab)=2, c(ba)=1,
+    // heads: c(a·)=2, c(b·)=1; "x" has no bigram; "" empty
+    val docs = Seq((1L, "a b a b"), (2L, "x"), (3L, "")).toDF("doc_id", "text")
+    val rows = graft.operators.TextOps.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // bigrams ab×2 ba×1; heads c(a·)=2 c(b·)=1 ⇒ every transition is
+    // maximally predictable: bits(ab)=log2(2/2)=0, bits(ba)=log2(1/1)=0
+    assert(rows(1L) == ((3L, 0L)))
+    assert(rows(2L) == ((0L, 0L)), "single-token doc has no bigram")
+    assert(rows(3L) == ((0L, 0L)), "empty doc has no bigram")
+    // rarity-skewed corpus: tt×7 tr×2, head c(t·)=9 ⇒ bits(tt)=0,
+    // bits(tr)=floor(log2(9 div 2))=2; doc1 avg=200 div 8=25, doc2=200
+    val skew = Seq((1L, "t t t t t t t t r"), (2L, "t r")).toDF("doc_id", "text")
+    val s2 = graft.operators.TextOps.bigramSurprisal(skew, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(s2 == Map(1L -> ((8L, 25L)), 2L -> ((1L, 200L))))
+  }
 }
