@@ -122,6 +122,22 @@ object EventQueries {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // STREAMING CMS MAINTENANCE (X105): the frequency sketch built THROUGH
+    // the streaming runtime (readStream → cmsBuild cell aggregate → memory
+    // sink, Complete mode) — mergeable cells mean the streamed build equals
+    // the batch build cell-for-cell at any micro-batch split, and the
+    // oracle replays every fold/cell in SQL (the sketch_cms_tokens
+    // discipline), so the driver hash-checks the streamed sketch exactly.
+    "stream_cms_cells" -> q((s, dir) => {
+      val (schema, norm) = eventsStreamLayout(s, dir)
+      graft.streaming.StreamingOps.runToMemorySink(s, dir, "events.parquet",
+        schema,
+        src => graft.operators.Sketch.cmsBuild(
+          norm(src).select(col("event_type")), "event_type",
+          depth = 4, width = 64))
+        .orderBy(col("r"), col("pos"))
+    }),
+
     // Stream-stream INTERVAL JOIN through the runtime — the streaming twin
     // of events_errors_near_purchase's band join: purchases matched to
     // errors by the same user within the preceding 30 minutes, watermarks
@@ -632,6 +648,18 @@ object EventQueries {
       """SELECT DISTINCT e.user_id, e.event_type, c.c_mktsegment
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         |ORDER BY e.user_id, e.event_type""".stripMargin,
+
+    // Full cell replay of the streamed sketch: same "r:key" md5-48 fold
+    // positions mod 64, same per-cell occurrence counts.
+    "stream_cms_cells" ->
+      s"""WITH rows(r) AS (VALUES (0), (1), (2), (3)),
+        |cells AS (
+        |  SELECT rows.r,
+        |         ${DedupQueries.hexFold48("rows.r::varchar || ':' || event_type")}
+        |           % 64 AS pos,
+        |         count(*) AS cnt
+        |  FROM events CROSS JOIN rows GROUP BY 1, 2)
+        |SELECT r, pos::int AS pos, cnt FROM cells ORDER BY r, pos""".stripMargin,
 
     // lag+cumsum sessionization; a gap of exactly 30:00 starts a new session
     // (session_window's half-open [ts, ts+gap) semantics → strict >=).

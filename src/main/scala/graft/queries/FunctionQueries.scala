@@ -17,6 +17,35 @@ object FunctionQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // DATA-QUALITY AUDIT report (X106): row counts, duplicate keys, null
+    // counts, referential orphans across the snapshot as uniform metric
+    // rows — each check one scan + one aggregate or one anti-join, every
+    // branch independent. lineitem's (l_orderkey, l_linenumber) key is a
+    // genuinely failing check on this testdata (14 168 extra copies at
+    // sf0.01) — the audit REPORTS a real defect, proving the checks
+    // measure rather than assume.
+    "dq_audit" -> q((s, dir) => {
+      import graft.operators.Audit
+      val docs = Sources.documents(s, dir)
+      val orders = Sources.orders(s, dir)
+      val li = Sources.lineitem(s, dir)
+      val cust = Sources.customer(s, dir)
+      val part = Sources.part(s, dir)
+      val ev = Sources.events(s, dir)
+      Audit.report(Seq(
+        Audit.rowCount(docs, "documents"),
+        Audit.rowCount(orders, "orders"),
+        Audit.rowCount(li, "lineitem"),
+        Audit.duplicateKeys(docs, "documents", Seq("doc_id")),
+        Audit.duplicateKeys(li, "lineitem", Seq("l_orderkey", "l_linenumber")),
+        Audit.nullCount(docs, "documents", "text"),
+        Audit.orphans(orders, "orders", "o_custkey", cust, "c_custkey"),
+        Audit.orphans(li, "lineitem", "l_orderkey", orders, "o_orderkey"),
+        Audit.orphans(li, "lineitem", "l_partkey", part, "p_partkey"),
+        Audit.orphans(ev, "events", "user_id", cust, "c_custkey")))
+        .orderBy(col("table_name"), col("check_name"))
+    }),
+
     "fn_strings" -> q((s, dir) =>
       Sources.part(s, dir).select(
         col("p_partkey"),
@@ -342,6 +371,38 @@ object FunctionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same checks as UNION ALL of counted subqueries; orphan checks via
+    // NOT EXISTS anti-semantics.
+    "dq_audit" ->
+      """SELECT check_name, table_name, n FROM (
+        |  SELECT 'row_count' AS check_name, 'documents' AS table_name,
+        |         count(*)::bigint AS n FROM documents
+        |  UNION ALL SELECT 'row_count', 'orders', count(*)::bigint FROM orders
+        |  UNION ALL SELECT 'row_count', 'lineitem', count(*)::bigint FROM lineitem
+        |  UNION ALL SELECT 'duplicate_keys', 'documents',
+        |    coalesce(sum(c - 1), 0)::bigint FROM (
+        |      SELECT count(*) AS c FROM documents GROUP BY doc_id)
+        |  UNION ALL SELECT 'duplicate_keys', 'lineitem',
+        |    coalesce(sum(c - 1), 0)::bigint FROM (
+        |      SELECT count(*) AS c FROM lineitem
+        |      GROUP BY l_orderkey, l_linenumber)
+        |  UNION ALL SELECT 'null_text', 'documents',
+        |    coalesce(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0)::bigint
+        |    FROM documents
+        |  UNION ALL SELECT 'orphans_o_custkey', 'orders', count(*)::bigint
+        |    FROM orders o WHERE NOT EXISTS (
+        |      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |  UNION ALL SELECT 'orphans_l_orderkey', 'lineitem', count(*)::bigint
+        |    FROM lineitem l WHERE NOT EXISTS (
+        |      SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |  UNION ALL SELECT 'orphans_l_partkey', 'lineitem', count(*)::bigint
+        |    FROM lineitem l WHERE NOT EXISTS (
+        |      SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+        |  UNION ALL SELECT 'orphans_user_id', 'events', count(*)::bigint
+        |    FROM events e WHERE NOT EXISTS (
+        |      SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+        |ORDER BY table_name, check_name""".stripMargin,
+
     // The oracle's literal within_5pct=1 asserts the Spark sketch landed
     // within ±5% of exact — a hash MISMATCH here means the estimate drifted.
     "agg_approx_distinct" ->

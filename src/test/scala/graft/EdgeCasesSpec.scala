@@ -58,6 +58,68 @@ class EdgeCasesSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("lexical / graph / SN additions on empty or degenerate inputs") {
+    import org.apache.spark.sql.functions.col
+    // vocabulary-level fuzzy pairs: empty corpus → no vocab → no pairs
+    assert(graft.operators.Lexical.vocabFuzzyPairs(emptyDocs, "text").count() == 0)
+    // a single-token corpus has no pair (tok_a < tok_b is irreflexive)
+    val one = Seq((1L, "solo solo solo")).toDF("doc_id", "text")
+    assert(graft.operators.Lexical.vocabFuzzyPairs(one, "text").count() == 0)
+    // phrase longer than every doc → empty, not an error
+    assert(graft.operators.Lexical.phraseSearch(one, "doc_id", "text",
+      Seq("solo", "solo", "solo", "solo")).count() == 0)
+    // collocations with minCount above any corpus count → empty
+    assert(graft.operators.Lexical.collocations(one, "text",
+      minCount = 100).count() == 0)
+    // oov: k=0 style degenerate — smallest legal k keeps the top token only
+    val oov = graft.operators.Lexical.oovReport(one, "doc_id", "text", k = 1)
+      .collect()(0)
+    assert(oov.getLong(1) == 3L && oov.getLong(2) == 0L)
+    // fertility on empty corpus → no groups
+    assert(graft.operators.Lexical.tokenizerFertility(
+      emptyDocs.withColumn("lang", org.apache.spark.sql.functions.lit("en")),
+      "text", Seq("lang")).count() == 0)
+    // triangles: empty edges, self-loops only, and a single edge → empty
+    val selfOnly = Seq((1L, 1L)).toDF("a", "b")
+    assert(graft.operators.Graph.triangles(selfOnly, "a", "b").count() == 0)
+    val oneEdge = Seq((1L, 2L)).toDF("a", "b")
+    assert(graft.operators.Graph.triangles(oneEdge, "a", "b").count() == 0)
+    // sorted neighborhood: empty corpus and single doc → no pairs
+    assert(graft.operators.Dedup.sortedNeighborhoodPairs(
+      emptyDocs, "doc_id", "text").count() == 0)
+    assert(graft.operators.Dedup.sortedNeighborhoodPairs(
+      one, "doc_id", "text").count() == 0)
+    // best-copy survivors with no pairs: everyone is their own cluster
+    val scored = Seq((1L, 5L), (2L, 7L)).toDF("id", "s")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val surv = graft.operators.Dedup.bestCopySurvivors(scored, "id", "s", noPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(surv == Set((1L, 1L, 1L), (2L, 2L, 1L)))
+    // bigram surprisal: empty corpus → empty; all-short docs → zeros
+    assert(graft.operators.TextOps.bigramSurprisal(
+      emptyDocs, "doc_id", "text").count() == 0)
+  }
+
+  test("audit checks: hand-built frames with known defects") {
+    import graft.operators.Audit
+    val child = Seq((1L, "a"), (2L, "b"), (2L, "b2"), (9L, "x"))
+      .toDF("k", "v")
+    val parent = Seq((1L, "p"), (2L, "p")).toDF("pk", "pv")
+    def one(df: org.apache.spark.sql.DataFrame): Long =
+      df.collect()(0).getLong(2)
+    assert(one(Audit.rowCount(child, "t")) == 4L)
+    assert(one(Audit.duplicateKeys(child, "t", Seq("k"))) == 1L,
+      "k=2 twice ⇒ one extra copy")
+    assert(one(Audit.orphans(child, "t", "k", parent, "pk")) == 1L,
+      "k=9 has no parent")
+    val withNull = Seq((1L, Option("a")), (2L, Option.empty[String]))
+      .toDF("k", "v")
+    assert(one(Audit.nullCount(withNull, "t", "v")) == 1L)
+    // empty inputs: zero counts, not errors
+    assert(one(Audit.duplicateKeys(emptyDocs, "t", Seq("doc_id"))) == 0L)
+    assert(one(Audit.orphans(emptyDocs, "t", "doc_id", parent, "pk")) == 0L)
+  }
+
   test("span dedup / vocabulary / repetition on an empty corpus return empty, not errors") {
     assert(Dedup.duplicateSpans(emptyDocs, "doc_id", "text").count() == 0)
     assert(Dedup.docDuplicateSpanRates(emptyDocs, "doc_id", "text").count() == 0)
