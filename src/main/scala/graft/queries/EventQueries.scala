@@ -30,6 +30,15 @@ object EventQueries {
       : (org.apache.spark.sql.types.StructType, DataFrame => DataFrame) =
     Sources.eventsStreamLayout(s, dir)
 
+  /** Stateful-operator partition count for the streaming runtime entries:
+    * one state-store instance per partition, each paying a per-micro-batch
+    * snapshot/commit, so the value should track the actual parallelism of
+    * the deployment — hundreds on a production cluster, FEW on a local
+    * bench where 32 stores' commit overhead was measured at multiples of
+    * the real join/agg work. Results are invisible to the setting (exact
+    * aggregates / deterministic join sets). */
+  private val streamBenchPartitions = 8
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Tumbling 1-hour event-time windows per event_type: the batch form of
@@ -71,7 +80,8 @@ object EventQueries {
       val (schema, norm) = eventsStreamLayout(s, dir)
       graft.streaming.StreamingOps.runToMemorySink(s, dir, "events.parquet",
         schema,
-        src => graft.streaming.StreamingOps.hourlyCountsExact(norm(src)))
+        src => graft.streaming.StreamingOps.hourlyCountsExact(norm(src)),
+        shufflePartitions = Some(streamBenchPartitions))
         .select(
           date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
           col("event_type"), col("n_events"), col("sum_value"))
@@ -87,7 +97,8 @@ object EventQueries {
       val (schema, norm) = eventsStreamLayout(s, dir)
       graft.streaming.StreamingOps.runToMemorySink(s, dir, "events.parquet",
         schema,
-        src => graft.streaming.StreamingOps.sessionizeExact(norm(src)))
+        src => graft.streaming.StreamingOps.sessionizeExact(norm(src)),
+        shufflePartitions = Some(streamBenchPartitions))
         .select(col("user_id"),
           date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           col("n_events"), col("sum_value"))
@@ -118,7 +129,8 @@ object EventQueries {
               "user_id", "c_custkey")
             .select(col("user_id"), col("event_type"), col("c_mktsegment"))
         },
-        mode = org.apache.spark.sql.streaming.OutputMode.Append())
+        mode = org.apache.spark.sql.streaming.OutputMode.Append(),
+        shufflePartitions = Some(streamBenchPartitions))
         .orderBy(col("user_id"), col("event_type"))
     }),
 
@@ -134,7 +146,8 @@ object EventQueries {
         schema,
         src => graft.operators.Sketch.cmsBuild(
           norm(src).select(col("event_type")), "event_type",
-          depth = 4, width = 64))
+          depth = 4, width = 64),
+        shufflePartitions = Some(streamBenchPartitions))
         .orderBy(col("r"), col("pos"))
     }),
 
@@ -165,7 +178,8 @@ object EventQueries {
               col("r_event_id").as("error_event_id"),
               round(col("r_value"), 4).as("error_value"))
         },
-        mode = org.apache.spark.sql.streaming.OutputMode.Append())
+        mode = org.apache.spark.sql.streaming.OutputMode.Append(),
+        shufflePartitions = Some(streamBenchPartitions))
         .orderBy(col("event_id"), col("error_event_id"))
     }),
 
@@ -194,7 +208,8 @@ object EventQueries {
               .as[graft.streaming.StreamingOps.UserEvent]
             graft.streaming.StreamingOps.runningUserTotalsTws(ev).toDF()
           },
-          mode = org.apache.spark.sql.streaming.OutputMode.Append())
+          mode = org.apache.spark.sql.streaming.OutputMode.Append(),
+        shufflePartitions = Some(streamBenchPartitions))
           .groupBy(col("user_id"))
           .agg(max(col("n_events")).as("n_events"),
             max(col("total_value")).cast("bigint").as("total_micros"))
@@ -231,7 +246,8 @@ object EventQueries {
           .join(history, col("fp") === col("h_fp"), "left_outer")
           .where(col("h_fp").isNull)
           .select(col("event_id"), col("user_id"), col("event_type")),
-        mode = org.apache.spark.sql.streaming.OutputMode.Append())
+        mode = org.apache.spark.sql.streaming.OutputMode.Append(),
+        shufflePartitions = Some(streamBenchPartitions))
         .orderBy(col("event_id"))
     }),
 
@@ -369,7 +385,8 @@ object EventQueries {
       val (schema, norm) = eventsStreamLayout(s, dir)
       graft.streaming.StreamingOps.runToMemorySink(s, dir, "events.parquet",
         schema,
-        src => graft.streaming.StreamingOps.hoppingCountsExact(norm(src)))
+        src => graft.streaming.StreamingOps.hoppingCountsExact(norm(src)),
+        shufflePartitions = Some(streamBenchPartitions))
         .select(
           date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
           col("event_type"), col("n_events"), col("sum_value"))

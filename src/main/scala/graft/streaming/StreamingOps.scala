@@ -165,20 +165,36 @@ object StreamingOps {
     * production sinks are Kafka/parquet (`toParquetBatches`). */
   /** @param dir  directory the file source monitors (streaming sources
     *   list directories, not files)
-    *  @param glob file-name filter within `dir` (e.g. `"events.parquet"`) */
+    *  @param glob file-name filter within `dir` (e.g. `"events.parquet"`)
+    *  @param shufflePartitions stateful-operator partition count for THIS
+    *   query (one state-store instance per partition, each paying a
+    *   per-micro-batch snapshot/commit). The right value tracks the
+    *   CLUSTER's parallelism, not a global default: a 1000-executor
+    *   deployment wants hundreds of stores, a local bench wants few —
+    *   measured here, 32 stores cost multiples of the actual join/agg work
+    *   at sf0.1. Applied to the session conf for the query's lifetime and
+    *   restored after; results are exact aggregates / deterministic join
+    *   sets either way, so the setting is invisible to the compare. */
   def runToMemorySink(s: org.apache.spark.sql.SparkSession, dir: String,
                       glob: String,
                       schema: org.apache.spark.sql.types.StructType,
                       transform: DataFrame => DataFrame,
-                      mode: OutputMode = OutputMode.Complete()): DataFrame = {
+                      mode: OutputMode = OutputMode.Complete(),
+                      shufflePartitions: Option[Int] = None): DataFrame = {
     val name = s"graft_mem_sink_${memSinkId.incrementAndGet()}"
-    val q = transform(s.readStream.schema(schema)
-        .option("pathGlobFilter", glob).parquet(dir))
-      .writeStream.format("memory").queryName(name)
-      .outputMode(mode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally if (q.isActive) q.stop()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    shufflePartitions.foreach(n =>
+      s.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
+      val q = transform(s.readStream.schema(schema)
+          .option("pathGlobFilter", glob).parquet(dir))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    } finally shufflePartitions.foreach(_ =>
+      s.conf.set("spark.sql.shuffle.partitions", prev))
     s.table(name)
   }
 
