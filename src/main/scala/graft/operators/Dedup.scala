@@ -357,8 +357,18 @@ object Dedup {
     *
     * Output: (id, component) for every vertex appearing in `pairs`, where
     * component = min id of the vertex's component. */
+  /** @param iterShufflePartitions per-ROUND shuffle parallelism for the
+    *   label-propagation loop. Iteration state is PAIR-LIST-sized (near-dup
+    *   pair lists are orders of magnitude below corpus size), so the
+    *   per-round task count should track that size, not the corpus scan
+    *   parallelism — at local bench scale, 32-partition exchanges per round
+    *   were pure scheduling overhead (the streaming state-store lesson
+    *   applied to iteration). The input pair derivation and the returned
+    *   label frame materialize OUTSIDE the override, at the caller's
+    *   parallelism. None = leave the session setting untouched. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          iterShufflePartitions: Option[Int] = None): DataFrame = {
     val spark = pairs.sparkSession
     val sc = spark.sparkContext
     val ckpt: DataFrame => DataFrame = checkpointDir match {
@@ -385,6 +395,10 @@ object Dedup {
     val p = ckpt(pairs.select(col(aCol).as("a"), col(bCol).as("b")))
     val edges = ckpt(p.select(col("a").as("src"), col("b").as("dst"))
       .union(p.select(col("b").as("src"), col("a").as("dst"))))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    iterShufflePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
     var labels = ckpt(edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")))
     val idType = labels.schema("id").dataType
@@ -432,6 +446,8 @@ object Dedup {
       labels = spark.createDataFrame(nextRdd, labelSchema)
     }
     labels
+    } finally iterShufflePartitions.foreach(_ =>
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts))
   }
 
   /** Near-duplicate dedup end-to-end: cluster the ≥θ jaccard pairs into
@@ -447,8 +463,11 @@ object Dedup {
     * compute (and materialize) the similarity join once, feed it to each
     * consumer, instead of re-running the join per downstream op. */
   def nearDedupSurvivorsFromPairs(docs: DataFrame, idCol: String,
-                                  pairs: DataFrame): DataFrame = {
-    val comps = connectedComponents(pairs, "id_a", "id_b")
+                                  pairs: DataFrame,
+                                  iterShufflePartitions: Option[Int] = None)
+  : DataFrame = {
+    val comps = connectedComponents(pairs, "id_a", "id_b",
+      iterShufflePartitions = iterShufflePartitions)
     val losers = comps.where(col("comp") =!= col("id")).select(col("id").as(idCol))
     docs.join(losers.hint("shuffle_hash"), Seq(idCol), "left_anti")
       .select(col(idCol))
@@ -473,8 +492,11 @@ object Dedup {
     * per-cluster window sort. Output: (comp, idCol, scoreCol, n_members).
     */
   def bestCopySurvivors(scored: DataFrame, idCol: String, scoreCol: String,
-                        pairs: DataFrame): DataFrame = {
-    val comps = connectedComponents(pairs, "id_a", "id_b")
+                        pairs: DataFrame,
+                        iterShufflePartitions: Option[Int] = None)
+  : DataFrame = {
+    val comps = connectedComponents(pairs, "id_a", "id_b",
+      iterShufflePartitions = iterShufflePartitions)
     val member = scored
       .join(comps.hint("shuffle_hash"), scored(idCol) === comps("id"), "left")
       .select(coalesce(col("comp"), scored(idCol)).as("comp"),

@@ -101,7 +101,8 @@ object DedupQueries {
     // Near-dup components: min-label propagation over the (shared) jaccard
     // pairs. Oracle: recursive-CTE transitive closure in DuckDB.
     "dedup_near_components" -> q((s, dir) =>
-      Dedup.connectedComponents(jaccardPairs(s, dir), "id_a", "id_b")
+      Dedup.connectedComponents(jaccardPairs(s, dir), "id_a", "id_b",
+          iterShufflePartitions = Some(8))
         .select(col("id").as("doc_id"), col("comp").as("component"))
         .orderBy(col("doc_id"))),
 
@@ -110,7 +111,8 @@ object DedupQueries {
     // inside each of the three dedup queries).
     "dedup_near_survivors" -> q((s, dir) =>
       Dedup.nearDedupSurvivorsFromPairs(
-        Sources.documents(s, dir), "doc_id", jaccardPairs(s, dir))
+        Sources.documents(s, dir), "doc_id", jaccardPairs(s, dir),
+        iterShufflePartitions = Some(8))
         .orderBy(col("doc_id"))),
 
     // Sorted-neighborhood blocking (X102): sort by the canonical 32-char
@@ -133,7 +135,7 @@ object DedupQueries {
         graft.operators.TextOps.qualityBp(col("text")).cast("long")
           .as("quality_bp"))
       Dedup.bestCopySurvivors(scored, "doc_id", "quality_bp",
-          jaccardPairs(s, dir))
+          jaccardPairs(s, dir), iterShufflePartitions = Some(8))
         .orderBy(col("comp"))
     }),
 

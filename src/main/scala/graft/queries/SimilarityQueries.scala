@@ -90,7 +90,8 @@ object SimilarityQueries {
     // embedding-space similarity join instead of shingle jaccard.
     "sim_neardup_survivors" -> q((s, dir) =>
       graft.operators.Dedup.nearDedupSurvivorsFromPairs(
-        Sources.embeddings(s, dir), "vec_id", cosinePairs(s, dir))
+        Sources.embeddings(s, dir), "vec_id", cosinePairs(s, dir),
+        iterShufflePartitions = Some(8))
         .orderBy(col("vec_id"))),
 
     // SemDeDup cell-restricted near-dup pairs: candidates form only within
@@ -108,7 +109,8 @@ object SimilarityQueries {
     // min-id survivors (the pair-source-agnostic cluster machinery).
     "sim_semdedup_survivors" -> q((s, dir) =>
       graft.operators.Dedup.nearDedupSurvivorsFromPairs(
-        Sources.embeddings(s, dir), "vec_id", semPairs(s, dir))
+        Sources.embeddings(s, dir), "vec_id", semPairs(s, dir),
+        iterShufflePartitions = Some(8))
         .orderBy(col("vec_id"))),
 
     // IVF-flat top-k (k-means coarse quantizer, nProbe cells per query) —
