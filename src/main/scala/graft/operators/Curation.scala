@@ -401,4 +401,43 @@ object Curation {
     df.join(broadcast(fences), groupCol)
       .where(col(valueCol) < col("q_lo") || col(valueCol) > col("q_hi"))
   }
+
+  /** DAILY-VOLUME ANOMALY SCREEN — the ingest-monitoring twin of
+    * [[iqrOutliers]]: flag (group, day) buckets whose event count deviates
+    * more than `k` standard deviations from the group's own daily mean.
+    * Catches the pipeline failures a corpus ingest actually has (a source
+    * that went dark, a crawler loop double-feeding a day) before the data
+    * trains anything.
+    *
+    * The flag is EXACT INTEGER arithmetic end to end — no mean, no sqrt,
+    * no doubles: |x − S/n| > k·σ with σ² = (nQ − S²)/n² rewrites to
+    *
+    *   (x·n − S)² > k²·(n·Q − S²)
+    *
+    * over counts x, day count n, Σx = S, Σx² = Q — decimal(38,0) products,
+    * so the SAME buckets flag in any engine and under any partitioning
+    * (the fence-double caveat of [[iqrOutliers]] does not even arise).
+    *
+    * Shape: one (group, day) count aggregate (map-side combined), one
+    * |groups|-row stats aggregate that BROADCASTS back, one narrow flag
+    * map. Output: (groupCol, day, n, is_anomaly) for every bucket — the
+    * report form; filter `is_anomaly` for the alert form. */
+  def dailyVolumeAnomalies(events: DataFrame, groupCol: String,
+                           tsCol: String, k: Int = 3): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val daily = events
+      .groupBy(col(groupCol),
+        expr(s"unix_micros($tsCol) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("nd"),
+        sum(col("n")).as("s"),
+        sum(expr("n * n")).as("q"))
+    daily.join(broadcast(stats), groupCol :: Nil)
+      .withColumn("is_anomaly", expr(
+        s"""cast(n * nd - s AS decimal(38,0)) * cast(n * nd - s AS decimal(38,0))
+           | > ${k.toLong * k} * (cast(nd AS decimal(38,0)) * q
+           |                      - cast(s AS decimal(38,0)) * s)""".stripMargin))
+      .select(col(groupCol), col("day"), col("n"), col("is_anomaly"))
+  }
 }

@@ -155,6 +155,41 @@ object Sampling {
       .select(col(idCol), col("position"))
   }
 
+  /** CURRICULUM ORDER — [[globalHashOrder]] generalized to PRIORITY BANDS:
+    * contiguous global positions 0..n−1 ordered by (band asc, salted hash,
+    * id), i.e. all of band 0 (the material to train on first — highest
+    * quality, cleanest sources) precedes all of band 1, and WITHIN a band
+    * the order is the reproducible pseudo-random hash permutation. The
+    * curriculum-learning data order, deterministic on any cluster layout.
+    *
+    * Same two-level numbering (no global single-partition sort): the
+    * coarse bucket is (band, h ≫ 42) — the hash's high 6 bits are a
+    * monotone PREFIX of the within-band hash order, so bucket order
+    * refines to the total order and per-bucket row_number + broadcast
+    * bucket offsets compose exact global positions. Output: (idCol, band,
+    * position). */
+  def bandedHashOrder(df: DataFrame, bandCol: String, keyCol: String,
+                      idCol: String, salt: String = "cur0"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hi = 1L << 42 // md5Hash48 < 2^48 → h div 2^42 ∈ [0, 64)
+    val withB = df
+      .withColumn("__h", Dedup.md5Hash48(
+        concat(lit(salt), lit(":"), col(keyCol))))
+      .withColumn("__b",
+        col(bandCol).cast("long") * 64L + expr(s"__h div $hi"))
+    val perBucket = withB.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+    val wB = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perBucket
+      .withColumn("__off", coalesce(sum(col("__n")).over(wB), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("__h"), col(idCol))
+    withB.join(broadcast(offsets), "__b")
+      .withColumn("position",
+        col("__off") + row_number().over(wIn).cast("long") - 1L)
+      .select(col(idCol), col(bandCol), col("position"))
+  }
+
   /** WEIGHTED Poisson sampling: include each row independently with
     * probability proportional to its weight, π_i = min(1, n·w_i/W) — the
     * importance-sampling primitive (draw a ~n-row sample where a

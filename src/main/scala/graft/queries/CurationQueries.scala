@@ -192,6 +192,22 @@ object CurationQueries {
           "source")
         .orderBy(col("doc_id"))),
 
+    // CURRICULUM ORDER (X108): quality-banded epoch positions — all of the
+    // best quality quartile band first, hash-shuffled within each band
+    // (band = 3 − quality_bp div 25001, so band 0 = highest scores; the
+    // X83 two-level numbering generalized to a (band, hash-prefix) coarse
+    // bucket). Deterministic on any layout; a new salt re-shuffles within
+    // bands without touching the curriculum structure.
+    "corpus_curriculum_order" -> q((s, dir) => {
+      val scored = Sources.documents(s, dir)
+        .withColumn("__qbp", TextOps.qualityBp(col("text")).cast("long"))
+        .select(col("doc_id"), col("text"),
+          expr("3L - __qbp div 25001L").as("band"))
+      graft.operators.Sampling.bandedHashOrder(scored, "band", "text",
+          "doc_id", salt = "cur0")
+        .orderBy(col("position"))
+    }),
+
     // Compaction / file-sizing plan (X76): bin every doc per source so each
     // bin holds ≈2000 chars — the small-files maintenance pass as a pure
     // plan (two-level per-group prefix sum; deterministic content
@@ -249,6 +265,17 @@ object CurationQueries {
         |t AS (SELECT quantile_cont(quality_bp, 0.25) AS thr FROM s)
         |SELECT s.doc_id, s.quality_bp FROM s, t
         |WHERE s.quality_bp >= t.thr ORDER BY s.doc_id""".stripMargin,
+
+    // Same band derivation (3 − qbp // 25001), same salted fold, the
+    // (band, h, id) permutation as ONE window — legal at oracle scale.
+    "corpus_curriculum_order" ->
+      raw"""SELECT doc_id, band,
+        |       row_number() OVER (ORDER BY band, h, doc_id) - 1 AS position
+        |FROM (SELECT doc_id,
+        |             3 - ($qualityBp)::bigint // 25001 AS band,
+        |             ${DedupQueries.hexFold48("'cur0:' || text")} AS h
+        |      FROM documents)
+        |ORDER BY position""".stripMargin,
 
     // Literal flags = 1 assert (inside the hash compare) that the approx
     // threshold and its kept count landed inside the exact rank bands.

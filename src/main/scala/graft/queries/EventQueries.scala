@@ -393,6 +393,17 @@ object EventQueries {
         .orderBy(col("win_start"), col("event_type"))
     }),
 
+    // Daily-volume anomaly screen (X107): per-event-type day buckets
+    // flagged beyond 3σ of the type's own daily mean — exact integer
+    // arithmetic ((x·n−S)² > 9(nQ−S²)), no mean/sqrt/doubles in the flag.
+    // Report form: every bucket with its flag (2 anomalous buckets at
+    // sf0.1; uniform smaller fixtures flag none — the report still
+    // compares).
+    "events_volume_anomalies" -> q((s, dir) =>
+      graft.operators.Curation.dailyVolumeAnomalies(
+          Sources.events(s, dir), "event_type", "ts", k = 3)
+        .orderBy(col("event_type"), col("day"))),
+
     // Per-group Tukey-fence outlier screen (X63): rows outside
     // [q1 − 1.5·IQR, q3 + 1.5·IQR] of their event_type's exact quartiles.
     // Fence table is |groups| rows → broadcast; corpus side is one narrow
@@ -844,6 +855,22 @@ object EventQueries {
         |SELECT win_start, event_type, count(*) AS n_events,
         |       sum(floor(value * 10000.0 + 0.5)::BIGINT) / 10000.0 AS sum_value
         |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    // Same exact integer deviation test over hugeint products.
+    "events_volume_anomalies" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, count(*) AS nd, sum(n) AS s, sum(n * n) AS q
+        |  FROM daily GROUP BY 1)
+        |SELECT d.event_type, d.day, d.n,
+        |       ((d.n * st.nd - st.s)::HUGEINT * (d.n * st.nd - st.s)
+        |        > 9 * ((st.nd::HUGEINT * st.q) - st.s::HUGEINT * st.s))
+        |         AS is_anomaly
+        |FROM daily d JOIN st USING (event_type)
+        |ORDER BY d.event_type, d.day""".stripMargin,
 
     // Identical fence algebra term-for-term (q1 − (q3−q1)·1.5 etc.): IEEE
     // ops over the same interpolated quantiles are bit-identical, so the

@@ -242,4 +242,32 @@ class CurationSpec extends AnyFunSuite {
     val sorted = a.values.toSeq.sortBy(_._1)
     assert(sorted.map(_._2) == sorted.map(_._2).sorted, "pct monotone in score")
   }
+
+  test("dailyVolumeAnomalies: planted spike flags, uniform days do not") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // group "a": 14 days at 10 events + 1 spike day at 100 — a single
+    // spike among n−1 identical days scores z = √(n−1) exactly (the spike
+    // inflates σ), so 15 days puts it at 3.74σ > 3; with only 10 days it
+    // would sit at exactly 3σ and the strict > must NOT flag.
+    // group "b": uniform days — nothing flags (0 > 0 is false).
+    def day(d: Int) = new Timestamp(d * 86400000L)
+    val rows =
+      (for (d <- 0 until 14; i <- 0 until 10) yield ("a", day(d), i)) ++
+        (for (i <- 0 until 100) yield ("a", day(14), i)) ++
+        (for (d <- 0 until 10; i <- 0 until 10) yield ("b", day(d), i))
+    val df = rows.toDF("g", "ts", "i")
+    val out = Curation.dailyVolumeAnomalies(df, "g", "ts", k = 3)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out.size == 25)
+    assert(out(("a", 14L)) == ((100L, true)), "the spike day must flag")
+    assert(out.filterKeys(_ != (("a", 14L))).values.forall(!_._2),
+      "no other day flags: uniform days and the spiked group's normal days")
+    // the exactly-3σ boundary: 9 identical days + 1 spike ⇒ z = 3, strict
+    val b = ((for (d <- 0 until 9; i <- 0 until 10) yield ("c", day(d), i)) ++
+      (for (i <- 0 until 100) yield ("c", day(9), i))).toDF("g", "ts", "i")
+    assert(Curation.dailyVolumeAnomalies(b, "g", "ts", k = 3)
+      .where(col("is_anomaly")).count() == 0, "z = 3 exactly must not flag at k = 3")
+  }
 }

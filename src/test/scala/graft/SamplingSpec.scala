@@ -165,4 +165,33 @@ class SamplingSpec extends AnyFunSuite {
       docs.repartition(17), "text", "n_chars", n))
     assert(re == got, "membership must not depend on partitioning")
   }
+
+  test("bandedHashOrder: contiguous positions, band-major, stable, salt-local") {
+    import org.apache.spark.sql.functions._
+    val scored = docs.withColumn("band",
+      expr("doc_id % 3"))
+    def run(salt: String) = Sampling
+      .bandedHashOrder(scored, "band", "text", "doc_id", salt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val out = run("cur0")
+    val n = out.length
+    assert(out.map(_._3).sorted.toSeq == (0L until n).toSeq,
+      "positions are exactly 0..n-1")
+    // band-major: bands are non-decreasing along the position order
+    val byPos = out.sortBy(_._3).map(_._2)
+    assert(byPos.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    // deterministic under repartitioning
+    val re = Sampling.bandedHashOrder(scored.repartition(13), "band", "text",
+      "doc_id", "cur0").collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(re == out.map(x => (x._1, x._3)).toSet)
+    // a new salt permutes WITHIN bands but never across: each doc keeps its
+    // band, and each band occupies the same contiguous position range
+    val out2 = run("cur1")
+    assert(out.map(x => x._1 -> x._2).toMap == out2.map(x => x._1 -> x._2).toMap)
+    def bandRanges(o: Array[(Long, Long, Long)]) =
+      o.groupBy(_._2).view.mapValues(v => (v.map(_._3).min, v.map(_._3).max)).toMap
+    assert(bandRanges(out) == bandRanges(out2))
+    assert(out.map(x => x._1 -> x._3).toMap != out2.map(x => x._1 -> x._3).toMap,
+      "the within-band permutation must actually change with the salt")
+  }
 }
