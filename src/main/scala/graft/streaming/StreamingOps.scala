@@ -181,6 +181,18 @@ object StreamingOps {
                       transform: DataFrame => DataFrame,
                       mode: OutputMode = OutputMode.Complete(),
                       shufflePartitions: Option[Int] = None): DataFrame = {
+    // Memory-sink tables hold their full result in storage memory and are
+    // never released by Spark — across a bench's warm-up + reps × entries
+    // that accumulation measurably inflates LATER queries' wall-clock
+    // (eviction pressure with clean GC counters). Each call therefore
+    // retires every sink the PREVIOUS calls registered; contract: the
+    // returned frame is consumed before the next runToMemorySink call
+    // (true for Verify's write and Bench's count — both complete actions).
+    var stale = liveSinks.poll()
+    while (stale != null) {
+      scala.util.Try(s.catalog.dropTempView(stale))
+      stale = liveSinks.poll()
+    }
     val name = s"graft_mem_sink_${memSinkId.incrementAndGet()}"
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     shufflePartitions.foreach(n =>
@@ -195,8 +207,13 @@ object StreamingOps {
       try q.awaitTermination() finally if (q.isActive) q.stop()
     } finally shufflePartitions.foreach(_ =>
       s.conf.set("spark.sql.shuffle.partitions", prev))
+    liveSinks.add(name)
     s.table(name)
   }
+
+  /** Sink names awaiting retirement — see the cleanup note in
+    * [[runToMemorySink]]. */
+  private val liveSinks = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
   /** Exactly-once-per-batch parquet sink via foreachBatch: rows land
     * partitioned by `__batch_id`, written with DYNAMIC partition overwrite —
