@@ -83,6 +83,35 @@ object Similarity {
   /** Approximate top-k via random-hyperplane LSH: score only same-bucket
     * pairs. Same output shape as [[bruteForceTopK]]; rank is within the
     * bucket-restricted candidate set. */
+  /** RECIPROCAL-RANK FUSION of two per-query rankings — the hybrid-search
+    * primitive (fuse a lexical ranking with a vector ranking, or ensemble
+    * two approximate indexes whose failure modes differ, as registered:
+    * IVF × hyperplane-LSH). Classic RRF is Σ 1/(k₀+rank); here the
+    * contribution is the INTEGER surrogate ⌊10⁶/(k₀+rank)⌋ — monotone in
+    * the real one at any fixed rank, summed in longs, so fused scores and
+    * the (score desc, id asc) tie-break are bit-identical in any engine
+    * (the idf-surrogate discipline applied to rank fusion).
+    *
+    * Shape: union of the two (query, neighbor, rank) lists → one
+    * (query, neighbor)-keyed sum (map-side combined) → a per-query window
+    * over ≤ 2k candidate rows — everything bounded by the input rankings,
+    * the corpus is never touched. Output: (query_id, neighbor_id,
+    * rrf_micro, n_lists, fused_rank ≤ topK). */
+  def rrfFuse(a: DataFrame, b: DataFrame, k0: Int = 60,
+              topK: Int = 5): DataFrame = {
+    require(k0 >= 1 && topK >= 1, "k0 >= 1, topK >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val contrib = (df: DataFrame) => df.select(col("query_id"),
+      col("neighbor_id"), expr(s"1000000L div ($k0 + rank)").as("c"))
+    val fused = contrib(a).unionByName(contrib(b))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("c")).as("rrf_micro"), count(lit(1)).as("n_lists"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_micro").desc, col("neighbor_id").asc)
+    fused.withColumn("fused_rank", row_number().over(w))
+      .where(col("fused_rank") <= topK)
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int = 5,
               nPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {

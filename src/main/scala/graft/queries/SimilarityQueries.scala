@@ -344,6 +344,26 @@ object SimilarityQueries {
         .orderBy(col("query_id"))
     }),
 
+    // RECIPROCAL-RANK FUSION (X109): the hybrid-search primitive —
+    // ensemble the IVF and hyperplane-LSH rankings per query with the
+    // integer RRF surrogate Σ⌊10⁶/(60+rank)⌋ (engine-exact fused scores
+    // and tie-breaks). Both input pipelines and the fusion replay in the
+    // generated oracle over the same embedded centroids/planes.
+    "sim_rrf_fusion" -> q((s, dir) => {
+      val emb = Sources.embeddings(s, dir)
+      val cents = centroidCache.getOrElseUpdate((dir, 16, 42L),
+        Similarity.trainIvfCentroids(emb, "embedding", nCells = 16, seed = 42L))
+      val qs = emb.where(col("vec_id") < 10)
+      val iv = Similarity.ivfTopK(emb, qs, "vec_id", "embedding", k = 5,
+          nCells = 16, nProbe = 4, centroids = Some(cents))
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      val lsh = Similarity.lshTopK(emb, qs, "vec_id", "embedding", k = 5,
+          nPlanes = 4, dim = 64)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      Similarity.rrfFuse(iv, lsh, k0 = 60, topK = 5)
+        .orderBy(col("query_id"), col("fused_rank"))
+    }),
+
     // Triangle enumeration over the kNN graph (X101): the clustering-
     // structure diagnostic — triangle density measures how manifold-like
     // the embedding neighborhoods are (random-noise kNN graphs are nearly
@@ -507,6 +527,60 @@ object SimilarityQueries {
         |FROM bf LEFT JOIN iv
         |  ON iv.query_id = bf.query_id AND iv.neighbor_id = bf.neighbor_id
         |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
+    }
+  }
+
+  /** RRF oracle: BOTH input pipelines (embedded-centroid IVF, embedded-
+    * plane LSH) and the integer fusion replayed end to end. */
+  private def rrfOracle: Option[String] = {
+    val cached = centroidCache.readOnlySnapshot().toSeq
+    if (cached.size != 1) None else Some {
+      val distList = centDistList(cached.head._2)
+      s"""WITH vecs AS (
+        |  SELECT vec_id, embedding,
+        |         list_transform(embedding, x -> x::DOUBLE) AS e
+        |  FROM embeddings),
+        |dists AS (
+        |  SELECT vec_id, embedding, list_sort($distList) AS ds FROM vecs v),
+        |corpus AS (
+        |  SELECT vec_id, embedding, ds[1].cell AS cell FROM dists),
+        |qprobe AS (
+        |  SELECT vec_id, embedding,
+        |         unnest(list_transform(ds[1:4], s -> s.cell)) AS cell
+        |  FROM dists WHERE vec_id < 10),
+        |iv AS (
+        |  SELECT query_id, neighbor_id, cast(rnk AS int) AS rank FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |           row_number() OVER (PARTITION BY q.vec_id
+        |             ORDER BY $cosExpr DESC, c.vec_id ASC) AS rnk
+        |    FROM qprobe q JOIN corpus c
+        |      ON c.cell = q.cell AND c.vec_id <> q.vec_id)
+        |  WHERE rnk <= 5),
+        |cb AS (SELECT vec_id, embedding, ${bucketSql("embeddings")} AS b
+        |       FROM embeddings),
+        |qb AS (SELECT vec_id, embedding, b FROM cb WHERE vec_id < 10),
+        |lsh AS (
+        |  SELECT query_id, neighbor_id, cast(rnk AS int) AS rank FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |           row_number() OVER (PARTITION BY q.vec_id
+        |             ORDER BY $cosExpr DESC, c.vec_id ASC) AS rnk
+        |    FROM qb q JOIN cb c ON c.b = q.b AND c.vec_id <> q.vec_id)
+        |  WHERE rnk <= 5),
+        |u AS (
+        |  SELECT query_id, neighbor_id,
+        |         (1000000 // (60 + rank))::BIGINT AS c FROM iv
+        |  UNION ALL
+        |  SELECT query_id, neighbor_id,
+        |         (1000000 // (60 + rank))::BIGINT FROM lsh),
+        |f AS (
+        |  SELECT query_id, neighbor_id, sum(c)::BIGINT AS rrf_micro,
+        |         count(*) AS n_lists
+        |  FROM u GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, rrf_micro, n_lists, fused_rank FROM (
+        |  SELECT f.*, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_micro DESC, neighbor_id ASC)::int AS fused_rank
+        |  FROM f)
+        |WHERE fused_rank <= 5 ORDER BY query_id, fused_rank""".stripMargin
     }
   }
 
@@ -881,5 +955,6 @@ object SimilarityQueries {
   ) ++ ivfOracle.map("sim_topk_ivf" -> _) ++ pqOracles ++
     ivfPqOracle.map("sim_topk_ivfpq" -> _) ++
     ivfPqRerankOracle.map("sim_topk_ivfpq_rerank" -> _) ++ semDedupOracles ++
-    annRecallOracle.map("sim_ann_recall" -> _)
+    annRecallOracle.map("sim_ann_recall" -> _) ++
+    rrfOracle.map("sim_rrf_fusion" -> _)
 }

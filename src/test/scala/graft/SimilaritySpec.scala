@@ -443,4 +443,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(part.groupBy(_._1).forall(_._2.size <= 4))
     assert(part.forall { case (q, n) => q != n })
   }
+
+  test("rrfFuse: exact integer contributions, overlap dominance, ordering") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 13L, 2))
+      .toDF("query_id", "neighbor_id", "rank")
+    val out = Similarity.rrfFuse(a, b, k0 = 60, topK = 5)
+      .orderBy("fused_rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    // ⌊10⁶/61⌋=16393 ⌊10⁶/62⌋=16129 ⌊10⁶/63⌋=15873; neighbor 11 appears in
+    // BOTH lists (rank 2 + rank 1) and must dominate every single-list hit
+    assert(out.toSeq == Seq(
+      (11L, 16393L + 16129L, 2L, 1),
+      (10L, 16393L, 1L, 2),
+      (13L, 16129L, 1L, 3),
+      (12L, 15873L, 1L, 4)))
+  }
 }
