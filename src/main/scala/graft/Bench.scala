@@ -293,9 +293,19 @@ object Bench {
       val kept =
         if (keep >= results.size) results
         else results.sortBy { case (k, v) => (-v, k) }.take(keep)
+      // Rule-complete truncation (round-7 advice): the cut is not just
+      // counted but ACCOUNTED — `omitted_sum` carries the omitted queries'
+      // total seconds and `omit_rule` states the selection rule, so
+      // total ≈ Σ queries + omitted_sum always balances from the headline
+      // alone. Full per-query detail is always in BENCH_SELF.json.
       val omitted =
         if (keep >= results.size) ""
-        else s""""queries_omitted":${results.size - keep},"""
+        else {
+          val cut = results.sortBy { case (k, v) => (-v, k) }.drop(keep)
+          s""""queries_omitted":${cut.size},""" +
+            s""""omitted_sum":${jnum(cut.map(_._2).filter(_ >= 0).sum, math.max(dp, 1))},""" +
+            s""""omit_rule":"slowest_${keep}_kept","""
+        }
       val qs = kept.map { case (k, v) => jstr(k) + ":" + jnum(v, dp) }.mkString("{", ",", "}")
       // ZERO-valued disclosure counters are omitted (omitted ≡ 0; presence
       // means nonzero), as are empty `errors` and false

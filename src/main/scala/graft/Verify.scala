@@ -9,6 +9,10 @@ object Verify {
     // optional dev-loop filter: a 3rd-arg regex over query names (the
     // driver always runs the full surface with 2 args)
     val only = args.drop(2).headOption.map(_.r)
+    // Verify is the oracle-dump context: allow queries to capture the
+    // runtime artifacts their generated oracles embed (bounded collects
+    // that must never run under Bench or at real scale).
+    System.setProperty(graft.queries.OracleCapture.Prop, "true")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -56,6 +56,11 @@ object DedupQueries {
   private val simhashSigCache =
     scala.collection.concurrent.TrieMap[String, Array[(Long, Long)]]()
 
+  /** Test hook: which dirs have captured signatures (must stay empty when
+    * [[OracleCapture]] is disabled — pinned by AllQueriesSpec). */
+  private[graft] def capturedSimhashDirs: Set[String] =
+    simhashSigCache.readOnlySnapshot().keySet.toSet
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: full surviving rows, min-doc_id winner per (lang, source).
@@ -304,8 +309,12 @@ object DedupQueries {
         .select(col("doc_id"),
           graft.functions.SimHash64.simhash64(TextOps.tokens(col("text"))).as("sh"))
         .localCheckpoint(eager = false)
-      simhashSigCache.getOrElseUpdate(dir,
-        sigs.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1))
+      // Corpus-sized capture (one row per doc) — oracle machinery only.
+      // Gated behind Verify's capture flag so Bench and any sf≥1 run never
+      // pay a full-corpus driver collect in the query path.
+      if (OracleCapture.enabled)
+        simhashSigCache.getOrElseUpdate(dir,
+          sigs.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1))
       Dedup.simHashNearDupPairs(sigs, "doc_id", "sh", maxHamming = 5)
         .orderBy(col("id_a"), col("id_b"))
     }),

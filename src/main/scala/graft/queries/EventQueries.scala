@@ -210,9 +210,7 @@ object EventQueries {
           },
           mode = org.apache.spark.sql.streaming.OutputMode.Append(),
         shufflePartitions = Some(streamBenchPartitions))
-          .groupBy(col("user_id"))
-          .agg(max(col("n_events")).as("n_events"),
-            max(col("total_value")).cast("bigint").as("total_micros"))
+          .transform(graft.streaming.StreamingOps.finalUserTotals)
           .orderBy(col("user_id"))
       } finally prev match {
         case Some(p) =>
@@ -771,7 +769,7 @@ object EventQueries {
     // stateful stream's end state under any micro-batch slicing.
     "stream_user_totals_tws" ->
       """SELECT user_id, count(*) AS n_events,
-        |       sum(floor(value * 10000 + 0.5)::BIGINT) AS total_micros
+        |       sum(floor(value * 10000 + 0.5)::BIGINT)::bigint AS total_micros
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // Same band, emitted as raw matched pairs (the streamed form's

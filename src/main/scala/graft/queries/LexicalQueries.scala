@@ -44,9 +44,14 @@ object LexicalQueries {
       Lexical.phraseSearch(Sources.documents(s, dir), "doc_id", "text", phrase)
         .orderBy(col("doc_id"), col("pos"))),
 
-    // Grouped postings lists for a fixed term set (X96).
+    // Grouped postings lists for a fixed term set (X96). The operator's
+    // array column is stringified for the compared output — the driver's
+    // comparator (pandas sort/hash) cannot process array cells, so the
+    // registry-wide rule is "no array/map columns in compared outputs"
+    // (asserted in AllQueriesSpec).
     "text_postings" -> q((s, dir) =>
       Lexical.postings(Sources.documents(s, dir), "doc_id", "text", postingTerms)
+        .withColumn("positions", array_join(col("positions"), ","))
         .orderBy(col("token"), col("doc_id"))),
 
     // Adjacent-bigram collocation lift, deterministic top 50 (X97).
@@ -100,7 +105,8 @@ object LexicalQueries {
         |occ AS (
         |  SELECT tk[i] AS token, doc_id, (i - 1)::int AS pos FROM p
         |  WHERE tk[i] IN ('stream', 'vector', 'window'))
-        |SELECT token, doc_id, list_sort(list(pos)) AS positions,
+        |SELECT token, doc_id,
+        |       array_to_string(list_sort(list(pos)), ',') AS positions,
         |       count(*) AS n_occ
         |FROM occ GROUP BY token, doc_id ORDER BY token, doc_id""".stripMargin,
 
@@ -134,8 +140,8 @@ object LexicalQueries {
         |SELECT doc_id, count(*) AS n_tokens,
         |       sum(CASE WHEN w IN (SELECT w FROM top) THEN 0 ELSE 1 END)::bigint
         |         AS n_oov,
-        |       (sum(CASE WHEN w IN (SELECT w FROM top) THEN 0 ELSE 1 END)
-        |        * 10000) // count(*) AS oov_bp
+        |       ((sum(CASE WHEN w IN (SELECT w FROM top) THEN 0 ELSE 1 END)
+        |         * 10000) // count(*))::bigint AS oov_bp
         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_tokenizer_fertility" ->

@@ -278,6 +278,20 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Reduce an Append-mode stream of per-user running-total updates to each
+    * user's FINAL state: argmax by `n_events`, which is strictly increasing
+    * per appended update (one emit per micro-batch touching the key).
+    * Independent column maxes would also need `total_value` monotone —
+    * i.e. all event values ≥ 0 — and silently pick a non-final total the
+    * moment a refund/correction event goes negative; the struct-max argmax
+    * carries no such assumption. `total_value` arrives in exact integer
+    * micro-units (held in a double), so the bigint cast is lossless. */
+  def finalUserTotals(updates: DataFrame): DataFrame =
+    updates.groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("total_value"))).as("fin"))
+      .select(col("user_id"), col("fin.n_events").as("n_events"),
+        col("fin.total_value").cast("bigint").as("total_micros"))
+
   /** Custom per-key state via flatMapGroupsWithState: running per-user event
     * count + value total, emitted on every update (the pattern for state
     * machines the built-in aggs can't express). ProcessingTimeTimeout keeps

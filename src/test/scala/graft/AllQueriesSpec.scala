@@ -58,6 +58,35 @@ class AllQueriesSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"all-pairs plans detected: $offenders")
   }
 
+  test("no compared output carries array/map columns") {
+    // The driver's comparator hashes rows after a pandas sort; array/map
+    // cells are unhashable there (r7's text_postings crash), so the
+    // registry-wide rule is: complex values are stringified (array_join)
+    // before they reach a compared output. Operators keep their typed
+    // array APIs — only the registered query surface is constrained.
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val bad = fn(spark, dir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType]
+          || f.dataType.isInstanceOf[MapType] => f.name
+      }
+      if (bad.nonEmpty) Some(s"$name(${bad.mkString(",")})") else None
+    }
+    assert(offenders.isEmpty,
+      s"array/map columns in compared outputs: $offenders")
+  }
+
+  test("oracle-artifact capture never fires outside Verify") {
+    // dedup_simhash_xxhash's oracle embeds a per-document signature dump —
+    // a corpus-sized driver collect that must only run under Verify's
+    // capture flag (at 100 TB it is a driver OOM in the bench path).
+    assume(!graft.queries.OracleCapture.enabled)
+    graft.queries.DedupQueries.queries("dedup_simhash_xxhash")(spark, dir)
+      .count()
+    assert(graft.queries.DedupQueries.capturedSimhashDirs.isEmpty,
+      "signature capture ran without the Verify capture flag")
+  }
+
   test("oracle coverage is total outside the documented rows-only set") {
     // sim_topk_ivf's oracle appears once its quantizer has trained (Verify
     // always runs queries before the oracle dump; in a bare test JVM the

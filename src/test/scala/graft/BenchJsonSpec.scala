@@ -57,9 +57,21 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(line.length <= 1930,
       s"headline ${line.length} chars exceeds the ~1930 tail-window budget")
     val node = mapper.readTree(line)
-    // either the full map fits, or the cut is explicitly disclosed
+    // either the full map fits, or the cut is explicitly disclosed AND
+    // accounted: omitted_sum + omit_rule make the truncation rule-complete
+    // (total ≈ Σ kept queries + omitted_sum balances from the line alone).
     val omitted = Option(node.get("queries_omitted")).map(_.asInt()).getOrElse(0)
     assert(node.get("queries").size() + omitted === SparkEntry.queries.size)
+    if (omitted > 0) {
+      assert(node.get("omit_rule").asText().startsWith("slowest_"))
+      import scala.jdk.CollectionConverters._
+      val keptSum = node.get("queries").elements().asScala.map(_.asDouble()).sum
+      val accounted = keptSum + node.get("omitted_sum").asDouble()
+      val total = node.get("value").asDouble()
+      // dp=0 rounding on each kept query bounds the drift at 0.5s/query
+      assert(math.abs(accounted - total) <= 0.5 * (node.get("queries").size() + 1),
+        s"headline accounting broken: kept+omitted=$accounted vs total=$total")
+    }
     // zero-valued counters are omitted (omitted ≡ 0, presence means nonzero)
     assert(node.get("n_guard_vetoed") == null && node.get("n_stalls") == null)
     assert(node.get("sf").asText() === "sf0.1")

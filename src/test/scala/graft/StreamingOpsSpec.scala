@@ -334,6 +334,21 @@ class StreamingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("finalUserTotals: argmax picks the final state even with negative values") {
+    // Three appended updates for one user whose totals go 50 → -30 → 10
+    // (a refund mid-stream). Independent max(total_value) would answer 50;
+    // the argmax by n_events must answer the final 10.
+    import spark.implicits._
+    val updates = Seq(
+      (7L, 1L, 50.0), (7L, 2L, -30.0), (7L, 3L, 10.0),
+      (8L, 1L, -5.0))
+      .toDF("user_id", "n_events", "total_value")
+    val fin = StreamingOps.finalUserTotals(updates)
+      .orderBy(col("user_id"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(fin == Seq((7L, 3L, 10L), (8L, 1L, -5L)))
+  }
+
   test("runningUserTotals: flatMapGroupsWithState carries state across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -62,6 +62,34 @@ def main():
             continue
         ok_rows = len(spark) == len(ora)
         ok_schema = sorted(spark.columns) == sorted(ora.columns)
+        # Driver-mirror strictness (round-7 lessons). The driver's value
+        # hash is dtype-sensitive where this gate's stringification coerces:
+        # (1) a DuckDB HUGEINT output renders float64 in fetchdf while Spark
+        #     writes int64 — equal values, different hashes. Flag any
+        #     int-vs-float dtype split on a shared column.
+        # (2) array/list cells crash the driver's pandas sort (unhashable
+        #     ndarray). Flag object columns holding sequences on either side.
+        dtype_errs = []
+        if ok_schema:
+            for c in spark.columns:
+                a_k, b_k = spark[c].dtype.kind, ora[c].dtype.kind
+                if {a_k, b_k} == {"i", "f"} or {a_k, b_k} == {"u", "f"}:
+                    dtype_errs.append(
+                        f"col {c}: spark {spark[c].dtype} vs oracle "
+                        f"{ora[c].dtype} (uncast HUGEINT in the oracle?)")
+            for side, df in (("spark", spark), ("oracle", ora)):
+                for c in df.columns:
+                    if df[c].dtype.kind == "O" and len(df) and any(
+                            isinstance(v, (list, tuple)) or
+                            str(type(v)).endswith("ndarray'>")
+                            for v in df[c].head(5)):
+                        dtype_errs.append(
+                            f"col {c} ({side}): array-valued cells — "
+                            "driver comparator cannot sort these")
+        if dtype_errs:
+            print(f"FAIL  {name}: " + "; ".join(dtype_errs))
+            n_fail += 1
+            continue
         ok_hash = False
         if ok_rows and ok_schema:
             a, b = norm(spark), norm(ora)
