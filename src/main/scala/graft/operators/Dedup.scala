@@ -283,6 +283,66 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Bit band [i·(128/nBands), …) of a 128-bit signature held as two longs
+    * (`lo` = bits 0–63, `hi` = bits 64–127), as a single long column — the
+    * extraction behind [[simHashNearDupPairs128]], exposed for direct
+    * band-math verification. The last band absorbs the remainder bits.
+    * Bands may straddle the word boundary: those combine
+    * `lo >>> start | hi << (64 − start)` before masking. Valid for
+    * 2 ≤ nBands ≤ 128 (each band then fits one long). */
+  private[graft] def simHashBandBits128(hi: Column, lo: Column,
+                                        nBands: Int, i: Int): Column = {
+    require(nBands >= 2 && nBands <= 128, "nBands in [2, 128]")
+    require(i >= 0 && i < nBands)
+    val width = 128 / nBands
+    val start = i * width
+    val w = if (i == nBands - 1) 128 - start else width
+    def mask(c: Column): Column =
+      if (w >= 64) c else c.bitwiseAND(lit((1L << w) - 1))
+    if (start + w <= 64) mask(shiftrightunsigned(lo, start))
+    else if (start >= 64) mask(shiftrightunsigned(hi, start - 64))
+    else mask(shiftrightunsigned(lo, start)
+      .bitwiseOR(shiftleft(hi, 64 - start)))
+  }
+
+  /** [[simHashNearDupPairs]] at 128-bit signature width — the geometry
+    * BASELINE.md argues for a 100 TB corpus, where 64-bit bands at
+    * maxHamming 5 are only ~10 bits wide and bucket sizes explode. Same
+    * pigeonhole guarantee (any pair within hamming ≤ maxHamming agrees
+    * exactly on ≥ 1 of the maxHamming+1 bands → recall 1.0), same
+    * O(bands)-shuffle shape; signatures are (hi, lo) long pairs and the
+    * verify step is `bit_count(xor hi) + bit_count(xor lo)`. At
+    * maxHamming = 5 the bands are 21 bits (last 23) — 2²¹ buckets per
+    * band, which keeps expected bucket occupancy ~n/2M per band. */
+  def simHashNearDupPairs128(sigs: DataFrame, idCol: String,
+                             hiCol: String, loCol: String,
+                             maxHamming: Int): DataFrame = {
+    require(maxHamming >= 1 && maxHamming < 127, "maxHamming in [1, 126]")
+    val nBands = maxHamming + 1
+    val s = sigs.select(col(idCol).as("id"), col(hiCol).as("hi"),
+      col(loCol).as("lo"))
+    val banded = s.select(col("id"), col("hi"), col("lo"),
+      explode(array((0 until nBands).map { i =>
+        struct(lit(i).as("band"),
+          simHashBandBits128(col("hi"), col("lo"), nBands, i).as("bits"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("hi"), col("lo"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val a = banded.as("a"); val b = banded.hint("shuffle_hash").as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.hi").as("hi_a"), col("a.lo").as("lo_a"),
+        col("b.hi").as("hi_b"), col("b.lo").as("lo_b"))
+      .distinct()
+      .withColumn("hamming",
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** 48-bit md5-based SimHash signatures — the SQL-reproducible twin of the
     * native 64-bit xxhash64 expression ([[graft.functions.SimHash64]]).
     * Charikar semantics are identical: per bit position, +1 when a token's
@@ -501,12 +561,69 @@ object Dedup {
       .join(comps.hint("shuffle_hash"), scored(idCol) === comps("id"), "left")
       .select(coalesce(col("comp"), scored(idCol)).as("comp"),
         scored(idCol).as("__id"), col(scoreCol))
-    member
-      .groupBy(col("comp"))
-      .agg(max(struct(col(scoreCol), (-col("__id")).as("neg_id"))).as("w"),
-        count(lit(1)).as("n_members"))
-      .select(col("comp"), (-col("w.neg_id")).as(idCol),
-        col("w." + scoreCol).as(scoreCol), col("n_members"))
+    // Numeric ids: single-pass argmax via max(struct(score, −id)) — the
+    // negation turns "lowest id wins ties" into plain struct ordering.
+    // Non-numeric ids (URLs, content hashes) can't be negated — Spark would
+    // implicitly cast to double, null the tie-break key, and pick an
+    // ARBITRARY survivor — so they take a two-pass argmax: per-cluster max
+    // score, then min id among the score-tied members. Both shuffles hash
+    // on `comp`, so AQE/exchange-reuse keeps the second one cheap.
+    val idIsNumeric = scored.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    if (idIsNumeric)
+      member
+        .groupBy(col("comp"))
+        .agg(max(struct(col(scoreCol), (-col("__id")).as("neg_id"))).as("w"),
+          count(lit(1)).as("n_members"))
+        .select(col("comp"), (-col("w.neg_id")).as(idCol),
+          col("w." + scoreCol).as(scoreCol), col("n_members"))
+    else {
+      val best = member.groupBy(col("comp"))
+        .agg(max(col(scoreCol)).as("__best"), count(lit(1)).as("n_members"))
+      member.join(best.hint("shuffle_hash"), Seq("comp"))
+        .where(col(scoreCol) === col("__best"))
+        .groupBy(col("comp"), col("__best"), col("n_members"))
+        .agg(min(col("__id")).as(idCol))
+        .select(col("comp"), col(idCol), col("__best").as(scoreCol),
+          col("n_members"))
+    }
+  }
+
+  /** EXACT-key dedup with the best-copy survivor policy: one hash aggregate
+    * keyed on `keyCols` (normalized URL, content fingerprint, any metadata
+    * key), keeping per key the member with the highest `scoreCol`, ties →
+    * lowest id — [[exact]]'s keep-min-id rule upgraded to the
+    * quality-aware policy of [[bestCopySurvivors]] WITHOUT materializing
+    * pairs (exact-key clusters never need a pair list or components).
+    *
+    * Shape at scale: a single partial/final HashAggregate on the key — the
+    * map-side combine carries one (best-score, id) candidate per key per
+    * mapper, so the shuffle is |distinct keys|-sized. Output:
+    * (keyCols*, idCol, scoreCol, n_members). Numeric ids take the
+    * single-pass struct argmax; other id types (URLs, hashes) the two-pass
+    * max-score + min-id form, same as [[bestCopySurvivors]]. */
+  def exactBestCopy(df: DataFrame, keyCols: Seq[String], idCol: String,
+                    scoreCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val idIsNumeric = df.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    if (idIsNumeric)
+      df.groupBy(keys: _*)
+        .agg(max(struct(col(scoreCol), (-col(idCol)).as("neg_id"))).as("w"),
+          count(lit(1)).as("n_members"))
+        .select(keys :+ (-col("w.neg_id")).as(idCol) :+
+          col("w." + scoreCol).as(scoreCol) :+ col("n_members"): _*)
+    else {
+      val best = df.groupBy(keys: _*)
+        .agg(max(col(scoreCol)).as("__best"), count(lit(1)).as("n_members"))
+      df.select((keys :+ col(idCol) :+ col(scoreCol)): _*)
+        .join(best.hint("shuffle_hash"), keyCols)
+        .where(col(scoreCol) === col("__best"))
+        .groupBy((keys :+ col("__best") :+ col("n_members")): _*)
+        .agg(min(col(idCol)).as(idCol))
+        .select(keys :+ col(idCol) :+ col("__best").as(scoreCol) :+
+          col("n_members"): _*)
+    }
   }
 
   /** SORTED-NEIGHBORHOOD blocking dedup (Hernández–Stolfo): sort the corpus

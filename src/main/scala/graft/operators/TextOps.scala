@@ -32,6 +32,22 @@ object TextOps {
   def canonicalize(text: Column): Column =
     trim(regexp_replace(text, "[\\x00-\\x20]+", " "))
 
+  /** Canonical URL key for metadata-level dedup: lowercase, strip scheme,
+    * strip a leading `www.`, drop fragment and query string, trim trailing
+    * slashes — the standard crawl-dedup canonicalization (the aggressive
+    * drop-the-whole-query variant; keep-allowlisted-params is a policy knob
+    * layered on top, not a different operator). Pure codegen'd
+    * `regexp_replace` chain with anchored/leftmost patterns only, so the
+    * same regexes reproduce in DuckDB for the oracle. */
+  def normalizeUrl(url: Column): Column = {
+    val lowered = lower(url)
+    val noScheme = regexp_replace(lowered, "^https?://", "")
+    val noWww = regexp_replace(noScheme, "^www\\.", "")
+    val noFrag = regexp_replace(noWww, "#.*$", "")
+    val noQuery = regexp_replace(noFrag, "\\?.*$", "")
+    regexp_replace(noQuery, "/+$", "")
+  }
+
   /** BPE-ish regex tokenization: runs of letters, runs of digits, or runs of
     * other non-space symbols, each with an optional leading space — the
     * GPT-2-style pretokenizer shape, minus the library. */

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.{Sources, Tuning}
-import graft.operators.{Curation, TextOps, Versioning}
+import graft.operators.{Curation, Dedup, TextOps, Versioning}
 
 /** Corpus-curation query registry over the `documents` table: benchmark
   * decontamination, quantile quality gating, sequence packing — the passes a
@@ -208,6 +208,56 @@ object CurationQueries {
         .orderBy(col("position"))
     }),
 
+    // END-TO-END curation pipeline — the composed 100 TB workload shape:
+    // scrub → cross-doc boilerplate strip → quality gate → exact dedup →
+    // near-dedup survivors → benchmark decontamination → sequence packing,
+    // as ONE lazy DataFrame program ([[graft.examples.CurationPipelineDemo]]
+    // made driver-checkable). The near-dup stage runs the DETERMINISTIC
+    // PPJoin exact-jaccard join (the at-scale exact path) instead of the
+    // demo's MinHash-LSH so the whole composition is oracle-reproducible:
+    // every stage's oracle fragment is individually proven, and this query
+    // proves their CHAIN — each stage consuming the previous stage's
+    // transformed text, which no per-stage query exercises.
+    "pipeline_curation_e2e" -> q((s, dir) => {
+      val scrubbed = Sources.documents(s, dir).select(col("doc_id"),
+        (col("doc_id") % BenchMod === 0).as("is_bench"),
+        Curation.scrubText(col("text"), ScrubBlocklist).as("text"))
+      val bench = scrubbed.where(col("is_bench")).select("doc_id", "text")
+      // pinned: the stripped corpus feeds the gate's threshold pass AND the
+      // gated semi-join (same fan-out rationale as the demo)
+      val train = Curation.stripBoilerplate(
+          scrubbed.where(!col("is_bench")).select("doc_id", "text"),
+          "doc_id", "text")
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .localCheckpoint(eager = false)
+      val gated = train.join(
+        Curation.qualityGate(train, "doc_id", "text", q = 0.25)
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      // pinned: feeds both the jaccard pair join and the survivor join
+      val exact = Dedup.exact(gated, Seq("text"), "doc_id")
+        .localCheckpoint(eager = false)
+      val deduped = exact.join(
+        Dedup.nearDedupSurvivorsFromPairs(exact, "doc_id",
+          Dedup.exactJaccardJoin(exact, "doc_id", "text")),
+        Seq("doc_id"), "left_semi")
+      val report = Curation.contaminationReport(
+        bench.withColumn("is_bench", lit(true))
+          .unionByName(deduped.withColumn("is_bench", lit(false))),
+        "doc_id", "text", benchPred = col("is_bench"))
+      // pinned: the pack layout and the final join both read `clean`
+      val clean = deduped.join(
+        report.where(col("contamination_bp") <= 2000L).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+        .localCheckpoint(eager = false)
+      clean.join(Curation.packSequences(clean, "doc_id", "text",
+          nGroups = 8, chunkTokens = 256), Seq("doc_id"))
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"),
+          col("pack_group"), col("n_tokens"), col("start_tok"),
+          col("chunk_first"), col("chunk_last"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Compaction / file-sizing plan (X76): bin every doc per source so each
     // bin holds ≈2000 chars — the small-files maintenance pass as a pure
     // plan (two-level per-group prefix sum; deterministic content
@@ -307,6 +357,95 @@ object CurationQueries {
         |       n_dropped::bigint AS n_dropped,
         |       (n_in - n_dropped)::bigint AS n_out
         |FROM e ORDER BY stage""".stripMargin,
+
+    // The stage oracles CHAINED: each CTE block is the (individually
+    // proven) fragment of its stage's own oracle, consuming the previous
+    // block's transformed text — scrub regexes → boilerplate strip →
+    // quantile_cont gate → min-id exact dedup → quadratic jaccard +
+    // recursive components → 5-gram decontamination → hexFold48 packing.
+    "pipeline_curation_e2e" ->
+      raw"""WITH RECURSIVE scr AS (
+        |  SELECT doc_id, doc_id % $BenchMod = 0 AS is_bench,
+        |    regexp_replace(
+        |      regexp_replace(regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        'https?://[^\s]+', '<URL>', 'g'),
+        |      '\b(spark|stream)\b', '<BLOCKED>', 'g') AS text
+        |  FROM documents),
+        |tt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |       FROM scr WHERE NOT is_bench),
+        |ch AS (
+        |  SELECT doc_id, i AS pos, tk[i*8+1 : i*8+8] AS ctk,
+        |         md5(array_to_string(tk[i*8+1 : i*8+8], ' ')) AS h
+        |  FROM (SELECT doc_id, tk, unnest(range(0, len(tk) // 8)) AS i FROM tt)),
+        |boiler AS (SELECT h FROM ch GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |keptc AS (
+        |  SELECT doc_id, flatten(list(ctk ORDER BY pos)) AS body
+        |  FROM ch WHERE h NOT IN (SELECT h FROM boiler) GROUP BY doc_id),
+        |stripped AS (
+        |  SELECT tt.doc_id,
+        |    coalesce(array_to_string(list_concat(coalesce(k.body, []),
+        |                tk[len(tk) // 8 * 8 + 1 : len(tk)]), ' '), '') AS text
+        |  FROM tt LEFT JOIN keptc k USING (doc_id)),
+        |qs AS (SELECT doc_id, $qualityBp::bigint AS quality_bp FROM stripped),
+        |thr AS (SELECT quantile_cont(quality_bp, 0.25) AS thr FROM qs),
+        |gated AS (
+        |  SELECT s.doc_id, s.text FROM stripped s
+        |  JOIN qs ON s.doc_id = qs.doc_id CROSS JOIN thr
+        |  WHERE qs.quality_bp >= thr.thr),
+        |ex AS (SELECT doc_id, text FROM gated
+        |       WHERE doc_id IN (SELECT min(doc_id) FROM gated GROUP BY text)),
+        |shg AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(t) < 3
+        |                       THEN [array_to_string(t, ' ')]
+        |                       ELSE [array_to_string(t[i:i+2], ' ')
+        |                             for i in generate_series(1, len(t)-2)]
+        |                       END) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |        FROM ex)),
+        |prs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM shg a JOIN shg b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.s, b.s))::double
+        |              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.8),
+        |edges AS (SELECT id_a AS s, id_b AS t FROM prs
+        |          UNION SELECT id_b, id_a FROM prs),
+        |reach(s, t) AS (SELECT s, t FROM edges
+        |                UNION
+        |                SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+        |comp AS (SELECT s AS id, least(s, min(t)) AS c FROM reach GROUP BY s),
+        |ded AS (SELECT doc_id, text FROM ex
+        |        WHERE doc_id NOT IN (SELECT id FROM comp WHERE c <> id)),
+        |btk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |        FROM scr WHERE is_bench),
+        |bgr AS (SELECT DISTINCT unnest($grams5) AS gram FROM btk),
+        |dgr AS (SELECT doc_id, $grams5 AS grams
+        |        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |              FROM ded)),
+        |hits AS (
+        |  SELECT g.doc_id, count(*) AS n_cont
+        |  FROM (SELECT doc_id, unnest(grams) AS gram FROM dgr) g
+        |  JOIN bgr USING (gram) GROUP BY g.doc_id),
+        |cln AS (
+        |  SELECT d.doc_id, d.text FROM ded d
+        |  JOIN dgr g ON d.doc_id = g.doc_id
+        |  LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |  WHERE (CASE WHEN len(g.grams) = 0 THEN 0
+        |         ELSE coalesce(h.n_cont, 0) * 10000 // len(g.grams) END) <= 2000),
+        |ps AS (
+        |  SELECT doc_id, md5(text) AS text_md5,
+        |         len(regexp_split_to_array(trim(text), '\s+'))::bigint AS n_tokens,
+        |         (${DedupQueries.hexFold48("text")} % 8)::bigint AS pack_group
+        |  FROM cln),
+        |pc AS (
+        |  SELECT *, sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS st
+        |  FROM ps)
+        |SELECT doc_id, text_md5, pack_group, n_tokens, st::bigint AS start_tok,
+        |       (st // 256)::bigint AS chunk_first,
+        |       ((st + greatest(n_tokens, 1) - 1) // 256)::bigint AS chunk_last
+        |FROM pc ORDER BY doc_id""".stripMargin,
 
     // md5 membership/content compare on both sides; the FULL JOIN emits the
     // delta only, like the operator.

@@ -280,6 +280,31 @@ object DedupQueries {
         n = 3, threshold = JaccardThreshold)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // URL/metadata-level dedup (the most common curation key after content
+    // fingerprints): canonicalize a messy URL (scheme/case/www/query/
+    // fragment/trailing-slash variants — planted deterministically from doc
+    // attributes since the corpus carries no URL column), exact-dedup on
+    // the normalized key, survivor = BEST COPY (highest n_chars, ties →
+    // lowest doc_id). One hash aggregate — no pair list; the oracle is the
+    // definitional row_number() window form.
+    "dedup_url_best_copy" -> q((s, dir) => {
+      val base = concat(col("lang"), lit("/"), col("source"), lit("/"),
+        (col("doc_id") % 7).cast("string"))
+      val url = when(col("doc_id") % 4 === 0,
+          concat(lit("https://example.com/"), base))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("HTTP://WWW.EXAMPLE.COM/"), upper(base)))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://example.com/"), base, lit("?utm_source=feed&id=9")))
+        .otherwise(
+          concat(lit("https://www.example.com/"), base, lit("/#section-2")))
+      Dedup.exactBestCopy(
+        Sources.documents(s, dir).select(col("doc_id"), col("n_chars"),
+          graft.operators.TextOps.normalizeUrl(url).as("url_norm")),
+        Seq("url_norm"), "doc_id", "n_chars")
+        .orderBy(col("url_norm"))
+    }),
+
     // SimHash near-dup: signature per doc, pairs within hamming ≤ 5
     // (planted near-dups land at ≤5; the small shared vocabulary makes wider
     // radii noisy — simhash is the cheap candidate filter, jaccard verifies).
@@ -532,6 +557,36 @@ object DedupQueries {
     "dedup_fingerprint_survivors" ->
       """SELECT md5(text) AS fp, min(doc_id) AS doc_id
         |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin,
+
+    // Same planted messy-URL construction + the same normalization regex
+    // chain as the Spark side; survivorship in the definitional
+    // row_number() window form (highest n_chars, ties → lowest doc_id).
+    "dedup_url_best_copy" ->
+      raw"""WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |         lang || '/' || source || '/' || (doc_id % 7)::varchar AS base
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'https://example.com/' || base
+        |      WHEN 1 THEN 'HTTP://WWW.EXAMPLE.COM/' || upper(base)
+        |      WHEN 2 THEN 'https://example.com/' || base || '?utm_source=feed&id=9'
+        |      ELSE 'https://www.example.com/' || base || '/#section-2'
+        |    END AS url
+        |  FROM u),
+        |n AS (
+        |  SELECT doc_id, n_chars,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(lower(url), '^https?://', ''), '^www\.', ''),
+        |      '#.*$$', ''), '\?.*$$', ''), '/+$$', '') AS url_norm
+        |  FROM m)
+        |SELECT url_norm, doc_id, n_chars, n_members FROM (
+        |  SELECT url_norm, doc_id, n_chars,
+        |         count(*) OVER (PARTITION BY url_norm) AS n_members,
+        |         row_number() OVER (PARTITION BY url_norm
+        |                            ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM n) WHERE rn = 1 ORDER BY url_norm""".stripMargin,
 
     "dedup_near_components" ->
       s"""$componentCtes

@@ -174,25 +174,16 @@ object StreamingOps {
     *   measured here, 32 stores cost multiples of the actual join/agg work
     *   at sf0.1. Applied to the session conf for the query's lifetime and
     *   restored after; results are exact aggregates / deterministic join
-    *   sets either way, so the setting is invisible to the compare. */
+    *   sets either way, so the setting is invisible to the compare.
+    *   The set/restore makes this harness entry SINGLE-THREADED per
+    *   session (the SparkEntry contract: the driver runs queries
+    *   sequentially); concurrent callers must clone via `newSession()`. */
   def runToMemorySink(s: org.apache.spark.sql.SparkSession, dir: String,
                       glob: String,
                       schema: org.apache.spark.sql.types.StructType,
                       transform: DataFrame => DataFrame,
                       mode: OutputMode = OutputMode.Complete(),
                       shufflePartitions: Option[Int] = None): DataFrame = {
-    // Memory-sink tables hold their full result in storage memory and are
-    // never released by Spark — across a bench's warm-up + reps × entries
-    // that accumulation measurably inflates LATER queries' wall-clock
-    // (eviction pressure with clean GC counters). Each call therefore
-    // retires every sink the PREVIOUS calls registered; contract: the
-    // returned frame is consumed before the next runToMemorySink call
-    // (true for Verify's write and Bench's count — both complete actions).
-    var stale = liveSinks.poll()
-    while (stale != null) {
-      scala.util.Try(s.catalog.dropTempView(stale))
-      stale = liveSinks.poll()
-    }
     val name = s"graft_mem_sink_${memSinkId.incrementAndGet()}"
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     shufflePartitions.foreach(n =>
@@ -207,13 +198,18 @@ object StreamingOps {
       try q.awaitTermination() finally if (q.isActive) q.stop()
     } finally shufflePartitions.foreach(_ =>
       s.conf.set("spark.sql.shuffle.partitions", prev))
-    liveSinks.add(name)
-    s.table(name)
+    // Memory-sink tables hold their full result in storage memory and are
+    // never released by Spark — across a bench's warm-up + reps × entries
+    // that accumulation measurably inflates LATER queries' wall-clock
+    // (eviction pressure with clean GC counters). Eagerly copy the bounded
+    // sink contents into checkpointed blocks (freed by the ContextCleaner
+    // when the returned frame is GC'd) and drop the view IMMEDIATELY, so
+    // the returned frame never dangles on a temp view a later call could
+    // retire — there is no deferred-retirement race to get wrong.
+    val out = s.table(name).localCheckpoint(eager = true)
+    scala.util.Try(s.catalog.dropTempView(name))
+    out
   }
-
-  /** Sink names awaiting retirement — see the cleanup note in
-    * [[runToMemorySink]]. */
-  private val liveSinks = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
   /** Exactly-once-per-batch parquet sink via foreachBatch: rows land
     * partitioned by `__batch_id`, written with DYNAMIC partition overwrite —

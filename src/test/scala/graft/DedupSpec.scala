@@ -353,4 +353,96 @@ class DedupSpec extends AnyFunSuite {
     // 4 and 5 are singletons (their own comp), n_members 1
     assert(out == Set((1L, 2L, 30L, 3L), (4L, 4L, 5L, 1L), (5L, 5L, 99L, 1L)))
   }
+
+  test("bestCopySurvivors: string ids take the two-pass argmax, ties → lowest id") {
+    // The numeric fast path negates the id for its struct-ordered tie-break;
+    // a string id would implicitly cast to double → null → ARBITRARY
+    // survivor. The two-pass path must deliver the documented
+    // lowest-id-on-tie semantics for URL/hash ids.
+    import spark.implicits._
+    val scored = Seq(("u/a", 10L), ("u/b", 30L), ("u/c", 30L), ("u/d", 5L))
+      .toDF("id", "score")
+    val pairs = Seq(("u/a", "u/b"), ("u/b", "u/c")).toDF("id_a", "id_b")
+    val out = Dedup.bestCopySurvivors(scored, "id", "score", pairs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // cluster {a,b,c}: top score 30 shared by b and c → "u/b" wins ties;
+    // d is a singleton
+    assert(out == Set(("u/a", "u/b", 30L, 3L), ("u/d", "u/d", 5L, 1L)))
+  }
+
+  // --- 128-bit SimHash band math (the 100 TB signature width) ---
+
+  /** BigInt reference: bits [start, start+w) of a 128-bit value, truncated
+    * to a signed long exactly like the Column path's masked extraction. */
+  private def refBand(sig: BigInt, nBands: Int, i: Int): Long = {
+    val width = 128 / nBands
+    val start = i * width
+    val w = if (i == nBands - 1) 128 - start else width
+    ((sig >> start) & ((BigInt(1) << w) - 1)).toLong
+  }
+  private def hiLo(sig: BigInt): (Long, Long) =
+    (((sig >> 64) & ((BigInt(1) << 64) - 1)).toLong,
+      (sig & ((BigInt(1) << 64) - 1)).toLong)
+
+  test("simHashBandBits128: extraction matches the BigInt reference at 21-bit, 64-bit, 1-bit widths") {
+    // A bit pattern with no repetition symmetry, so any off-by-one shift,
+    // wrong mask, or hi/lo mixup shows up as a value mismatch.
+    val sigs = Seq(
+      BigInt("0123456789abcdeffedcba9876543210", 16),
+      BigInt("ffffffffffffffffffffffffffffffff", 16),
+      BigInt("80000000000000000000000000000001", 16),
+      BigInt("00000000000000018000000000000000", 16)) // bits 63 and 64 only
+    for (nBands <- Seq(6, 2, 128); sig <- sigs) {
+      val (hi, lo) = hiLo(sig)
+      val row = Seq((hi, lo)).toDF("hi", "lo")
+        .select((0 until nBands).map(i =>
+          Dedup.simHashBandBits128(col("hi"), col("lo"), nBands, i)
+            .as(s"b$i")): _*)
+        .collect()(0)
+      for (i <- 0 until nBands)
+        assert(row.getLong(i) == refBand(sig, nBands, i),
+          s"nBands=$nBands band=$i sig=${sig.toString(16)}")
+    }
+  }
+
+  test("simHashNearDupPairs128: pigeonhole recall 1.0 at maxHamming=5 incl. word-boundary flips") {
+    // maxHamming=5 → 6 bands of 21 bits (last 23): the BASELINE.md 100 TB
+    // geometry. Band 3 spans bits [63, 84) — it straddles the hi/lo word
+    // boundary, so flips at bits 63 and 64 land in the SAME band and are
+    // the easiest bits to lose to a wrong straddle extraction.
+    val base = BigInt("0123456789abcdeffedcba9876543210", 16)
+    def flip(sig: BigInt, bits: Int*): BigInt =
+      bits.foldLeft(sig)((s, b) => s ^ (BigInt(1) << b))
+    val cases = Seq(
+      1L -> base,
+      2L -> flip(base, 2, 40, 63, 64, 100),   // hamming 5 from base → pair
+      3L -> flip(base, 2, 40, 63, 64, 100, 126), // hamming 6 from base → no pair
+      4L -> base)                             // hamming 0 duplicate → pair
+    val df = cases.map { case (id, s) =>
+      val (hi, lo) = hiLo(s); (id, hi, lo)
+    }.toDF("id", "hi", "lo")
+    val out = Dedup.simHashNearDupPairs128(df, "id", "hi", "lo", maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // 2–3 differ at one bit (126): hamming 1 → pair. 3 vs 1/4: hamming 6, out.
+    assert(out == Set((1L, 2L, 5), (1L, 4L, 0), (2L, 4L, 5), (2L, 3L, 1)))
+  }
+
+  test("exactBestCopy: per-key argmax without a pair list, both id-type paths") {
+    import spark.implicits._
+    // numeric ids: single-pass struct argmax
+    val num = Seq((1L, "k1", 10L), (2L, "k1", 30L), (3L, "k1", 30L),
+      (4L, "k2", 5L)).toDF("id", "key", "score")
+    val numOut = Dedup.exactBestCopy(num, Seq("key"), "id", "score")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(numOut == Set(("k1", 2L, 30L, 3L), ("k2", 4L, 5L, 1L)))
+    // string ids: two-pass max-score + min-id (negation would null out)
+    val str = Seq(("u/x", "k1", 10L), ("u/y", "k1", 30L), ("u/z", "k1", 30L),
+      ("u/w", "k2", 5L)).toDF("id", "key", "score")
+    val strOut = Dedup.exactBestCopy(str, Seq("key"), "id", "score")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(strOut == Set(("k1", "u/y", 30L, 3L), ("k2", "u/w", 5L, 1L)))
+  }
 }

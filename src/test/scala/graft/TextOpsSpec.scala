@@ -264,6 +264,26 @@ class TextOpsSpec extends AnyFunSuite {
       (("aa", "a a a", "aa a", 1)), r.toString)
   }
 
+  test("normalizeUrl: scheme/case/www/query/fragment/slash variants collapse to one key") {
+    import SparkTestSession.spark.implicits._
+    val urls = Seq(
+      (1L, "https://example.com/a/b"),
+      (2L, "HTTP://WWW.EXAMPLE.COM/A/B"),
+      (3L, "https://example.com/a/b?utm_source=feed&id=9"),
+      (4L, "https://www.example.com/a/b/#section-2"),
+      (5L, "example.com/a/b///"),          // already scheme-less
+      (6L, "https://example.com/other")).toDF("id", "url")
+    val out = urls.select($"id", TextOps.normalizeUrl($"url").as("u"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((1L to 5L).map(out).toSet == Set("example.com/a/b"))
+    assert(out(6L) == "example.com/other")
+    // idempotent: a normalized URL is a fixed point
+    val twice = urls.select(
+      TextOps.normalizeUrl(TextOps.normalizeUrl($"url")).as("u"))
+      .collect().map(_.getString(0)).toSet
+    assert(twice == Set("example.com/a/b", "example.com/other"))
+  }
+
   test("canonicalize: control/space runs collapse, ends trim, idempotent") {
     import SparkTestSession.spark.implicits._
     val docs = Seq(
