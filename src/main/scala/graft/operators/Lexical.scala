@@ -142,6 +142,63 @@ object Lexical {
     }
   }
 
+  /** BM25 ranking for a fixed term set, with an EXACT-INTEGER score. The
+    * classic Okapi formula is
+    *   Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+    * with k1, b rationals (defaults 6/5 = 1.2, 3/4 = 0.75). Two
+    * substitutions make the score engine-hash-comparable:
+    *   - idf(t) → the exact integer floor(log₂(N div df)) via `bin()`
+    *     length (the [[TextOps.unigramSurprisal]] discipline — monotone in
+    *     true idf, no libm log in the compared value);
+    *   - the tf normalization is cleared of fractions by multiplying
+    *     numerator and denominator by k1d·bd·avgdl (avgdl = Σdl div N, an
+    *     integer), giving per matched (doc, term)
+    *       milli = (idf_bits · tf · (k1n+k1d) · bd · avgdl · 1000)
+    *               div (k1d·bd·avgdl·tf + k1n·(bd−bn)·avgdl + k1n·bn·dl)
+    *     — pure int64 arithmetic (products ≤ ~10¹⁶ at any realistic tf/dl).
+    *
+    * Shape at scale: the `isin` filter lands on the inverted index BEFORE
+    * the tf aggregate, so only query-term postings enter any shuffle; df is
+    * |terms| rows (broadcast); dl is a narrow corpus-sized projection joined
+    * on doc_id to the postings-bounded tf side (AQE broadcasts tf when it
+    * fits); N and avgdl ride as scalar subqueries. One corpus scan feeds
+    * dl; one feeds the index — the standard two-pass retrieval-scoring
+    * layout. Output: (doc_id, n_terms, bm25_milli) for every doc matching
+    * ≥ 1 term. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1Num: Long = 6, k1Den: Long = 5,
+           bNum: Long = 3, bDen: Long = 4): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    require(k1Num >= 0 && k1Den > 0 && bNum >= 0 && bDen > 0 && bNum <= bDen,
+      "k1 ≥ 0, 0 ≤ b ≤ 1")
+    val dl = docs.select(col(idCol).as("doc_id"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      expr("sum(dl) div count(1)").as("avgdl"))
+    val idx = invertedIndex(docs, idCol, textCol)
+      .where(col("token").isin(terms: _*))
+      .select(col("token"), col("doc_id"))
+      .localCheckpoint(eager = false) // feeds tf AND df
+    val tf = idx.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfq = idx.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(broadcast(dfq), "token")
+      .join(dl, "doc_id")
+      .withColumn("__st",
+        stats.select(struct(col("n_docs"), col("avgdl")).as("s")).scalar())
+      .withColumn("n_docs", col("__st.n_docs"))
+      .withColumn("avgdl", col("__st.avgdl"))
+      .withColumn("idf_bits",
+        (length(bin(expr("n_docs div df"))) - 1).cast("long"))
+      .withColumn("milli",
+        expr(s"(idf_bits * tf * ${(k1Num + k1Den) * bDen} * avgdl * 1000) div " +
+          s"(${k1Den * bDen} * avgdl * tf + ${k1Num * (bDen - bNum)} * avgdl " +
+          s"+ ${k1Num * bNum} * dl)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("milli")).as("bm25_milli"))
+  }
+
   // ---------------------------------------------------------- collocation
 
   /** Collocation mining: adjacent-bigram association strength as exact

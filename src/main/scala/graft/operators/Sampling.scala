@@ -118,6 +118,42 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** TEMPERATURE-flattened mixture at α = 1/2 — the multilingual-corpus
+    * rebalancing rule (sampling probability ∝ n_l^α flattens the size
+    * distribution so high-resource strata stop drowning the tail; α = 1/2
+    * is the classic multilingual-pretraining setting). Unlike
+    * [[mixtureSample]] the target shares are DERIVED from the corpus:
+    * w_l = ⌊√n_l⌋, exact in both engines because IEEE-754 requires sqrt
+    * correctly rounded (the one libm function that IS engine-identical;
+    * n_l ≪ 2⁵³ keeps the double exact). Everything after the sqrt is
+    * integer: T = min_l(n_l·Σw div w_l) is the largest total no stratum can
+    * overdraw, target_l = (T·w_l) div Σw, keep-rate permille =
+    * target_l·1000 div n_l, membership = content-hash bucket < rate (the
+    * [[hashSample]] determinism).
+    *
+    * Plan shape mirrors [[mixtureSample]]: one |strata|-row count
+    * aggregate (pinned — it feeds Σw, T, and the rate projection), two
+    * 1-row scalars, rates broadcast back, one narrow filter scan; the
+    * corpus is never shuffled. The smallest stratum keeps rate 1000 (fully
+    * kept) by construction — α < 1 flattens by DOWN-sampling the large
+    * strata, never replicating the small ones. */
+  def temperatureMixture(df: DataFrame, keyCol: String, strataCol: String): DataFrame = {
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n"))).cast("long"))
+      .localCheckpoint(eager = false)
+    val sw = counts.agg(sum(col("__w")).as("__sw"))
+    val t = counts.withColumn("__sw", sw.scalar())
+      .agg(min(expr("__n * __sw div __w")).as("__T"))
+    val rates = counts
+      .withColumn("__sw", sw.scalar())
+      .withColumn("__T", t.scalar())
+      .select(col(strataCol), expr("((__T * __w) div __sw) * 1000 div __n").as("__p"))
+    df.join(broadcast(rates), strataCol)
+      .where(bucket(col(keyCol)) < col("__p"))
+      .select(df.columns.map(col): _*)
+  }
+
   /** DETERMINISTIC GLOBAL SHUFFLE ORDER — contiguous positions 0..n−1 in a
     * salted content-hash permutation: the epoch-shuffle primitive of a
     * training pipeline (each epoch's read order must be a reproducible

@@ -321,6 +321,46 @@ object TextOps {
           .as("avg_surprisal_cb"))
   }
 
+  /** Per-document CHARACTER-distribution entropy — the compression-ratio
+    * quality proxy (machine-generated spam and binary-ish junk sit at the
+    * entropy extremes; natural text clusters mid-range). True Shannon
+    * entropy is Σ p·log₂(1/p); as everywhere in this engine the libm log is
+    * replaced by the EXACT integer floor via `bin()` length, so the score is
+    * engine-hash-comparable: per character class c with count cnt_c in a
+    * doc of n chars, bits_c = ⌊log₂(n div cnt_c)⌋, and
+    * entropy_cb = (Σ_c cnt_c · bits_c) · 100 div n — centibits/char.
+    *
+    * Character access is `substring(text, i, 1)` over an exploded 1..n
+    * sequence (code-point semantics in both Spark and DuckDB — a regex
+    * empty-pattern split would instead cut UTF-16 surrogate pairs apart in
+    * the JVM). Shape: one explode + two keyed aggregates + one join on the
+    * doc id, every aggregate map-side combined; the per-doc class table is
+    * alphabet-bounded (≤ a few hundred rows/doc), so the join sides are
+    * |docs|·|alphabet|, not corpus-character-sized. Empty docs → (0, 0). */
+  def charEntropy(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String): org.apache.spark.sql.DataFrame = {
+    val cc = docs.select(col(idCol).as("id"), col(textCol).as("__t"))
+      // sequence(1, 0) is a DESCENDING [1, 0] in Spark, so empty docs need
+      // an explicit empty array (they re-enter via the left join as (0,0))
+      .select(col("id"),
+        explode(when(length(col("__t")) === 0, array().cast("array<int>"))
+          .otherwise(sequence(lit(1), length(col("__t"))))).as("i"),
+        col("__t"))
+      .select(col("id"), expr("substring(__t, i, 1)").as("ch"))
+      .groupBy(col("id"), col("ch")).agg(count(lit(1)).as("cnt"))
+    val n = cc.groupBy(col("id")).agg(sum(col("cnt")).as("n_chars"))
+    val scored = cc.join(n, "id")
+      .withColumn("bits", (length(bin(expr("n_chars div cnt"))) - 1).cast("long"))
+      .groupBy(col("id"))
+      .agg(max(col("n_chars")).as("n_chars"),
+        sum(expr("cnt * bits")).as("sum_bits"))
+    docs.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(expr("(sum_bits * 100) div n_chars"), lit(0L))
+          .as("entropy_cb"))
+  }
+
   /** BIGRAM-LM surprisal quality score — the conditional-probability
     * refinement of [[unigramSurprisal]]: per adjacent token pair,
     * bits = ⌊log₂⌊c(w₁·)/c(w₁w₂)⌋⌋ (c(w₁·) = w₁'s count as a bigram head),

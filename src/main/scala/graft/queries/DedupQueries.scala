@@ -214,6 +214,16 @@ object DedupQueries {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // Temperature-flattened mixture at α = 1/2 (X113): per-language keep
+    // rates DERIVED from the corpus (w ∝ ⌊√n⌋ — the multilingual
+    // rebalancing rule), integer arithmetic after the one IEEE-exact sqrt,
+    // so membership is bit-identical in the oracle.
+    "sample_temperature_lang" -> q((s, dir) =>
+      graft.operators.Sampling.temperatureMixture(
+        Sources.documents(s, dir), "text", "lang")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
     // Bloom-filter membership screen in front of exact incremental dedup:
     // docs with doc_id % 5 = 4 probe a 4096-bit / 4-hash index built over
     // the rest. The md5-48 double-hash basis makes build AND probe —
@@ -255,6 +265,48 @@ object DedupQueries {
         "doc_id", "text", n = 3, threshold = JaccardThreshold)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Streaming near-dup screen (X112): new documents stream through the
+    // REAL runtime (readStream → stream-static shingle join → streaming
+    // aggregate) and are screened against the standing corpus's shingle
+    // index — the ingest-time near-dup gate. Candidates come from the
+    // exact shingle equi-join (a jaccard ≥ θ pair must share ≥ 1 shingle →
+    // recall 1.0), and because per-doc shingles are DISTINCT, the exact
+    // intersection size is simply the COUNT of shared-shingle join rows —
+    // so nothing array-typed ever rides a join row: the index is the
+    // narrow (sh, c_id, c_n) posting list, the stream side the narrow
+    // (a_id, a_n, sh) explode, and one Complete-mode aggregate keyed
+    // (a_id, c_id, a_n, c_n) turns row counts into exact jaccard. (The
+    // first form carried both shingle ARRAYS on every candidate row and
+    // re-verified per shared shingle — measured 15 s at sf0.1; this one
+    // is 2 s.) At 100 TB the candidate join bands signatures instead of
+    // raw shingles (the X49 bipartite layout) and the aggregate is
+    // watermarked by ingest time; this form is its recall-1.0
+    // verification twin, state bounded by candidate pairs.
+    "stream_docs_neardup_pairs" -> q((s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val corpusIdx = Sources.documents(s, dir)
+        .where(col("doc_id") % 5 =!= 4)
+        .select(col("doc_id").as("c_id"), Dedup.shingles(col("text")).as("c_sh"))
+        .select(col("c_id"), size(col("c_sh")).as("c_n"),
+          explode(col("c_sh")).as("sh"))
+      graft.streaming.StreamingOps.runToMemorySink(s, dir, "documents.parquet",
+        schema,
+        src => src.where(col("doc_id") % 5 === 4)
+          .select(col("doc_id").as("a_id"), Dedup.shingles(col("text")).as("a_sh"))
+          .select(col("a_id"), size(col("a_sh")).as("a_n"),
+            explode(col("a_sh")).as("sh"))
+          .join(corpusIdx, "sh")
+          .groupBy(col("a_id"), col("c_id"), col("a_n"), col("c_n"))
+          .agg(count(lit(1)).as("inter"))
+          .withColumn("jaccard", round(col("inter").cast("double") /
+            (col("a_n") + col("c_n") - col("inter")), 6))
+          .where(col("jaccard") >= JaccardThreshold)
+          .select(col("a_id"), col("c_id"), col("jaccard")),
+        mode = org.apache.spark.sql.streaming.OutputMode.Complete(),
+        shufflePartitions = Some(8))
+        .orderBy(col("a_id"), col("c_id"))
     }),
 
     // MinHash-LSH approximate near-dup (verified precision, approx recall).
@@ -701,6 +753,20 @@ object DedupQueries {
         |WHERE ${hexFold48("d.text")} % 1000 < r.p
         |ORDER BY d.doc_id""".stripMargin,
 
+    // Same ⌊√n⌋ weights (IEEE sqrt is correctly rounded in both engines),
+    // same integer rate derivation, same hash fold.
+    "sample_temperature_lang" ->
+      s"""WITH c AS (SELECT lang, count(*)::bigint AS n,
+        |                  floor(sqrt(count(*)))::bigint AS w
+        |           FROM documents GROUP BY lang),
+        |s AS (SELECT sum(w)::bigint AS sw FROM c),
+        |t AS (SELECT min(n * sw // w)::bigint AS T FROM c, s),
+        |r AS (SELECT lang, (((T * w) // sw) * 1000 // n)::bigint AS p
+        |      FROM c, s, t)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+        |WHERE ${hexFold48("d.text")} % 1000 < r.p
+        |ORDER BY d.doc_id""".stripMargin,
+
     // Full Bloom replay: Kirsch–Mitzenmacher positions over the same two
     // md5-48 folds, distinct corpus positions as the bitset, all-4-hit
     // probe; exact_hit from text membership directly.
@@ -724,6 +790,16 @@ object DedupQueries {
         |FROM batch b JOIN bh USING (doc_id) ORDER BY b.doc_id""".stripMargin,
 
     // Bipartite exact-similarity form of the incremental pipeline: batch
+    // The streamed screen's batch definition: every (arrival, corpus) pair
+    // at exact jaccard ≥ θ — AvailableNow processes the whole arrival set,
+    // so the sink equals the bipartite join.
+    "stream_docs_neardup_pairs" ->
+      raw"""$shingleCte
+        |SELECT a.doc_id AS a_id, b.doc_id AS c_id, $jaccardExpr AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id % 5 = 4 AND b.doc_id % 5 <> 4
+        |WHERE $jaccardExpr >= 0.8
+        |ORDER BY a_id, c_id""".stripMargin,
+
     // survivors = within-batch min-id per md5, minus exact corpus twins,
     // minus docs with an exact-jaccard ≥ θ corpus neighbor.
     "dedup_incremental" ->

@@ -68,7 +68,14 @@ object LexicalQueries {
     // rate against the deterministic top-16 vocabulary cut.
     "text_oov_rate" -> q((s, dir) =>
       Lexical.oovReport(Sources.documents(s, dir), "doc_id", "text", k = 16)
-        .orderBy(col("doc_id"))))
+        .orderBy(col("doc_id"))),
+
+    // BM25 ranking over the postings term set (X110): exact-integer Okapi
+    // score (bin()-length idf, fraction-cleared tf normalization at
+    // k1 = 6/5, b = 3/4), milli-units.
+    "text_bm25" -> q((s, dir) =>
+      Lexical.bm25(Sources.documents(s, dir), "doc_id", "text", postingTerms)
+        .orderBy(col("bm25_milli").desc, col("doc_id"))))
 
   private val toks = raw"regexp_split_to_array(trim(text), '\s+')"
   private val bpeish = raw"regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+')"
@@ -159,5 +166,31 @@ object LexicalQueries {
         |             ELSE (sum(bp) * 10000) // sum(ws) END)::bigint AS fertility_bp,
         |       (CASE WHEN sum(bp) = 0 THEN 0
         |             ELSE (sum(ch) * 100) // sum(bp) END)::bigint AS chars_per_token_cb
-        |FROM s GROUP BY lang, source ORDER BY lang, source""".stripMargin)
+        |FROM s GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    // Same bin()-length idf, same fraction-cleared normalization with the
+    // k1 = 6/5, b = 3/4 constants folded ((k1n+k1d)·bd = 44, k1d·bd = 20,
+    // k1n·(bd−bn) = 6, k1n·bn = 18); hugeint products, bigint out.
+    "text_bm25" ->
+      raw"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+        |dl AS (SELECT doc_id, len(tk)::bigint AS dl FROM t),
+        |st AS (SELECT count(*)::bigint AS n_docs,
+        |              (sum(dl) // count(*))::bigint AS avgdl FROM dl),
+        |f AS (SELECT doc_id, unnest(tk) AS token FROM t)  ,
+        |ft AS (SELECT doc_id, token FROM f
+        |       WHERE token IN ('stream', 'vector', 'window')),
+        |tf AS (SELECT doc_id, token, count(*)::bigint AS tf
+        |       FROM ft GROUP BY doc_id, token),
+        |df AS (SELECT token, count(DISTINCT doc_id)::bigint AS df
+        |       FROM ft GROUP BY token),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    (((length(bin((st.n_docs // df.df)::bigint)) - 1)::HUGEINT
+        |      * tf.tf * 44 * st.avgdl * 1000)
+        |     // (20 * st.avgdl * tf.tf + 6 * st.avgdl + 18 * dl.dl)) AS milli
+        |  FROM tf JOIN df USING (token)
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st)
+        |SELECT doc_id, count(*)::bigint AS n_terms,
+        |       sum(milli)::bigint AS bm25_milli
+        |FROM sc GROUP BY doc_id ORDER BY bm25_milli DESC, doc_id""".stripMargin)
 }

@@ -91,6 +91,12 @@ object TextQueries {
       TextOps.bigramSurprisal(Sources.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Character-distribution entropy (X111): the compression-ratio quality
+    // proxy, same bin()-length integer log2 — centibits per character.
+    "text_char_entropy" -> q((s, dir) =>
+      TextOps.charEntropy(Sources.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // Count-min sketch over corpus tokens (X60): build the 4×512 mergeable
     // cell table (one narrow map + one map-side-combined agg — ≤ d·w cells
     // per mapper in the shuffle), probe the 50 most frequent tokens
@@ -276,6 +282,25 @@ object TextQueries {
         |            ORDER BY score_bp DESC, token ASC) AS rnk
         |  FROM scored)
         |WHERE rnk <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // Same substring(i,1) character access (code-point semantics in both
+    // engines), same bin()-length integer log2.
+    "text_char_entropy" ->
+      raw"""WITH c AS (
+        |  SELECT doc_id, substr(text, i, 1) AS ch
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        |        FROM documents)),
+        |cc AS (SELECT doc_id, ch, count(*) AS cnt FROM c GROUP BY doc_id, ch),
+        |l AS (SELECT doc_id, sum(cnt)::bigint AS n_chars FROM cc GROUP BY doc_id),
+        |e AS (
+        |  SELECT cc.doc_id, max(l.n_chars) AS n_chars,
+        |         sum(cnt * (length(bin((l.n_chars // cnt)::bigint)) - 1))::bigint
+        |           AS sum_bits
+        |  FROM cc JOIN l USING (doc_id) GROUP BY cc.doc_id)
+        |SELECT d.doc_id, coalesce(e.n_chars, 0)::bigint AS n_chars,
+        |       coalesce((e.sum_bits * 100) // e.n_chars, 0)::bigint AS entropy_cb
+        |FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Same integer log2: length(bin(N // cnt)) - 1 in both engines.
     "text_surprisal" ->

@@ -129,4 +129,26 @@ class LexicalSpec extends AnyFunSuite {
         s"bpeish must not merge across words: $r")
     }
   }
+
+  test("bm25: hand-computed integer score on a 4-doc corpus") {
+    import spark.implicits._
+    // N=4, dl = 3,2,4,3 → avgdl = 12 div 4 = 3.
+    // "cat": df=2 → idf_bits = len(bin(4 div 2))-1 = 1
+    // "dog": df=1 → idf_bits = len(bin(4 div 1))-1 = 2
+    val corpus = Seq(
+      (1L, "cat dog cat"), // cat tf=2, dog tf=1, dl=3
+      (2L, "cat fish"),    // cat tf=1, dl=2
+      (3L, "bird bird bird bird"), // no match, dl=4
+      (4L, "x y z")).toDF("doc_id", "text")
+    val out = Lexical.bm25(corpus, "doc_id", "text", Seq("cat", "dog"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // milli = (idf·tf·44·avgdl·1000) div (20·avgdl·tf + 6·avgdl + 18·dl)
+    //       = (idf·tf·132000) div (60·tf + 18 + 18·dl) at avgdl = 3
+    // doc1/cat: (1·2·132000) div (120 + 18 + 54) = 264000 div 192 = 1375
+    // doc1/dog: (2·1·132000) div (60 + 18 + 54)  = 264000 div 132 = 2000
+    // doc2/cat: (1·1·132000) div (60 + 18 + 36)  = 132000 div 114 = 1157
+    assert(out == Map(1L -> (2L, 1375L + 2000L), 2L -> (1L, 1157L)))
+    // doc with no query terms emits no row
+    assert(!out.contains(3L) && !out.contains(4L))
+  }
 }

@@ -194,4 +194,33 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.map(x => x._1 -> x._3).toMap != out2.map(x => x._1 -> x._3).toMap,
       "the within-band permutation must actually change with the salt")
   }
+
+  test("temperatureMixture: ⌊√n⌋-weighted rates, smallest stratum fully kept") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // counts 100/25/4 → w = 10/5/2, Σw = 17,
+    // T = min(100·17/10, 25·17/5, 4·17/2) = min(170, 85, 34) = 34,
+    // targets = (34·10)/17, (34·5)/17, (34·2)/17 = 20, 10, 4,
+    // rates ‰ = 20000/100, 10000/25, 4000/4 = 200, 400, 1000.
+    val rows = (1 to 100).map(i => (s"a$i", "A")) ++
+      (1 to 25).map(i => (s"b$i", "B")) ++ (1 to 4).map(i => (s"c$i", "C"))
+    val df = rows.toDF("text", "lang")
+    val kept = Sampling.temperatureMixture(df, "text", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // membership must equal the independent bucket-rule realization
+    val expectedRates = Map("A" -> 200L, "B" -> 400L, "C" -> 1000L)
+    val expected = df
+      .withColumn("b", pmod(Dedup.md5Hash48(col("text")), lit(1000L)))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .filter { case (_, l, b) => b < expectedRates(l) }
+      .map(t => (t._1, t._2)).toSet
+    assert(kept == expected)
+    // the smallest stratum is fully kept (rate 1000); flattening holds
+    assert(kept.count(_._2 == "C") == 4)
+    // partition-invariance
+    val kept2 = Sampling.temperatureMixture(df.repartition(7), "text", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(kept2 == kept)
+  }
 }

@@ -284,6 +284,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(twice == Set("example.com/a/b", "example.com/other"))
   }
 
+  test("charEntropy: hand-checked integer centibits; uniform/constant extremes") {
+    import SparkTestSession.spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa"), // one class: bits = len(bin(4 div 4))-1 = 0 → 0 cb
+      (2L, "abab"), // two classes cnt 2: bits = len(bin(2))-1 = 1 → 100 cb
+      (3L, "abcd"), // four classes cnt 1: bits = len(bin(4))-1 = 2 → 200 cb
+      (4L, "aab"),  // a: bits(3 div 2 = 1) = 0; b: bits(3) = 1 → 100 div 3 = 33
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextOps.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> (4L, 0L), 2L -> (4L, 100L), 3L -> (4L, 200L),
+      4L -> (3L, 33L), 5L -> (0L, 0L)))
+  }
+
   test("canonicalize: control/space runs collapse, ends trim, idempotent") {
     import SparkTestSession.spark.implicits._
     val docs = Seq(
