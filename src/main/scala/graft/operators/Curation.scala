@@ -440,4 +440,32 @@ object Curation {
            |                      - cast(s AS decimal(38,0)) * s)""".stripMargin))
       .select(col(groupCol), col("day"), col("n"), col("is_anomaly"))
   }
+
+  /** COMPOSITION-DRIFT report between two corpus snapshots (old vs new
+    * crawl, train vs holdout, yesterday vs today): per stratum, each side's
+    * share in exact integer basis points and the absolute share delta —
+    * Σ delta_bp/2 over the output is total-variation distance ×10⁴, the
+    * drift metric that needs no libm log (the PSI log-ratio term is
+    * last-ulp engine-dependent; TVD is exact and bounds it). Side
+    * membership is any boolean column expression, so the two snapshots can
+    * be halves of one table (id parity), a date split, or a version column.
+    *
+    * Shape: ONE pass — a |strata|-row conditional-count aggregate (map-side
+    * combined), totals back as a 1-row scalar struct, a narrow share map.
+    * The corpus is never shuffled. Strata missing from one side report
+    * share 0 there — exactly the rows a drift monitor cares about. */
+  def distributionDrift(df: DataFrame, strataCol: String,
+                        isSideA: Column): DataFrame = {
+    val agg = df.groupBy(col(strataCol))
+      .agg(sum(when(isSideA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(isSideA, 0L).otherwise(1L)).as("n_b"))
+      .localCheckpoint(eager = false) // feeds the totals AND the share map
+    val tot = agg.agg(struct(sum(col("n_a")).as("t_a"),
+      sum(col("n_b")).as("t_b")).as("s"))
+    agg.withColumn("__t", tot.scalar())
+      .select(col(strataCol), col("n_a"), col("n_b"),
+        expr("n_a * 10000 div __t.t_a").as("p_bp"),
+        expr("n_b * 10000 div __t.t_b").as("q_bp"))
+      .withColumn("delta_bp", abs(col("p_bp") - col("q_bp")))
+  }
 }

@@ -526,6 +526,67 @@ object TextOps {
           .as("n_merges"))
   }
 
+  /** Adjacent SYMBOL pairs of an anchored symbol string (see [[bpeTrain]]):
+    * `" a b ab"` → `["a b", "b ab"]`; single-symbol words → empty. */
+  private def symPairs(syms: Column): Column = {
+    val arr = split(expr("substring(__syms_in, 2)"), " ")
+    when(size(arr) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(arr) - 1),
+        j => concat(element_at(arr, j), lit(" "), element_at(arr, j + 1))))
+  }
+
+  /** FULL BPE merge-table training — [[applyTopBpeMerge]]'s loop body
+    * iterated `nMerges` times: count adjacent symbol pairs over the
+    * distinct-word vocabulary (occurrence-weighted by word count), fuse the
+    * argmax pair into every word, repeat on the rewritten vocabulary.
+    * Output: the trained merge table (step, pair, n_total) — the artifact a
+    * tokenizer ships.
+    *
+    * Multi-char symbols make the single-merge op's bare `replace` unsound
+    * (pattern "b c" would match INSIDE symbol "ab" followed by "c"), so
+    * words are held in an ANCHORED symbol string — every symbol prefixed by
+    * exactly one space (`"ab c"` → `" a b  c"`... i.e. `" "+join(" ")`) —
+    * and the merge rewrites `" A B"` → `" AB"`. The leading space anchors
+    * each match at a symbol boundary (symbols contain no spaces), and
+    * because only the LEADING delimiter is in the pattern, consecutive
+    * occurrences don't overlap: leftmost-continue `replace` — identical in
+    * the JVM and DuckDB — is then exactly BPE's greedy leftmost
+    * non-overlapping fuse (`" a a a"` merging (a,a) → `" aa a"`).
+    *
+    * Scale: every iteration is |vocab|-sized (the corpus is touched ONCE by
+    * the word-count aggregate) — the same trick real BPE trainers use. Each
+    * round's argmax rides as a 1-row scalar subquery (no driver collect, no
+    * join node); each round's vocabulary is lazily pinned so round k+1's
+    * pair scan reuses round k's rewrite instead of replaying the chain. */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String, nMerges: Int): org.apache.spark.sql.DataFrame = {
+    require(nMerges >= 1, "nMerges >= 1")
+    var cur = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .withColumn("syms",
+        concat(lit(" "), array_join(split(col("w"), ""), " ")))
+      .localCheckpoint(eager = false)
+    val steps = (1 to nMerges).map { i =>
+      val top = cur
+        .select(col("wc"), col("syms").as("__syms_in"))
+        .select(col("wc"), explode(symPairs(col("__syms_in"))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("n_total"))
+        .orderBy(col("n_total").desc, col("pair").asc).limit(1)
+        .localCheckpoint(eager = false) // feeds the rewrite AND the output
+      val pat = top.select(struct(
+        concat(lit(" "), col("pair")).as("pat"),
+        concat(lit(" "), regexp_replace(col("pair"), " ", "")).as("rep")).as("s"))
+      cur = cur
+        .withColumn("__s", pat.scalar())
+        .withColumn("syms", expr("replace(syms, __s.pat, __s.rep)"))
+        .drop("__s")
+        .localCheckpoint(eager = false)
+      top.select(lit(i).as("step"), col("pair"), col("n_total"))
+    }
+    steps.reduce(_ unionByName _)
+  }
+
   /** Default feature-hash dimensionality for [[classifierMargin]]: small
     * enough that the weight vector embeds as literals in the generated
     * oracle SQL, large enough to exercise real bucket dispersion. Production

@@ -168,6 +168,15 @@ object CurationQueries {
           max(col("tk")).as("max_tokens"))
         .orderBy(col("source"), col("lang"))),
 
+    // Composition-drift report (X115): per-source share of each snapshot
+    // half (id parity stands in for old/new crawl) in exact integer basis
+    // points, plus the absolute delta — Σdelta/2 is TVD×10⁴, the
+    // no-libm-log drift metric. One conditional-count aggregate.
+    "corpus_drift_by_source" -> q((s, dir) =>
+      Curation.distributionDrift(Sources.documents(s, dir), "source",
+        col("doc_id") % 2 === 0)
+        .orderBy(col("source"))),
+
     // Quality-score distribution histogram (X68): integer thousand-bp
     // buckets per language — the calibration/drift view over the same
     // integer score basis the gates threshold on. Pure integer bucketing:
@@ -449,8 +458,23 @@ object CurationQueries {
 
     // md5 membership/content compare on both sides; the FULL JOIN emits the
     // delta only, like the operator.
+    // Same conditional counts, same integer share basis points.
+    "corpus_drift_by_source" ->
+      raw"""WITH c AS (
+        |  SELECT source,
+        |         sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::bigint AS n_a,
+        |         sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END)::bigint AS n_b
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT sum(n_a)::bigint AS t_a, sum(n_b)::bigint AS t_b FROM c)
+        |SELECT source, n_a, n_b,
+        |       (n_a * 10000 // t_a)::bigint AS p_bp,
+        |       (n_b * 10000 // t_b)::bigint AS q_bp,
+        |       abs((n_a * 10000 // t_a) - (n_b * 10000 // t_b))::bigint
+        |         AS delta_bp
+        |FROM c, t ORDER BY source""".stripMargin,
+
     "corpus_snapshot_diff" ->
-      """WITH o AS (SELECT doc_id, md5(text) AS old_md5 FROM documents
+"""WITH o AS (SELECT doc_id, md5(text) AS old_md5 FROM documents
         |           WHERE doc_id % 7 <> 6),
         |n AS (SELECT doc_id,
         |        md5(CASE WHEN doc_id % 11 = 3 THEN text || ' v2'

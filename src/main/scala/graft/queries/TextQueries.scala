@@ -143,6 +143,14 @@ object TextQueries {
       TextOps.applyTopBpeMerge(Sources.documents(s, dir), "doc_id", "text")
         .orderBy(col("w"))),
 
+    // Full BPE merge-table training (X114): six merge rounds of the
+    // count-pairs → fuse-argmax loop over the distinct-word vocabulary —
+    // the tokenizer-training artifact itself, every round |vocab|-sized.
+    "text_bpe_train" -> q((s, dir) =>
+      TextOps.bpeTrain(Sources.documents(s, dir), "doc_id", "text",
+        nMerges = 6)
+        .orderBy(col("step"))),
+
     // Hashed linear classifier inference (X73): the fastText-style learned
     // quality filter as a zero-shuffle narrow map — token → md5-48 feature
     // bucket, integer weight lookup (weights ride as codegen literals),
@@ -402,6 +410,39 @@ object TextQueries {
         |       count(DISTINCT w) AS n_words
         |FROM pairs GROUP BY pair
         |ORDER BY n_total DESC, pair ASC LIMIT 50""".stripMargin,
+
+    // Six unrolled rounds of the same loop: each round's CTE trio recounts
+    // pairs over the previous round's rewritten vocabulary, picks the same
+    // (n_total DESC, pair ASC) argmax, and applies the same anchored
+    // leading-space replace (' '||pair → ' '||fused).
+    "text_bpe_train" -> {
+      val rounds = (1 to 6).map { i =>
+        raw"""p$i AS (
+          |  SELECT pair, sum(wc) AS n_total FROM (
+          |    SELECT wc, unnest(CASE WHEN len(a) < 2 THEN []::varchar[]
+          |           ELSE list_transform(range(1, len(a)),
+          |                               j -> a[j] || ' ' || a[j + 1]) END) AS pair
+          |    FROM (SELECT wc, string_split(substr(syms, 2), ' ') AS a
+          |          FROM s${i - 1}))
+          |  GROUP BY pair),
+          |t$i AS (SELECT pair, n_total FROM p$i
+          |        ORDER BY n_total DESC, pair ASC LIMIT 1),
+          |s$i AS (SELECT wc, replace(syms, ' ' || pair,
+          |                           ' ' || replace(pair, ' ', '')) AS syms
+          |        FROM s${i - 1}, t$i)""".stripMargin
+      }.mkString(",\n")
+      val steps = (1 to 6)
+        .map(i => s"SELECT $i AS step, pair, n_total::bigint AS n_total FROM t$i")
+        .mkString("\nUNION ALL ")
+      raw"""WITH v AS (
+        |  SELECT w, count(*) AS wc
+        |  FROM (SELECT unnest($toks) AS w FROM documents) GROUP BY w),
+        |s0 AS (SELECT wc, ' ' || array_to_string(string_split(w, ''), ' ')
+        |         AS syms FROM v),
+        |$rounds
+        |$steps
+        |ORDER BY step""".stripMargin
+    },
 
     // Same argmax pair, same greedy-leftmost replace() fuse over the
     // space-joined symbol form.

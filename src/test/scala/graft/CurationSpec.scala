@@ -270,4 +270,24 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.dailyVolumeAnomalies(b, "g", "ts", k = 3)
       .where(col("is_anomaly")).count() == 0, "z = 3 exactly must not flag at k = 3")
   }
+
+  test("distributionDrift: exact share bps, one-sided strata, TVD ties out") {
+    import spark.implicits._
+    // side A: 60 x, 40 y (10000 bp split 6000/4000)
+    // side B: 25 x, 25 y, 50 z (2500/2500/5000)
+    val rows = Seq.fill(60)(("x", true)) ++ Seq.fill(40)(("y", true)) ++
+      Seq.fill(25)(("x", false)) ++ Seq.fill(25)(("y", false)) ++
+      Seq.fill(50)(("z", false))
+    val df = rows.toDF("s", "a")
+    val out = Curation.distributionDrift(df, "s", col("a"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(out == Map(
+      "x" -> ((60L, 25L, 6000L, 2500L, 3500L)),
+      "y" -> ((40L, 25L, 4000L, 2500L, 1500L)),
+      "z" -> ((0L, 50L, 0L, 5000L, 5000L))))
+    // Σdelta/2 = TVD×10⁴
+    assert(out.values.map(_._5).sum / 2 == 5000L)
+  }
 }

@@ -284,6 +284,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(twice == Set("example.com/a/b", "example.com/other"))
   }
 
+  test("bpeTrain: three hand-computed merge rounds, multi-char anchoring correct") {
+    import SparkTestSession.spark.implicits._
+    // vocab: (aaab, 3), (ab, 2)
+    // r1: "a a"=6 beats "a b"=5 → merge; "aaab" → (aa, a, b) — greedy
+    //     leftmost must NOT chain into (aaa, b)
+    // r2: "a b"=5 beats "aa a"=3 → merge
+    // r3: only "aa ab"=3 remains — the multi-char round: a bare replace of
+    //     pattern "a b" here would have corrupted symbols ("aa ab" contains
+    //     it mid-symbol); the anchored form must not
+    val docs = (Seq.fill(3)("aaab") ++ Seq.fill(2)("ab")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = TextOps.bpeTrain(docs, "doc_id", "text", nMerges = 3)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((1, "a a", 6L), (2, "a b", 5L), (3, "aa ab", 3L)))
+  }
+
   test("charEntropy: hand-checked integer centibits; uniform/constant extremes") {
     import SparkTestSession.spark.implicits._
     val docs = Seq(
