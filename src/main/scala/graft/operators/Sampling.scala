@@ -226,6 +226,43 @@ object Sampling {
       .select(col(idCol), col(bandCol), col("position"))
   }
 
+  /** LENGTH-BUCKETED BATCH ASSIGNMENT — the inference/packing batcher:
+    * rows bucket by length (padding waste inside a batch is bounded by the
+    * bucket's width), then each bucket is cut into deterministic
+    * `batchSize`-row batches in salted content-hash order. Output:
+    * (idCol, bucket, batch, slot) — batch/slot are a pure function of
+    * content, so the same document lands in the same batch on every run,
+    * every cluster, every partitioning (resume-safe inference).
+    *
+    * `bounds` are ascending lower-bound cut points: bucket = #bounds ≤ len
+    * (bucket 0 = below the first bound). Positions come from
+    * [[bandedHashOrder]] (band = bucket) — the order-preserving two-level
+    * numbering, no global single-partition sort — and convert to per-bucket
+    * batch/slot by subtracting |buckets|-row broadcast offsets: ONE window
+    * over bucket counts, never over rows. */
+  def lengthBatches(df: DataFrame, keyCol: String, idCol: String,
+                    lenCol: String, bounds: Seq[Long], batchSize: Int,
+                    salt: String = "len0"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(batchSize > 0, "batchSize > 0")
+    require(bounds.nonEmpty && bounds == bounds.sorted &&
+      bounds.distinct == bounds, "bounds must be ascending and distinct")
+    val bucket = bounds.foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(col(lenCol) >= b, 1L).otherwise(0L)
+    }
+    val pos = bandedHashOrder(df.withColumn("__bucket", bucket),
+      "__bucket", keyCol, idCol, salt)
+    val wB = Window.orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = pos.groupBy(col("__bucket")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(wB), lit(0L)))
+      .select(col("__bucket"), col("__off"))
+    pos.join(broadcast(off), "__bucket")
+      .select(col(idCol), col("__bucket").as("bucket"),
+        expr(s"(position - __off) div $batchSize").as("batch"),
+        expr(s"(position - __off) % $batchSize").as("slot"))
+  }
+
   /** WEIGHTED Poisson sampling: include each row independently with
     * probability proportional to its weight, π_i = min(1, n·w_i/W) — the
     * importance-sampling primitive (draw a ~n-row sample where a

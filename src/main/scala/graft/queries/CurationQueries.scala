@@ -168,6 +168,17 @@ object CurationQueries {
           max(col("tk")).as("max_tokens"))
         .orderBy(col("source"), col("lang"))),
 
+    // Length-bucketed batch assignment (X119): the inference/packing
+    // batcher — bucket by n_chars (bounds 200/400/800), deterministic
+    // 32-row batches in salted content-hash order per bucket. batch/slot
+    // are pure content functions (resume-safe), positions from the
+    // order-preserving two-level numbering (no global sort).
+    "corpus_length_batches" -> q((s, dir) =>
+      graft.operators.Sampling.lengthBatches(
+        Sources.documents(s, dir), "text", "doc_id", "n_chars",
+        bounds = Seq(200L, 400L, 800L), batchSize = 32)
+        .orderBy(col("doc_id"))),
+
     // Composition-drift report (X115): per-source share of each snapshot
     // half (id parity stands in for old/new crawl) in exact integer basis
     // points, plus the absolute delta — Σdelta/2 is TVD×10⁴, the
@@ -458,6 +469,23 @@ object CurationQueries {
 
     // md5 membership/content compare on both sides; the FULL JOIN emits the
     // delta only, like the operator.
+    // Definitional per-bucket row_number over the same salted fold — the
+    // equality proves the two-level offset decomposition exact.
+    "corpus_length_batches" ->
+      raw"""SELECT doc_id, bucket,
+        |       ((rn - 1) // 32)::bigint AS batch,
+        |       ((rn - 1) % 32)::bigint AS slot
+        |FROM (SELECT doc_id, bucket,
+        |        row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS rn
+        |      FROM (SELECT doc_id,
+        |              (CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END
+        |               + CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END
+        |               + CASE WHEN n_chars >= 800 THEN 1 ELSE 0 END)::bigint
+        |                AS bucket,
+        |              ${DedupQueries.hexFold48("'len0:' || text")} AS h
+        |            FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+
     // Same conditional counts, same integer share basis points.
     "corpus_drift_by_source" ->
       raw"""WITH c AS (

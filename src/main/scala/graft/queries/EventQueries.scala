@@ -249,6 +249,35 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Streaming exactly-once parquet sink round-trip (X120): the
+    // PRODUCTION sink path driver-checked — readStream → foreachBatch with
+    // dynamic-partition-overwrite parquet (a replayed batch id overwrites
+    // its own partition: restart-idempotent) → batch read-back, values
+    // hash-compared against the batch definition. Output and checkpoint
+    // are wiped per invocation: a retained checkpoint would make re-runs
+    // exactly-once NO-OPS (correct, but then nothing is measured).
+    "stream_sink_parquet_roundtrip" -> q((s, dir) => {
+      val (schema, norm) = eventsStreamLayout(s, dir)
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_psink_${Integer.toHexString(dir.hashCode)}")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      if (base.exists()) rm(base)
+      val out = new java.io.File(base, "out").getPath
+      val ckpt = new java.io.File(base, "ckpt").getPath
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val sq = graft.streaming.StreamingOps.toParquetBatches(
+        norm(src).where(col("event_id") % 100 === 0)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value")),
+        out, ckpt, availableNow = true)
+      try sq.awaitTermination() finally if (sq.isActive) sq.stop()
+      s.read.parquet(out).drop("__batch_id").orderBy(col("event_id"))
+    }),
+
     // JSON property extraction from the props column (get_json_object).
     "events_json_agg" -> q((s, dir) =>
       Sources.events(s, dir)
@@ -562,6 +591,12 @@ object EventQueries {
     // Same content fingerprint (md5 over the '|'-joined utf8 string) and
     // the same anti semantics — stateless, so batch SQL reproduces the
     // streamed result exactly.
+    // The sink round-trip's batch definition: the filtered projection
+    // straight off the events table.
+    "stream_sink_parquet_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE event_id % 100 = 0 ORDER BY event_id""".stripMargin,
+
     "stream_events_new_arrivals" ->
       """WITH h AS (
         |  SELECT DISTINCT md5(concat_ws('|', user_id, event_type, props)) AS fp

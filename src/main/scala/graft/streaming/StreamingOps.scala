@@ -217,14 +217,18 @@ object StreamingOps {
     * checkpoint commit) overwrites its own partition instead of appending a
     * second copy, which is what makes the replay idempotent. Returns the
     * started query; caller owns lifecycle. */
-  def toParquetBatches(df: DataFrame, outDir: String, checkpoint: String)
-  : org.apache.spark.sql.streaming.StreamingQuery =
-    df.writeStream
+  def toParquetBatches(df: DataFrame, outDir: String, checkpoint: String,
+                       availableNow: Boolean = false)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         writeBatch(batch, id, outDir)
       }
-      .start()
+    (if (availableNow)
+      w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else w).start()
+  }
 
   /** The per-batch body of [[toParquetBatches]], exposed so replay
     * idempotency is directly testable: re-running a batch id overwrites

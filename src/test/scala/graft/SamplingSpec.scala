@@ -195,6 +195,38 @@ class SamplingSpec extends AnyFunSuite {
       "the within-band permutation must actually change with the salt")
   }
 
+  test("lengthBatches: per-bucket batches ≡ definitional rank, partition-invariant") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    import org.apache.spark.sql.expressions.Window
+    val rows = (1 to 90).map(i => (i.toLong, s"doc$i", (i % 9) * 100L))
+    val df = rows.toDF("id", "text", "len")
+    val out = Sampling.lengthBatches(df, "text", "id", "len",
+      bounds = Seq(200L, 500L), batchSize = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // definitional: per-bucket rank in (salted hash, id) order
+    val ref = df
+      .withColumn("bucket",
+        (when(col("len") >= 200, 1L).otherwise(0L) +
+          when(col("len") >= 500, 1L).otherwise(0L)))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("bucket"))
+        .orderBy(Dedup.md5Hash48(concat(lit("len0:"), col("text"))), col("id"))))
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("bucket"), (r.getAs[Int]("rn") - 1L) / 4,
+          (r.getAs[Int]("rn") - 1L) % 4))).toMap
+    assert(out == ref)
+    // every batch holds ≤ batchSize rows, slots are 0..n-1 within a batch
+    val sizes = out.values.groupBy(v => (v._1, v._2)).view.mapValues(_.size)
+    assert(sizes.values.forall(_ <= 4))
+    // partition-invariance
+    val out2 = Sampling.lengthBatches(df.repartition(13), "text", "id", "len",
+      bounds = Seq(200L, 500L), batchSize = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out2 == out)
+  }
+
   test("temperatureMixture: ⌊√n⌋-weighted rates, smallest stratum fully kept") {
     import spark.implicits._
     import graft.operators.Dedup
