@@ -51,4 +51,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // inside the first timed queries and show up as phantom per-query spikes
   // (part of the 47s-vs-167s bench irreproducibility in round 2).
   "-XX:+AlwaysPreTouch",
+  // A 167-query run compiles thousands of generated (codegen) classes; the
+  // JDK 17 default 240m code cache fills mid-run, after which HotSpot stops
+  // JIT-compiling (or flushes hot methods) and whole-stage-codegen'd
+  // operators run INTERPRETED — the round-8 symptom was multi-stage queries
+  // measuring 2-3x their filtered-run wall with matching extra CPU, zero
+  // GC, zero steal.
+  "-XX:ReservedCodeCacheSize=1g",
 )

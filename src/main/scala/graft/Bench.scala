@@ -97,6 +97,12 @@ object Bench {
       // only released after their RDDs are garbage-collected — at the default
       // 30min the whole bench accrues dead blocks
       .config("spark.cleaner.periodicGC.interval", "1min")
+      // codegen CLASS cache (static conf, default 100 entries): a
+      // 167-query surface has far more codegen units than 100, so at the
+      // default every query Janino-recompiles its whole-stage code on each
+      // bench invocation after neighbors evict it — driver-side seconds
+      // per pass that measure the cache, not the engine
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
