@@ -526,6 +526,60 @@ object TextOps {
           .as("n_merges"))
   }
 
+  /** CONTENT-DEFINED CHUNKING (CDC — the Rabin/FastCDC idea at token
+    * granularity): a chunk boundary falls after token i exactly when the
+    * content hash of the `window`-token span ending at i lands on the
+    * modulus (hash % modulus == 0, expected chunk length ≈ modulus tokens).
+    * Because boundaries depend only on LOCAL content, an edit near the
+    * start of a document realigns within ~one chunk and every later chunk
+    * hash is unchanged — the property that makes chunk-level dedup survive
+    * boilerplate insertions, where fixed-size chunking ([[chunks]])
+    * misaligns everything after the edit. Production CDC adds min/max
+    * chunk clamps; the unclamped form keeps the definition a pure
+    * per-position predicate, exactly replayable in SQL.
+    *
+    * Shape: entirely row-local HOFs (filter/transform over the token
+    * array) + ONE posexplode — a narrow map, no shuffle, no window
+    * function; chunk fingerprints feed the usual hash-groupBy dedup
+    * downstream. Output: (idCol, chunk_idx, start_tok, end_tok, n_tokens,
+    * chunk_md5) with [start_tok, end_tok) half-open token offsets
+    * partitioning [0, n). Empty docs emit no chunks; docs shorter than
+    * `window` emit one whole-doc chunk. */
+  def cdcChunks(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, window: Int = 8, modulus: Int = 64)
+  : org.apache.spark.sql.DataFrame = {
+    require(window > 0 && modulus > 0, "window > 0, modulus > 0")
+    val base = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+      .withColumn("n", size(col("tk")).cast("long"))
+      .where(col("n") > 0)
+    // sequence(w, n) DESCENDS when n < w (the charEntropy lesson) — docs
+    // shorter than the window have no boundary candidates at all
+    val boundaries = filter(
+      when(col("n") < window, array().cast("array<long>"))
+        .otherwise(sequence(lit(window.toLong), col("n"))),
+      i => pmod(graft.operators.Dedup.md5Hash48(
+        concat_ws(" ", slice(col("tk"), (i - window + 1).cast("int"),
+          lit(window)))), lit(modulus.toLong)) === 0L)
+    val withBounds = base
+      .withColumn("__b", concat(array(lit(0L)), boundaries))
+      .withColumn("__b",
+        when(element_at(col("__b"), -1) === col("n"), col("__b"))
+          .otherwise(concat(col("__b"), array(col("n")))))
+    withBounds
+      .select(col("id"), col("tk"),
+        posexplode(transform(sequence(lit(0), size(col("__b")) - 2),
+          j => struct(
+            element_at(col("__b"), (j + 1).cast("int")).as("s"),
+            element_at(col("__b"), (j + 2).cast("int")).as("e"))))
+          .as(Seq("chunk_idx", "c")))
+      .select(col("id").as(idCol), col("chunk_idx"),
+        col("c.s").as("start_tok"), col("c.e").as("end_tok"),
+        (col("c.e") - col("c.s")).as("n_tokens"),
+        md5(concat_ws(" ", slice(col("tk"), (col("c.s") + 1).cast("int"),
+          (col("c.e") - col("c.s")).cast("int"))).cast("binary"))
+          .as("chunk_md5"))
+  }
+
   /** Adjacent SYMBOL pairs of an anchored symbol string (see [[bpeTrain]]):
     * `" a b ab"` → `["a b", "b ab"]`; single-symbol words → empty. */
   private def symPairs(syms: Column): Column = {

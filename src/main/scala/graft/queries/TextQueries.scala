@@ -126,6 +126,15 @@ object TextQueries {
           chunkTokens = 32, strideTokens = 24)
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // Content-defined chunking (X121): boundaries where the rolling
+    // 8-token span hash % 32 == 0 — edits realign within ~a chunk, so
+    // chunk-fingerprint dedup survives boilerplate insertions that
+    // misalign fixed-size chunks. Row-local HOFs + one explode.
+    "text_cdc_chunks" -> q((s, dir) =>
+      TextOps.cdcChunks(Sources.documents(s, dir), "doc_id", "text",
+          window = 8, modulus = 32)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // BPE merge-pair statistics (X64): corpus-wide adjacent-character-pair
     // counts, weighted by word frequency — the first iteration of BPE
     // vocabulary training. Pair work scales with |vocab|, not corpus size
@@ -377,6 +386,33 @@ object TextQueries {
     // Same chunk grid: starts 0,24,48,… with count 1+⌈(n−32)/24⌉ (integer
     // ceil-div both sides); DuckDB 1-based inclusive list slices ≡ Spark
     // slice(start+1, 32), both clamping at the array end.
+    // Same rolling-span fold, same modulus predicate, same boundary
+    // completion — the per-position definition replayed with list HOFs.
+    "text_cdc_chunks" -> {
+      val spanFold = DedupQueries.hexFold48("array_to_string(tk[i-7 : i], ' ')")
+      raw"""WITH t AS (
+        |  SELECT doc_id, $toks AS tk FROM documents
+        |  WHERE length(trim(text)) > 0),
+        |b AS (
+        |  SELECT doc_id, tk,
+        |         list_concat([0]::bigint[],
+        |           list_filter(range(8, len(tk) + 1),
+        |                       i -> ($spanFold) % 32 = 0)) AS b0
+        |  FROM t),
+        |bb AS (
+        |  SELECT doc_id, tk,
+        |         CASE WHEN b0[-1] = len(tk) THEN b0
+        |              ELSE list_concat(b0, [len(tk)::bigint]) END AS bs
+        |  FROM b),
+        |c AS (
+        |  SELECT doc_id, tk, bs, unnest(range(1, len(bs))) AS j FROM bb)
+        |SELECT doc_id, (j - 1)::int AS chunk_idx,
+        |       bs[j]::bigint AS start_tok, bs[j + 1]::bigint AS end_tok,
+        |       (bs[j + 1] - bs[j])::bigint AS n_tokens,
+        |       md5(array_to_string(tk[bs[j] + 1 : bs[j + 1]], ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+    },
+
     "text_chunks" ->
       raw"""WITH t AS (
         |  SELECT doc_id, $toks AS tk FROM documents),

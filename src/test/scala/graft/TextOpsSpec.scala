@@ -284,6 +284,39 @@ class TextOpsSpec extends AnyFunSuite {
     assert(twice == Set("example.com/a/b", "example.com/other"))
   }
 
+  test("cdcChunks: partition law, shift resilience, short-doc and empty edges") {
+    import SparkTestSession.spark.implicits._
+    val suffix = (1 to 60).map(i => s"tok${i * 7 % 13}w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"aa bb cc $suffix"),          // 3-token prefix
+      (2L, s"x1 x2 x3 x4 x5 x6 x7 $suffix"), // different 7-token prefix
+      (3L, "only three tokens"),          // shorter than the window
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextOps.cdcChunks(docs, "doc_id", "text",
+      window = 4, modulus = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    // partition law per doc: chunks tile [0, n) contiguously, idx dense
+    for ((id, n) <- Seq(1L -> 63L, 2L -> 67L, 3L -> 3L)) {
+      val cs = out.filter(_._1 == id).sortBy(_._2)
+      assert(cs.head._3 == 0L && cs.last._4 == n)
+      assert(cs.map(_._2).toSeq == cs.indices.toSeq)
+      cs.sliding(2).foreach { case Array(a, b) => assert(a._4 == b._3)
+        case _ => () }
+      assert(cs.map(_._5).sum == n)
+    }
+    // shift resilience: despite different-length prefixes, the two docs
+    // sharing the 60-token suffix share chunk fingerprints (boundaries
+    // realign locally — fixed-size chunking at these offsets shares none)
+    val h1 = out.filter(_._1 == 1L).map(_._6).toSet
+    val h2 = out.filter(_._1 == 2L).map(_._6).toSet
+    assert((h1 & h2).nonEmpty, "CDC chunks must realign after the prefix edit")
+    // short doc: one whole-doc chunk; empty doc: no chunks
+    assert(out.filter(_._1 == 3L).map(x => (x._3, x._4)).toSeq == Seq((0L, 3L)))
+    assert(!out.exists(_._1 == 4L))
+  }
+
   test("bpeTrain: three hand-computed merge rounds, multi-char anchoring correct") {
     import SparkTestSession.spark.implicits._
     // vocab: (aaab, 3), (ab, 2)
