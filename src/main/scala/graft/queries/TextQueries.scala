@@ -135,6 +135,18 @@ object TextQueries {
           window = 8, modulus = 32)
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // CDC chunks rolled up by fingerprint (X121 composed): the cross-doc
+    // duplicate-chunk table — the edit-surviving dedup signal the chunker
+    // exists to feed. One fingerprint-keyed aggregate on the chunk output.
+    "dedup_cdc_chunks" -> q((s, dir) =>
+      TextOps.cdcChunks(Sources.documents(s, dir), "doc_id", "text",
+          window = 8, modulus = 32)
+        .groupBy(col("chunk_md5"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"), min(col("doc_id")).as("min_doc"))
+        .where(col("n_docs") >= 2)
+        .orderBy(col("chunk_md5"))),
+
     // BPE merge-pair statistics (X64): corpus-wide adjacent-character-pair
     // counts, weighted by word frequency — the first iteration of BPE
     // vocabulary training. Pair work scales with |vocab|, not corpus size
@@ -189,6 +201,29 @@ object TextQueries {
 
   // DuckDB twins. `len()` is BIGINT in DuckDB vs Spark size() INT → ::int.
   private val toks = raw"regexp_split_to_array(trim(text), '\s+')"
+
+  /** Shared CDC CTE block (window 8, modulus 32): per doc the token array
+    * `tk`, completed boundary list `bs`, and the chunk index stream `j` —
+    * both CDC oracles read their chunks off `c`. */
+  private lazy val cdcCte = {
+    val spanFold = DedupQueries.hexFold48("array_to_string(tk[i-7 : i], ' ')")
+    raw"""WITH t AS (
+      |  SELECT doc_id, $toks AS tk FROM documents
+      |  WHERE length(trim(text)) > 0),
+      |b AS (
+      |  SELECT doc_id, tk,
+      |         list_concat([0]::bigint[],
+      |           list_filter(range(8, len(tk) + 1),
+      |                       i -> ($spanFold) % 32 = 0)) AS b0
+      |  FROM t),
+      |bb AS (
+      |  SELECT doc_id, tk,
+      |         CASE WHEN b0[-1] = len(tk) THEN b0
+      |              ELSE list_concat(b0, [len(tk)::bigint]) END AS bs
+      |  FROM b),
+      |c AS (
+      |  SELECT doc_id, tk, bs, unnest(range(1, len(bs))) AS j FROM bb)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     // Same explicit byte-range class + 'g' flag (Spark regexp_replace is
@@ -388,30 +423,26 @@ object TextQueries {
     // slice(start+1, 32), both clamping at the array end.
     // Same rolling-span fold, same modulus predicate, same boundary
     // completion — the per-position definition replayed with list HOFs.
-    "text_cdc_chunks" -> {
-      val spanFold = DedupQueries.hexFold48("array_to_string(tk[i-7 : i], ' ')")
-      raw"""WITH t AS (
-        |  SELECT doc_id, $toks AS tk FROM documents
-        |  WHERE length(trim(text)) > 0),
-        |b AS (
-        |  SELECT doc_id, tk,
-        |         list_concat([0]::bigint[],
-        |           list_filter(range(8, len(tk) + 1),
-        |                       i -> ($spanFold) % 32 = 0)) AS b0
-        |  FROM t),
-        |bb AS (
-        |  SELECT doc_id, tk,
-        |         CASE WHEN b0[-1] = len(tk) THEN b0
-        |              ELSE list_concat(b0, [len(tk)::bigint]) END AS bs
-        |  FROM b),
-        |c AS (
-        |  SELECT doc_id, tk, bs, unnest(range(1, len(bs))) AS j FROM bb)
+    "text_cdc_chunks" ->
+      raw"""$cdcCte
         |SELECT doc_id, (j - 1)::int AS chunk_idx,
         |       bs[j]::bigint AS start_tok, bs[j + 1]::bigint AS end_tok,
         |       (bs[j + 1] - bs[j])::bigint AS n_tokens,
         |       md5(array_to_string(tk[bs[j] + 1 : bs[j + 1]], ' ')) AS chunk_md5
-        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
-    },
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // CDC chunks rolled up by fingerprint: the cross-document duplicate
+    // table the chunker exists to feed.
+    "dedup_cdc_chunks" ->
+      raw"""$cdcCte,
+        |ch AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(tk[bs[j] + 1 : bs[j + 1]], ' ')) AS chunk_md5
+        |  FROM c)
+        |SELECT chunk_md5, count(DISTINCT doc_id)::bigint AS n_docs,
+        |       count(*)::bigint AS n_occ, min(doc_id)::bigint AS min_doc
+        |FROM ch GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY chunk_md5""".stripMargin,
 
     "text_chunks" ->
       raw"""WITH t AS (
