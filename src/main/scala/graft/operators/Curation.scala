@@ -453,7 +453,10 @@ object Curation {
     * Shape: ONE pass — a |strata|-row conditional-count aggregate (map-side
     * combined), totals back as a 1-row scalar struct, a narrow share map.
     * The corpus is never shuffled. Strata missing from one side report
-    * share 0 there — exactly the rows a drift monitor cares about. */
+    * share 0 there — exactly the rows a drift monitor cares about. An
+    * entirely EMPTY side (comparing against an empty snapshot) likewise
+    * reports every share on that side as 0 rather than integer-div nulls:
+    * the report then reads "everything is new/gone", never all-null. */
   def distributionDrift(df: DataFrame, strataCol: String,
                         isSideA: Column): DataFrame = {
     val agg = df.groupBy(col(strataCol))
@@ -464,8 +467,8 @@ object Curation {
       sum(col("n_b")).as("t_b")).as("s"))
     agg.withColumn("__t", tot.scalar())
       .select(col(strataCol), col("n_a"), col("n_b"),
-        expr("n_a * 10000 div __t.t_a").as("p_bp"),
-        expr("n_b * 10000 div __t.t_b").as("q_bp"))
+        expr("CASE WHEN __t.t_a = 0 THEN 0 ELSE n_a * 10000 div __t.t_a END").as("p_bp"),
+        expr("CASE WHEN __t.t_b = 0 THEN 0 ELSE n_b * 10000 div __t.t_b END").as("q_bp"))
       .withColumn("delta_bp", abs(col("p_bp") - col("q_bp")))
   }
 }

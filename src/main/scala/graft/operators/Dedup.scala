@@ -423,9 +423,15 @@ object Dedup {
     *   per-round task count should track that size, not the corpus scan
     *   parallelism — at local bench scale, 32-partition exchanges per round
     *   were pure scheduling overhead (the streaming state-store lesson
-    *   applied to iteration). The input pair derivation and the returned
-    *   label frame materialize OUTSIDE the override, at the caller's
-    *   parallelism. None = leave the session setting untouched. */
+    *   applied to iteration). Scoped PER SUBPLAN via explicit
+    *   `repartition(n, key)` on the loop's join/aggregate inputs — never a
+    *   session-conf mutation, so concurrent queries on one session are
+    *   unaffected (round-7/8 advice). The edges table is repartitioned once
+    *   (pinned by its checkpoint); each round's aggregate and self-join
+    *   inputs carry the explicit n-partitioning, which EnsureRequirements
+    *   then satisfies without extra exchanges. The input pair derivation
+    *   and the returned label frame stay at the caller's parallelism.
+    *   None = session default everywhere. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           checkpointDir: Option[String] = None,
                           iterShufflePartitions: Option[Int] = None): DataFrame = {
@@ -453,12 +459,13 @@ object Dedup {
     // twice (forward + reversed), and an un-checkpointed pair derivation
     // (e.g. the full jaccard join) would execute per branch.
     val p = ckpt(pairs.select(col(aCol).as("a"), col(bCol).as("b")))
-    val edges = ckpt(p.select(col("a").as("src"), col("b").as("dst"))
-      .union(p.select(col("b").as("src"), col("a").as("dst"))))
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    iterShufflePartitions.foreach(n =>
-      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
-    try {
+    // Per-subplan iteration sizing: repartition, never a conf mutation.
+    def part(df: DataFrame, key: Column): DataFrame =
+      iterShufflePartitions.map(n => df.repartition(n, key)).getOrElse(df)
+    val edges = ckpt(part(
+      p.select(col("a").as("src"), col("b").as("dst"))
+        .union(p.select(col("b").as("src"), col("a").as("dst"))),
+      col("src")))
     var labels = ckpt(edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")))
     val idType = labels.schema("id").dataType
@@ -469,10 +476,12 @@ object Dedup {
       // PRE-round label (`old`) through the aggregate — every id has exactly
       // one self row, so max(old) over (nulls from neighbors, old from self)
       // recovers it without a second join.
-      val prop = labels.join(edges, col("id") === col("src"))
-        .select(col("dst").as("id"), col("comp"),
-          lit(null).cast(idType).as("old"))
-        .union(labels.select(col("id"), col("comp"), col("comp").as("old")))
+      val prop = part(
+        labels.join(edges, col("id") === col("src"))
+          .select(col("dst").as("id"), col("comp"),
+            lit(null).cast(idType).as("old"))
+          .union(labels.select(col("id"), col("comp"), col("comp").as("old"))),
+        col("id"))
         .groupBy("id").agg(min("comp").as("comp"), max("old").as("old"))
       // Pointer jump (path halving): comp := comp's comp. Labels are always
       // existing vertex ids (initial = self, min only moves to other
@@ -487,9 +496,9 @@ object Dedup {
       val propRdd = prop.rdd
       pinRdd(propRdd)
       val propSchema = prop.schema
-      val left = spark.createDataFrame(propRdd, propSchema)
-      val right = spark.createDataFrame(propRdd, propSchema)
-        .select(col("id").as("cid"), col("comp").as("ccomp"))
+      val left = part(spark.createDataFrame(propRdd, propSchema), col("comp"))
+      val right = part(spark.createDataFrame(propRdd, propSchema)
+        .select(col("id").as("cid"), col("comp").as("ccomp")), col("cid"))
       val jumped = left.join(right, col("comp") === col("cid"))
         .select(col("id"), col("ccomp").as("comp"), col("old"))
       // One action runs the whole round: the count() materializes the
@@ -506,8 +515,6 @@ object Dedup {
       labels = spark.createDataFrame(nextRdd, labelSchema)
     }
     labels
-    } finally iterShufflePartitions.foreach(_ =>
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts))
   }
 
   /** Near-duplicate dedup end-to-end: cluster the ≥θ jaccard pairs into
@@ -580,8 +587,12 @@ object Dedup {
     else {
       val best = member.groupBy(col("comp"))
         .agg(max(col(scoreCol)).as("__best"), count(lit(1)).as("n_members"))
+      // Null-safe (<=>) so an ALL-NULL-score cluster still keeps its min-id
+      // member (max() over all nulls is null; a plain === would silently
+      // drop the whole cluster) — the same survivor the numeric struct-
+      // argmax path emits, so both id-type paths agree on null scores.
       member.join(best.hint("shuffle_hash"), Seq("comp"))
-        .where(col(scoreCol) === col("__best"))
+        .where(col(scoreCol) <=> col("__best"))
         .groupBy(col("comp"), col("__best"), col("n_members"))
         .agg(min(col("__id")).as(idCol))
         .select(col("comp"), col(idCol), col("__best").as(scoreCol),
@@ -616,9 +627,10 @@ object Dedup {
     else {
       val best = df.groupBy(keys: _*)
         .agg(max(col(scoreCol)).as("__best"), count(lit(1)).as("n_members"))
+      // null-safe: all-null-score keys keep min-id (see bestCopySurvivors)
       df.select((keys :+ col(idCol) :+ col(scoreCol)): _*)
         .join(best.hint("shuffle_hash"), keyCols)
-        .where(col(scoreCol) === col("__best"))
+        .where(col(scoreCol) <=> col("__best"))
         .groupBy((keys :+ col("__best") :+ col("n_members")): _*)
         .agg(min(col(idCol)).as(idCol))
         .select(keys :+ col(idCol) :+ col("__best").as(scoreCol) :+

@@ -134,9 +134,12 @@ object Sampling {
     * Plan shape mirrors [[mixtureSample]]: one |strata|-row count
     * aggregate (pinned — it feeds Σw, T, and the rate projection), two
     * 1-row scalars, rates broadcast back, one narrow filter scan; the
-    * corpus is never shuffled. The smallest stratum keeps rate 1000 (fully
-    * kept) by construction — α < 1 flattens by DOWN-sampling the large
-    * strata, never replicating the small ones. */
+    * corpus is never shuffled. The stratum that binds T keeps rate ≈1000
+    * (fully kept) up to integer-floor loss in T and the target — e.g.
+    * n={10,100} gives w={3,10}, Σw=13, T=43, target=⌊43·3/13⌋=9, rate
+    * 900‰ for the small stratum — α < 1 still only ever DOWN-samples the
+    * large strata, never replicates the small ones, and rates are exact
+    * integers in both engines. */
   def temperatureMixture(df: DataFrame, keyCol: String, strataCol: String): DataFrame = {
     val counts = df.groupBy(col(strataCol))
       .agg(count(lit(1)).as("__n"))

@@ -495,9 +495,10 @@ object CurationQueries {
         |  FROM documents GROUP BY source),
         |t AS (SELECT sum(n_a)::bigint AS t_a, sum(n_b)::bigint AS t_b FROM c)
         |SELECT source, n_a, n_b,
-        |       (n_a * 10000 // t_a)::bigint AS p_bp,
-        |       (n_b * 10000 // t_b)::bigint AS q_bp,
-        |       abs((n_a * 10000 // t_a) - (n_b * 10000 // t_b))::bigint
+        |       (CASE WHEN t_a = 0 THEN 0 ELSE n_a * 10000 // t_a END)::bigint AS p_bp,
+        |       (CASE WHEN t_b = 0 THEN 0 ELSE n_b * 10000 // t_b END)::bigint AS q_bp,
+        |       abs((CASE WHEN t_a = 0 THEN 0 ELSE n_a * 10000 // t_a END)
+        |           - (CASE WHEN t_b = 0 THEN 0 ELSE n_b * 10000 // t_b END))::bigint
         |         AS delta_bp
         |FROM c, t ORDER BY source""".stripMargin,
 

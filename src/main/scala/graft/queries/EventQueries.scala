@@ -258,8 +258,14 @@ object EventQueries {
     // exactly-once NO-OPS (correct, but then nothing is measured).
     "stream_sink_parquet_roundtrip" -> q((s, dir) => {
       val (schema, norm) = eventsStreamLayout(s, dir)
+      // Path = pid + full sanitized data dir: two concurrent JVMs on the
+      // same dir (or different dirs whose hashCodes collide) must never
+      // race on the recursive delete / output / checkpoint below. Within
+      // one process the path is stable per dir, so re-runs still exercise
+      // the wipe-and-rewrite contract.
       val base = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_psink_${Integer.toHexString(dir.hashCode)}")
+        s"graft_psink_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_"))
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)
         f.delete(); ()

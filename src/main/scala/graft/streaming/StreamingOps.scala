@@ -172,12 +172,14 @@ object StreamingOps {
     *   CLUSTER's parallelism, not a global default: a 1000-executor
     *   deployment wants hundreds of stores, a local bench wants few —
     *   measured here, 32 stores cost multiples of the actual join/agg work
-    *   at sf0.1. Applied to the session conf for the query's lifetime and
-    *   restored after; results are exact aggregates / deterministic join
-    *   sets either way, so the setting is invisible to the compare.
-    *   The set/restore makes this harness entry SINGLE-THREADED per
-    *   session (the SparkEntry contract: the driver runs queries
-    *   sequentially); concurrent callers must clone via `newSession()`. */
+    *   at sf0.1. Stateful operators pin their state partition count to the
+    *   session's `spark.sql.shuffle.partitions` at first checkpoint (an
+    *   explicit repartition() cannot scope it — StatefulOpClusteredDistribution
+    *   demands exactly the conf value), so the override runs the query on an
+    *   ISOLATED `newSession()` clone: same SparkContext and data, its own
+    *   SQLConf — the caller's session is never mutated and concurrent
+    *   queries on it are unaffected (round-7/8 advice). The clone inherits
+    *   the parent's runtime conf (tuning knobs) before the override. */
   def runToMemorySink(s: org.apache.spark.sql.SparkSession, dir: String,
                       glob: String,
                       schema: org.apache.spark.sql.types.StructType,
@@ -185,19 +187,25 @@ object StreamingOps {
                       mode: OutputMode = OutputMode.Complete(),
                       shufflePartitions: Option[Int] = None): DataFrame = {
     val name = s"graft_mem_sink_${memSinkId.incrementAndGet()}"
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    shufflePartitions.foreach(n =>
-      s.conf.set("spark.sql.shuffle.partitions", n.toString))
-    try {
-      val q = transform(s.readStream.schema(schema)
+    val sess = shufflePartitions match {
+      case Some(n) =>
+        val c = s.newSession()
+        s.conf.getAll.foreach { case (k, v) =>
+          try c.conf.set(k, v) catch { case _: Throwable => () } // static confs
+        }
+        c.conf.set("spark.sql.shuffle.partitions", n.toString)
+        c
+      case None => s
+    }
+    {
+      val q = transform(sess.readStream.schema(schema)
           .option("pathGlobFilter", glob).parquet(dir))
         .writeStream.format("memory").queryName(name)
         .outputMode(mode)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       try q.awaitTermination() finally if (q.isActive) q.stop()
-    } finally shufflePartitions.foreach(_ =>
-      s.conf.set("spark.sql.shuffle.partitions", prev))
+    }
     // Memory-sink tables hold their full result in storage memory and are
     // never released by Spark — across a bench's warm-up + reps × entries
     // that accumulation measurably inflates LATER queries' wall-clock
@@ -206,8 +214,8 @@ object StreamingOps {
     // when the returned frame is GC'd) and drop the view IMMEDIATELY, so
     // the returned frame never dangles on a temp view a later call could
     // retire — there is no deferred-retirement race to get wrong.
-    val out = s.table(name).localCheckpoint(eager = true)
-    scala.util.Try(s.catalog.dropTempView(name))
+    val out = sess.table(name).localCheckpoint(eager = true)
+    scala.util.Try(sess.catalog.dropTempView(name))
     out
   }
 

@@ -42,7 +42,7 @@ class Round8PlansSpec extends AnyFunSuite {
     val scans = p.linesIterator.filter(_.contains("FileScan")).mkString("\n")
     assert(!scans.contains("text"),
       s"drift never reads document text; scan not pruned:\n$scans")
-    assert(!p.contains("Join") || p.contains("BroadcastHashJoin") ||
-      !p.contains("SortMergeJoin"), s"no shuffled join in a one-pass report:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no shuffled join in a one-pass report:\n$p")
   }
 }

@@ -227,7 +227,7 @@ class SamplingSpec extends AnyFunSuite {
     assert(out2 == out)
   }
 
-  test("temperatureMixture: ⌊√n⌋-weighted rates, smallest stratum fully kept") {
+  test("temperatureMixture: ⌊√n⌋-weighted rates, binding stratum fully kept (these counts divide exactly — in general floor loss can leave the smallest stratum at rate <1000, e.g. n={10,100} → 900‰)") {
     import spark.implicits._
     import graft.operators.Dedup
     // counts 100/25/4 → w = 10/5/2, Σw = 17,
@@ -248,7 +248,8 @@ class SamplingSpec extends AnyFunSuite {
       .filter { case (_, l, b) => b < expectedRates(l) }
       .map(t => (t._1, t._2)).toSet
     assert(kept == expected)
-    // the smallest stratum is fully kept (rate 1000); flattening holds
+    // here the smallest stratum binds T and the divisions are exact, so
+    // its rate is 1000; flattening holds
     assert(kept.count(_._2 == "C") == 4)
     // partition-invariance
     val kept2 = Sampling.temperatureMixture(df.repartition(7), "text", "lang")
