@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.functions.{bit_count, transform, xxhash64}
+import org.apache.spark.sql.functions.{bit_count, concat, lit, transform, xxhash64}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** SimHash over an `array<long>` of feature hashes: per bit position, sum +1
@@ -74,6 +74,18 @@ object SimHash64 {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(
       SimHash64(ColumnBridge.expression(transform(features, f => xxhash64(f)))))
+  }
+
+  /** [[simhash64]] over a SALTED feature hash (xxhash64 of salt-prefixed
+    * features) — an independent 64-bit hash family. Two calls with distinct
+    * salts compose a 128-bit signature (hi = salted, lo = unsalted): the
+    * signature width BASELINE.md argues for at 100 TB, where 64-bit bands
+    * get too narrow to keep LSH buckets sparse. */
+  def simhash64Salted(features: Column, salt: String): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      SimHash64(ColumnBridge.expression(
+        transform(features, f => xxhash64(concat(lit(salt), f))))))
   }
 
   /** Hamming distance between two simhash values — pure built-ins

@@ -343,6 +343,27 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** 128-bit SimHash signatures at the at-scale token-hash basis: two
+    * independent 64-bit Charikar signatures over xxhash64 feature hashes —
+    * `lo` over the tokens themselves (bit-identical to the 64-bit at-scale
+    * signature), `hi` over salt-prefixed tokens (`"h128:" + token`, an
+    * independent hash family). Each half is the native codegen
+    * [[graft.functions.SimHash64]] expression; the whole signature is one
+    * narrow map over the token array — no shuffle, no explode. Pair with
+    * [[simHashNearDupPairs128]] for the banded hamming join. The 100 TB
+    * rationale (BASELINE.md): at 64 bits and maxHamming 5 the pigeonhole
+    * bands are ~10 bits wide (1K buckets/band — bucket occupancy explodes
+    * with corpus size); at 128 bits the same recall guarantee runs on
+    * 21-bit bands (2M buckets/band), keeping candidate counts linear.
+    * Output: (idCol, hi, lo). */
+  def simHash128Signatures(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    docs.select(col(idCol),
+      graft.functions.SimHash64.simhash64Salted(toks, "h128:").as("hi"),
+      graft.functions.SimHash64.simhash64(toks).as("lo"))
+  }
+
   /** 48-bit md5-based SimHash signatures — the SQL-reproducible twin of the
     * native 64-bit xxhash64 expression ([[graft.functions.SimHash64]]).
     * Charikar semantics are identical: per bit position, +1 when a token's

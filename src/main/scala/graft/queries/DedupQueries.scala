@@ -56,10 +56,17 @@ object DedupQueries {
   private val simhashSigCache =
     scala.collection.concurrent.TrieMap[String, Array[(Long, Long)]]()
 
+  /** (doc_id, hi, lo) 128-bit signature capture for the X118 oracle —
+    * same bounded one-row-per-doc collect discipline as [[simhashSigCache]],
+    * gated behind [[OracleCapture]]. */
+  private val simhash128SigCache =
+    scala.collection.concurrent.TrieMap[String, Array[(Long, Long, Long)]]()
+
   /** Test hook: which dirs have captured signatures (must stay empty when
     * [[OracleCapture]] is disabled — pinned by AllQueriesSpec). */
   private[graft] def capturedSimhashDirs: Set[String] =
-    simhashSigCache.readOnlySnapshot().keySet.toSet
+    simhashSigCache.readOnlySnapshot().keySet.toSet ++
+      simhash128SigCache.readOnlySnapshot().keySet.toSet
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -396,6 +403,28 @@ object DedupQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // The 100 TB SIGNATURE WIDTH (X118): 128-bit SimHash — two independent
+    // xxhash64 Charikar halves (hi salted, lo = the 64-bit at-scale
+    // signature) — with the pigeonhole-banded hamming join at the
+    // documented geometry (maxHamming 5 → 6 bands of 21 bits, 2M buckets
+    // per band; band 3 straddles the hi/lo word boundary, the extraction
+    // DedupSpec pins against a BigInt reference). Wider signatures keep
+    // LSH buckets sparse when 64-bit bands would saturate at corpus scale.
+    // Oracle: embedded-signature convention (dedup_simhash_xxhash) — the
+    // captured (doc_id, hi, lo) rows replay as the trusted quadratic
+    // two-word hamming join in DuckDB.
+    "dedup_simhash128_pairs" -> q((s, dir) => {
+      val sigs = Dedup.simHash128Signatures(
+        Sources.documents(s, dir), "doc_id", "text")
+        .localCheckpoint(eager = false)
+      if (OracleCapture.enabled)
+        simhash128SigCache.getOrElseUpdate(dir,
+          sigs.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+            .sortBy(_._1))
+      Dedup.simHashNearDupPairs128(sigs, "doc_id", "hi", "lo", maxHamming = 5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Duplicated spans across the corpus: 8-token chunk hashes occurring in
     // ≥2 distinct docs — the chunk-hash stand-in for suffix-array substring
     // dedup (detects copied passages that whole-doc fingerprints miss).
@@ -597,8 +626,31 @@ object DedupQueries {
     }
   }
 
+  /** X118 embedded-signature oracle: captured (doc_id, hi, lo) → VALUES
+    * CTE → trusted quadratic two-word hamming join, same single-dir
+    * emission contract as [[simhashXxOracle]]. */
+  private def simhash128Oracle: Option[String] = {
+    val cached = simhash128SigCache.readOnlySnapshot().toSeq
+    if (cached.size != 1) None
+    else {
+      val rows = cached.head._2
+        .map { case (id, hi, lo) => s"($id, $hi, $lo)" }.mkString(",\n  ")
+      Some(
+        s"""WITH sigs(doc_id, hi, lo) AS (VALUES
+          |  $rows)
+          |SELECT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b,
+          |       (bit_count(xor(a.hi::BIGINT, b.hi::BIGINT))
+          |        + bit_count(xor(a.lo::BIGINT, b.lo::BIGINT)))::int AS hamming
+          |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.hi::BIGINT, b.hi::BIGINT))
+          |      + bit_count(xor(a.lo::BIGINT, b.lo::BIGINT)) <= 5
+          |ORDER BY id_a, id_b""".stripMargin)
+    }
+  }
+
   def oracles: Map[String, String] =
-    staticOracles ++ simhashXxOracle.map("dedup_simhash_xxhash" -> _)
+    staticOracles ++ simhashXxOracle.map("dedup_simhash_xxhash" -> _) ++
+      simhash128Oracle.map("dedup_simhash128_pairs" -> _)
 
   private val staticOracles: Map[String, String] = Map(
     "dedup_exact_rows" ->

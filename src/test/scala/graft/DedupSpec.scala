@@ -428,6 +428,25 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Set((1L, 2L, 5), (1L, 4L, 0), (2L, 4L, 5), (2L, 3L, 1)))
   }
 
+  test("simHash128Signatures: lo ≡ the 64-bit at-scale signature, hi is an independent family") {
+    import spark.implicits._
+    import graft.functions.SimHash64
+    import graft.operators.TextOps
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "completely different words here entirely")).toDF("doc_id", "text")
+    val out = Dedup.simHash128Signatures(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"),
+        SimHash64.simhash64(TextOps.tokens(col("text"))).as("sh64")), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // lo half is bit-identical to the registered 64-bit signature
+    assert(out.forall { case (_, _, lo, sh64) => lo == sh64 })
+    // identical docs agree on the full 128 bits; the salted hi half is not
+    // just a copy of lo (independent hash family)
+    val m = out.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(m(1L) == m(2L) && m(1L) != m(3L))
+    assert(out.exists { case (_, hi, lo, _) => hi != lo })
+  }
+
   test("exactBestCopy: per-key argmax without a pair list, both id-type paths") {
     import spark.implicits._
     // numeric ids: single-pass struct argmax
