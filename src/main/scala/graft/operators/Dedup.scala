@@ -874,37 +874,63 @@ object Dedup {
                            n: Int = 3, threshold: Double = 0.8,
                            k: Int = 64, bands: Int = 16, seed: Long = 42L,
                            tokenHash: Column => Column = c => xxhash64(c)): DataFrame = {
+    // Derive the corpus side inline (one corpus scan + one signature agg —
+    // the cost the index build pays once); shingles pinned because they
+    // feed banding AND verify, same rationale as minHashLsh.
+    val cs = docShingles(corpus, idCol, textCol, n).localCheckpoint(eager = false)
+    incrementalScreen(batch, idCol, textCol, n, threshold, k, seed, tokenHash,
+      corpusFp = corpus.select(TextOps.fingerprintMd5(col(textCol)).as("__fp")),
+      corpusBands = bandedBuckets(minHashSignatureAgg(cs, k, seed, tokenHash),
+        k, bands),
+      corpusShingles = cs, bands = bands)
+  }
+
+  /** Band → bucket rows of a MinHash signature table (id, sig): one row per
+    * (id, band), bucket = xxhash64 of the band's signature slice — the
+    * LSH-join layout shared by the self-join, bipartite, and indexed paths. */
+  private def bandedBuckets(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    // (1) + (2): fingerprint the batch once; the corpus side projects the
-    // fingerprint only (narrow scan — at scale, the prebuilt index).
-    val bfp = batch.withColumn("__fp", TextOps.fingerprintMd5(col(textCol)))
-    val b12 = exact(bfp, Seq("__fp"), idCol)
-      .join(corpus.select(TextOps.fingerprintMd5(col(textCol)).as("__fp")),
-        Seq("__fp"), "left_anti")
-      .drop("__fp")
-
-    // (3) bipartite banded LSH. Shingles/signatures feed banding + verify on
-    // each side — same lazy-localCheckpoint pinning as minHashLsh.
-    val bs = docShingles(b12, idCol, textCol, n).localCheckpoint(eager = false)
-    val cs = docShingles(corpus, idCol, textCol, n).localCheckpoint(eager = false)
-    def banded(sigs: DataFrame): DataFrame = sigs.select(col("id"),
+    sigs.select(col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"),
           xxhash64(concat_ws(",", slice(col("sig"), b * lit(r) + lit(1), lit(r)))).as("bucket"))))
         .as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val bban = banded(minHashSignatureAgg(bs, k, seed, tokenHash))
-    val cban = banded(minHashSignatureAgg(cs, k, seed, tokenHash))
+  }
+
+  /** The batch-vs-corpus screen itself, over ANY corpus-side representation
+    * — derived inline ([[incrementalSurvivors]]) or read from the persisted
+    * index ([[incrementalSurvivorsFromIndex]]). `corpusFp` = (__fp),
+    * `corpusBands` = (id, band, bucket), `corpusShingles` = (id, sh, n_sh). */
+  private def incrementalScreen(batch: DataFrame, idCol: String,
+                                textCol: String, n: Int, threshold: Double,
+                                k: Int, seed: Long,
+                                tokenHash: Column => Column,
+                                corpusFp: DataFrame, corpusBands: DataFrame,
+                                corpusShingles: DataFrame,
+                                bands: Int): DataFrame = {
+    // (1) + (2): fingerprint the batch once; the corpus side is the narrow
+    // fingerprint projection/index.
+    val bfp = batch.withColumn("__fp", TextOps.fingerprintMd5(col(textCol)))
+    val b12 = exact(bfp, Seq("__fp"), idCol)
+      .join(corpusFp, Seq("__fp"), "left_anti")
+      .drop("__fp")
+
+    // (3) bipartite banded LSH — batch-banded × corpus-banded, never
+    // corpus×corpus.
+    val bs = docShingles(b12, idCol, textCol, n).localCheckpoint(eager = false)
+    val bban = bandedBuckets(minHashSignatureAgg(bs, k, seed, tokenHash), k, bands)
     // corpus-sized sides are never broadcast — same pinning rationale as
     // the self-join form.
     val candidates = bban.as("x")
-      .join(cban.hint("shuffle_hash").as("y"),
+      .join(corpusBands.hint("shuffle_hash").as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
       .select(col("x.id").as("id_b"), col("y.id").as("id_c")).distinct()
 
     val db = bs.select(col("id").as("id_b"), col("sh").as("sh_a"), col("n_sh").as("na"))
-    val dc = cs.select(col("id").as("id_c"), col("sh").as("sh_b"), col("n_sh").as("nb"))
+    val dc = corpusShingles.select(col("id").as("id_c"), col("sh").as("sh_b"),
+      col("n_sh").as("nb"))
     val dropIds = candidates.hint("shuffle_hash").join(db, "id_b").join(dc, "id_c")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", round(
@@ -913,6 +939,55 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_b").as(idCol)).distinct()
     b12.join(dropIds, Seq(idCol), "left_anti")
+  }
+
+  /** PERSIST the corpus side of the incremental screen as a reusable parquet
+    * INDEX — the corpus-maintenance shape SURVEY §2.9b X49 describes: at
+    * scale the corpus fingerprints, LSH band buckets, and shingle sets are
+    * written ONCE (one corpus scan + one signature aggregate) and every
+    * arriving batch joins the stored tables instead of re-deriving the
+    * corpus side per run. Layout:
+    *   `indexDir/fp`        (fp)               — distinct content md5s
+    *   `indexDir/bands`     (id, band, bucket) — MinHash LSH postings
+    *   `indexDir/shingles`  (id, sh, n_sh)     — exact-jaccard verify sets
+    * Each table is repartitioned on its probe-join key before the write so
+    * files are key-clustered (the production form is a bucketed table on
+    * the same keys — then the probe join is co-located and shuffle-free on
+    * the corpus side; plain parquet keeps this self-contained and the
+    * at-scale claim rests on the one-write-many-reads amortization).
+    * Incremental MAINTENANCE is append-shaped: a committed batch's
+    * fp/bands/shingles rows append to the same tables. */
+  def writeDedupIndex(corpus: DataFrame, idCol: String, textCol: String,
+                      indexDir: String, n: Int = 3,
+                      k: Int = 64, bands: Int = 16, seed: Long = 42L,
+                      tokenHash: Column => Column = c => xxhash64(c)): Unit = {
+    val cs = docShingles(corpus, idCol, textCol, n).localCheckpoint(eager = false)
+    corpus.select(TextOps.fingerprintMd5(col(textCol)).as("fp")).distinct()
+      .write.mode("overwrite").parquet(s"$indexDir/fp")
+    bandedBuckets(minHashSignatureAgg(cs, k, seed, tokenHash), k, bands)
+      .repartition(col("band"), col("bucket"))
+      .write.mode("overwrite").parquet(s"$indexDir/bands")
+    cs.repartition(col("id"))
+      .write.mode("overwrite").parquet(s"$indexDir/shingles")
+  }
+
+  /** [[incrementalSurvivors]] against a PREBUILT [[writeDedupIndex]] index:
+    * the corpus side of every join is a narrow parquet scan of the stored
+    * tables — no corpus text is read and no corpus signature is recomputed.
+    * Same output as the inline form on the same corpus (spec-pinned). */
+  def incrementalSurvivorsFromIndex(batch: DataFrame, idCol: String,
+                                    textCol: String, indexDir: String,
+                                    n: Int = 3, threshold: Double = 0.8,
+                                    k: Int = 64, bands: Int = 16,
+                                    seed: Long = 42L,
+                                    tokenHash: Column => Column = c => xxhash64(c))
+  : DataFrame = {
+    val spark = batch.sparkSession
+    incrementalScreen(batch, idCol, textCol, n, threshold, k, seed, tokenHash,
+      corpusFp = spark.read.parquet(s"$indexDir/fp").select(col("fp").as("__fp")),
+      corpusBands = spark.read.parquet(s"$indexDir/bands"),
+      corpusShingles = spark.read.parquet(s"$indexDir/shingles"),
+      bands = bands)
   }
 
   // ── Duplicated-span detection (substring-level corpus dedup) ─────────────

@@ -36,6 +36,23 @@ object DedupQueries {
       Dedup.exactJaccardJoin(Sources.documents(s, dir), "doc_id", "text",
         n = 3, threshold = JaccardThreshold).localCheckpoint())
 
+  /** Build-once-per-(process, corpus) dedup index for the indexed
+    * incremental screen: written to a pid-scoped temp dir on first use
+    * (concurrent JVMs never race), reused by every later invocation in the
+    * process — bench reps measure the READ path, which is the at-scale
+    * shape (the index is written once, amortized over every batch). */
+  private val indexBuilt = scala.collection.concurrent.TrieMap[String, String]()
+  private def dedupIndexDir(s: SparkSession, dir: String): String =
+    indexBuilt.getOrElseUpdate(dir, {
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_dedup_idx_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_")).getPath
+      Dedup.writeDedupIndex(
+        Sources.documents(s, dir).where(col("doc_id") % 5 =!= 4),
+        "doc_id", "text", base, n = 3)
+      base
+    })
+
   /** Containment pair list shared by the pairs and survivors queries —
     * the same pin-the-tiny-output rationale as [[jaccardPairs]]. */
   private val containmentCache =
@@ -270,6 +287,23 @@ object DedupQueries {
         docs.where(col("doc_id") % 5 === 4),
         docs.where(col("doc_id") % 5 =!= 4),
         "doc_id", "text", n = 3, threshold = JaccardThreshold)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X49 COMPLETED — the index-maintenance shape itself: the corpus
+    // fingerprint/band/shingle index is WRITTEN ONCE per (process, corpus)
+    // by Dedup.writeDedupIndex and every invocation (bench reps included)
+    // READS the stored parquet tables — the batch screen's plan joins
+    // index scans, never re-derives the corpus side (Round9PlansSpec pins
+    // it: index-path FileScans present, the only documents.parquet scans
+    // are batch-side). Output ≡ dedup_incremental — same oracle.
+    "dedup_incremental_indexed" -> q((s, dir) => {
+      val docs = Sources.documents(s, dir)
+      val idx = dedupIndexDir(s, dir)
+      Dedup.incrementalSurvivorsFromIndex(
+        docs.where(col("doc_id") % 5 === 4),
+        "doc_id", "text", idx, n = 3, threshold = JaccardThreshold)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
@@ -650,7 +684,8 @@ object DedupQueries {
 
   def oracles: Map[String, String] =
     staticOracles ++ simhashXxOracle.map("dedup_simhash_xxhash" -> _) ++
-      simhash128Oracle.map("dedup_simhash128_pairs" -> _)
+      simhash128Oracle.map("dedup_simhash128_pairs" -> _) ++
+      Map("dedup_incremental_indexed" -> staticOracles("dedup_incremental"))
 
   private val staticOracles: Map[String, String] = Map(
     "dedup_exact_rows" ->
@@ -853,7 +888,9 @@ object DedupQueries {
         |ORDER BY a_id, c_id""".stripMargin,
 
     // survivors = within-batch min-id per md5, minus exact corpus twins,
-    // minus docs with an exact-jaccard ≥ θ corpus neighbor.
+    // minus docs with an exact-jaccard ≥ θ corpus neighbor. The indexed
+    // twin reads the same screen from the persisted index — identical
+    // definition, same oracle (registered below via incrementalOracle).
     "dedup_incremental" ->
       raw"""$shingleCte,
         |bsurv AS (
