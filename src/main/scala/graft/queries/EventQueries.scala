@@ -39,6 +39,29 @@ object EventQueries {
     * aggregates / deterministic join sets). */
   private val streamBenchPartitions = 8
 
+  /** Build-once-per-(process, corpus) z-ordered rewrite of `events` for the
+    * skipping-proof query: (event_id, a, b, z) written via Layout.zOrderBy
+    * into 64 z-range files under a pid-scoped temp dir (no cross-JVM
+    * races), reused by every later invocation — bench reps measure the
+    * pruned READ, which is the at-scale shape (a layout is written once
+    * and amortized over every query that scans it). */
+  private val zorderBuilt =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def zorderDir(s: SparkSession, dir: String): String =
+    zorderBuilt.getOrElseUpdate(dir, {
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_zorder_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_")).getPath
+      val df = Sources.events(s, dir)
+        .select(col("event_id"),
+          pmod(col("user_id"), lit(256L)).as("a"),
+          pmod(expr("unix_micros(ts) div 3600000000"), lit(256L)).as("b"))
+        .withColumn("z", graft.operators.Layout.zValue2(col("a"), col("b"), 8))
+      graft.operators.Layout.zOrderBy(df, col("z"), numFiles = 64)
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Tumbling 1-hour event-time windows per event_type: the batch form of
@@ -470,6 +493,26 @@ object EventQueries {
           min(col("a")).as("min_a"), max(col("a")).as("max_a"),
           min(col("b")).as("min_b"), max(col("b")).as("max_b"))
         .orderBy(col("bucket"))),
+
+    // X62 COMPLETED — the skipping itself, not just the stats evidence: the
+    // corpus is physically REWRITTEN z-ordered once per process
+    // (Layout.zOrderBy → 64 range files, each a contiguous z run → tight
+    // per-file/row-group min/max in BOTH dimensions) and the registered
+    // query reads the laid-out copy back through a SINGLE-dimension
+    // predicate (a < 32). The pushed filter prunes parquet row groups on
+    // those stats — LayoutSpec asserts the scan's output-rows metric reads
+    // a fraction of the written rows while the identical predicate over a
+    // one-dimensional (b-sorted) layout reads everything. The compared
+    // RESULT is layout-invariant: the oracle runs the same filtered
+    // aggregate over the original table.
+    "layout_zorder_pruned_scan" -> q((s, dir) =>
+      s.read.parquet(zorderDir(s, dir))
+        .where(col("a") < 32)
+        .groupBy(col("a"))
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("min_event_id"),
+          max(col("event_id")).as("max_event_id"))
+        .orderBy(col("a"))),
 
     // Markov transition matrix over per-user event traces (X84): edge
     // (prev event_type → event_type) per user in (ts, event_id) order,
@@ -941,6 +984,15 @@ object EventQueries {
         |SELECT (z // 1024)::BIGINT AS bucket, count(*) AS n,
         |       min(a) AS min_a, max(a) AS max_a,
         |       min(b) AS min_b, max(b) AS max_b
-        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
+        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // Layout-invariant result of the pruned-scan query: the same filtered
+    // aggregate over the ORIGINAL table (the z-ordered rewrite changes
+    // physical layout only).
+    "layout_zorder_pruned_scan" ->
+      """SELECT a, count(*)::bigint AS n,
+        |       min(event_id) AS min_event_id, max(event_id) AS max_event_id
+        |FROM (SELECT event_id, user_id % 256 AS a FROM events)
+        |WHERE a < 32 GROUP BY a ORDER BY a""".stripMargin
   )
 }
