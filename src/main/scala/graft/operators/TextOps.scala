@@ -330,15 +330,29 @@ object TextOps {
     * doc of n chars, bits_c = ⌊log₂(n div cnt_c)⌋, and
     * entropy_cb = (Σ_c cnt_c · bits_c) · 100 div n — centibits/char.
     *
-    * Character access is `substring(text, i, 1)` over an exploded 1..n
-    * sequence (code-point semantics in both Spark and DuckDB — a regex
-    * empty-pattern split would instead cut UTF-16 surrogate pairs apart in
-    * the JVM). Shape: one explode + two keyed aggregates + one join on the
-    * doc id, every aggregate map-side combined; the per-doc class table is
-    * alphabet-bounded (≤ a few hundred rows/doc), so the join sides are
-    * |docs|·|alphabet|, not corpus-character-sized. Empty docs → (0, 0). */
+    * Shape: the per-doc histogram folds inside ONE native codegen
+    * expression ([[graft.functions.CharEntropyCb]]) — a narrow map over the
+    * scan, no per-character row amplification, no shuffle (n_chars is the
+    * built-in code-point `length()`). The previous explode form (one row
+    * per character before a map-side-combined aggregate) remains as
+    * [[charEntropyExplode]], the executable spec twin the oracle mirrors —
+    * its shuffle was |docs|·|alphabet|-bounded but the explode itself made
+    * it the most linear query in the text family (8.0× at 10× rows,
+    * BASELINE.md round-8). Empty docs → (0, 0). */
   def charEntropy(docs: org.apache.spark.sql.DataFrame, idCol: String,
-                  textCol: String): org.apache.spark.sql.DataFrame = {
+                  textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol),
+      length(col(textCol)).cast("long").as("n_chars"),
+      graft.functions.CharEntropyCb.charEntropyCb(col(textCol)).as("entropy_cb"))
+
+  /** Executable-spec twin of [[charEntropy]]: the explode + two keyed
+    * aggregates + join form, character access via `substring(text, i, 1)`
+    * over an exploded 1..n sequence (code-point semantics in both Spark and
+    * DuckDB — a regex empty-pattern split would instead cut UTF-16
+    * surrogate pairs apart in the JVM). TextOpsSpec pins it ≡ the native
+    * expression; the DuckDB oracle replays this form in SQL. */
+  def charEntropyExplode(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String): org.apache.spark.sql.DataFrame = {
     val cc = docs.select(col(idCol).as("id"), col(textCol).as("__t"))
       // sequence(1, 0) is a DESCENDING [1, 0] in Spark, so empty docs need
       // an explicit empty array (they re-enter via the left join as (0,0))

@@ -348,6 +348,26 @@ class TextOpsSpec extends AnyFunSuite {
       4L -> (3L, 33L), 5L -> (0L, 0L)))
   }
 
+  test("charEntropy: native expression ≡ explode twin (corpus + surrogate pairs + degenerate docs)") {
+    import SparkTestSession.spark.implicits._
+    // 𝄞 (U+1D11E) is a surrogate pair: one CODE POINT, two UTF-16 units —
+    // both forms must count it once and class it as itself.
+    val edge = Seq((9001L, "𝄞𝄞a𝄞"), (9002L, "𝄞"), (9003L, "  \t "),
+      (9004L, "aA"), (9005L, "")).toDF("doc_id", "text")
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").unionByName(edge)
+    val native = TextOps.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val explode = TextOps.charEntropyExplode(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(native == explode)
+    // hand check: 𝄞𝄞a𝄞 = 4 code points {𝄞:3, a:1} → 3·⌊log₂1⌋ + 1·⌊log₂4⌋
+    //             = 2 → 200 div 4 = 50 cb
+    assert(native.contains((9001L, 4L, 50L)))
+    assert(native.contains((9002L, 1L, 0L)))
+  }
+
   test("canonicalize: control/space runs collapse, ends trim, idempotent") {
     import SparkTestSession.spark.implicits._
     val docs = Seq(
