@@ -769,8 +769,8 @@ object Dedup {
     * never re-inline the hashing work: Catalyst's projection collapse would
     * otherwise duplicate the full k×|shingles| hash evaluation into every
     * band expression (measured 18× slowdown at sf0.1). */
-  private def minHashSignatureAgg(ds: DataFrame, k: Int, seed: Long,
-                                  tokenHash: Column => Column): DataFrame = {
+  private[graft] def minHashSignatureAgg(ds: DataFrame, k: Int, seed: Long,
+                                         tokenHash: Column => Column): DataFrame = {
     val (as, bs) = minhashParams(k, seed)
     val exploded = ds.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
       .select(col("id"), col("n_sh"), pmod(tokenHash(col("s")), lit(P)).as("h"))
@@ -888,7 +888,7 @@ object Dedup {
   /** Band → bucket rows of a MinHash signature table (id, sig): one row per
     * (id, band), bucket = xxhash64 of the band's signature slice — the
     * LSH-join layout shared by the self-join, bipartite, and indexed paths. */
-  private def bandedBuckets(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+  private[graft] def bandedBuckets(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
     sigs.select(col("id"),

@@ -350,6 +350,46 @@ object DedupQueries {
         .orderBy(col("a_id"), col("c_id"))
     }),
 
+    // The AT-SCALE streaming near-dup screen (X112 completed): banded
+    // MinHash candidates + watermarked APPEND-mode windowed aggregate —
+    // state holds only open-window candidates, bounded at any ingest
+    // volume, where the Complete-mode form above retains every pair
+    // forever. Arrivals (doc_id % 5 = 4) get a deterministic ingest time
+    // spread across four 15-minute windows; corpus rows ride the stream as
+    // next-day HEARTBEATS that only advance the watermark (they pass the
+    // watermark node, then filter out), so every arrival window provably
+    // closes and emits within the AvailableNow run — the no-data flush
+    // batch does the final eviction. The arrival filter keys on the
+    // WATERMARK COLUMN (ts before the heartbeat cutoff, ⟺ doc_id%5=4 by
+    // construction): a doc_id predicate would be PUSHED BELOW the
+    // EventTimeWatermark node by Catalyst and the heartbeats would never
+    // reach the watermark tracker — predicates on the watermark column
+    // itself are the one thing the pushdown rule must keep above it
+    // (StreamingOpsSpec caught exactly this: the last window never
+    // emitted). Oracle: the exact bipartite jaccard join (equality =
+    // recall 1.0 through banding + window emission).
+    "stream_docs_neardup_banded" -> q((s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val corpus = Sources.documents(s, dir)
+        .where(col("doc_id") % 5 =!= 4).select(col("doc_id"), col("text"))
+      graft.streaming.StreamingOps.runToMemorySink(s, dir,
+        "documents.parquet", schema,
+        src => graft.streaming.StreamingOps.bandedNearDupScreen(
+          src.withColumn("ingest_ts",
+              when(col("doc_id") % 5 === 4,
+                timestamp_seconds(lit(1704067200L) + (col("doc_id") % 60) * 60))
+                .otherwise(timestamp_seconds(lit(1704067200L + 86400L))))
+            .withWatermark("ingest_ts", "10 minutes")
+            .where(col("ingest_ts") <
+              timestamp_seconds(lit(1704067200L + 86400L))),
+          corpus, "doc_id", "text", "ingest_ts",
+          threshold = JaccardThreshold)
+          .select(col("a_id"), col("c_id"), col("jaccard")),
+        mode = org.apache.spark.sql.streaming.OutputMode.Append(),
+        shufflePartitions = Some(8))
+        .orderBy(col("a_id"), col("c_id"))
+    }),
+
     // MinHash-LSH approximate near-dup (verified precision, approx recall).
     // Registered with the md5-48 token hash so the FULL pipeline — shingle
     // hash, 64 seeded permutations, 16-band bucketing, jaccard verify — is
@@ -685,7 +725,9 @@ object DedupQueries {
   def oracles: Map[String, String] =
     staticOracles ++ simhashXxOracle.map("dedup_simhash_xxhash" -> _) ++
       simhash128Oracle.map("dedup_simhash128_pairs" -> _) ++
-      Map("dedup_incremental_indexed" -> staticOracles("dedup_incremental"))
+      Map("dedup_incremental_indexed" -> staticOracles("dedup_incremental"),
+        "stream_docs_neardup_banded" ->
+          staticOracles("stream_docs_neardup_pairs"))
 
   private val staticOracles: Map[String, String] = Map(
     "dedup_exact_rows" ->
@@ -879,7 +921,10 @@ object DedupQueries {
     // Bipartite exact-similarity form of the incremental pipeline: batch
     // The streamed screen's batch definition: every (arrival, corpus) pair
     // at exact jaccard ≥ θ — AvailableNow processes the whole arrival set,
-    // so the sink equals the bipartite join.
+    // so the sink equals the bipartite join. Shared by the Complete-mode
+    // verification twin AND the at-scale banded/watermarked form (equality
+    // additionally proves the banding lost no pair and every window
+    // emitted).
     "stream_docs_neardup_pairs" ->
       raw"""$shingleCte
         |SELECT a.doc_id AS a_id, b.doc_id AS c_id, $jaccardExpr AS jaccard

@@ -149,6 +149,74 @@ object StreamingOps {
     events.join(broadcast(dim), col(eventKey) === col(dimKey), "left_outer")
       .drop(dimKey)
 
+  /** Streaming near-dup INGEST GATE, at-scale form (X112): arriving
+    * documents are screened against the standing corpus via BANDED MinHash
+    * signatures and a WATERMARKED Append-mode aggregate — the shape that
+    * survives a continuous ingest stream, unlike the Complete-mode
+    * shared-shingle screen (`stream_docs_neardup_pairs`), whose aggregate
+    * state retains every candidate pair forever.
+    *
+    * Plan, per arriving document:
+    *   1. one narrow map computes the doc's `bands` LSH buckets via the
+    *      native one-pass [[graft.functions.MinHashBandBuckets]] kernel
+    *      (per-row banding with NO aggregation boundary available, so a
+    *      composable signature expression would re-inline k×|shingles|
+    *      hashing into every band — the measured 18× pathology);
+    *   2. a STREAM-STATIC equi-join on (band, bucket) against the corpus
+    *      band index (stateless — the static side re-resolves per batch; at
+    *      scale it is the prebuilt X49 index, here derived from
+    *      `corpusDocs` with the same expression);
+    *   3. exact-jaccard verification against the corpus shingle sets
+    *      (recall 1.0 on planted dups — the oracle equality with the exact
+    *      bipartite join asserts it);
+    *   4. one WATERMARKED windowed aggregate (max jaccard per
+    *      (window, a_id, c_id)) in Append mode: multi-band duplicate
+    *      candidates collapse, each pair emits exactly once when its
+    *      ingest window closes, and the state store holds ONLY open-window
+    *      candidates — bounded by watermark horizon × ingest rate at any
+    *      corpus size. StreamingOpsSpec pins streamed ≡ batch under
+    *      micro-batch slicing AND end-of-stream state = 0.
+    *
+    * `arrivalDocs` is the STREAMING frame carrying (idCol, textCol, tsCol)
+    * with the watermark ALREADY applied on tsCol (apply it upstream of any
+    * arrival filtering so late-data bookkeeping sees every source row —
+    * e.g. corpus heartbeat rows that only advance the watermark). Output:
+    * (a_id, c_id, jaccard), emitted on window close. */
+  def bandedNearDupScreen(arrivalDocs: DataFrame, corpusDocs: DataFrame,
+                          idCol: String, textCol: String, tsCol: String,
+                          threshold: Double, n: Int = 3,
+                          k: Int = 64, bands: Int = 16, seed: Long = 42L,
+                          windowDur: String = "15 minutes"): DataFrame = {
+    import graft.functions.MinHashBandBuckets
+    import graft.operators.Dedup
+    val a = arrivalDocs
+      .select(col(idCol).as("a_id"), Dedup.shingles(col(textCol), n).as("a_sh"),
+        col(tsCol).as("__ts"))
+      .withColumn("a_n", size(col("a_sh")))
+      .select(col("a_id"), col("a_sh"), col("a_n"), col("__ts"),
+        posexplode(MinHashBandBuckets.bandBuckets(col("a_sh"), k, bands, seed)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    // Static corpus side: shingle sets pinned once (they feed banding AND
+    // verification); at production scale both frames are the persisted
+    // X49 index tables instead.
+    val cs = corpusDocs
+      .select(col(idCol).as("c_id"), Dedup.shingles(col(textCol), n).as("c_sh"))
+      .withColumn("c_n", size(col("c_sh")))
+      .localCheckpoint(eager = false)
+    val cb = cs.select(col("c_id"),
+        posexplode(MinHashBandBuckets.bandBuckets(col("c_sh"), k, bands, seed)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    a.join(cb, Seq("band", "bucket"))
+      .join(cs, Seq("c_id"))
+      .withColumn("inter", size(array_intersect(col("a_sh"), col("c_sh"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("a_n") + col("c_n") - col("inter")).cast("double"), 6))
+      .where(col("jaccard") >= threshold)
+      .groupBy(window(col("__ts"), windowDur), col("a_id"), col("c_id"))
+      .agg(max(col("jaccard")).as("jaccard"))
+      .select(col("a_id"), col("c_id"), col("jaccard"))
+  }
+
   private val memSinkId = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Execute a streaming transform END-TO-END inside a batch-callable query:

@@ -428,6 +428,23 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Set((1L, 2L, 5), (1L, 4L, 0), (2L, 4L, 5), (2L, 3L, 1)))
   }
 
+  test("MinHashBandBuckets: native one-pass kernel ≡ signature-agg + banded-slice path, bucket for bucket") {
+    import graft.functions.MinHashBandBuckets
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ds = docs.select(col("doc_id").as("id"),
+        Dedup.shingles(col("text")).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val aggPath = Dedup.bandedBuckets(
+        Dedup.minHashSignatureAgg(ds, 64, 42L, c => xxhash64(c)), 64, 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exprPath = ds.select(col("id"),
+        posexplode(MinHashBandBuckets.bandBuckets(col("sh"), 64, 16, 42L)))
+      .select(col("id"), col("pos").cast("int").as("band"), col("col").as("bucket"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(aggPath == exprPath,
+      s"bucket divergence: agg-only=${(aggPath -- exprPath).take(3)} expr-only=${(exprPath -- aggPath).take(3)}")
+  }
+
   test("simHash128Signatures: lo ≡ the 64-bit at-scale signature, hi is an independent family") {
     import spark.implicits._
     import graft.functions.SimHash64

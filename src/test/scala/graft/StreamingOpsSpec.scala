@@ -306,6 +306,88 @@ class StreamingOpsSpec extends AnyFunSuite {
       "the screen must drop known content and keep genuinely new rows")
   }
 
+  test("bandedNearDupScreen: streamed ≡ batch bipartite screen under micro-batch slicing; end-of-stream state is EMPTY") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val corpus = docs.where(col("doc_id") % 5 =!= 4)
+    // Slice the stream into FOUR files in ingest-time order (arrivals by
+    // rising ingest minute, corpus HEARTBEATS last) so maxFilesPerTrigger=1
+    // yields real multi-batch execution with candidate windows closing
+    // while later batches are still arriving.
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_bscreen_${ProcessHandle.current().pid()}")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    if (base.exists()) rm(base)
+    val streamDir = new java.io.File(base, "stream"); streamDir.mkdirs()
+    val slices = Seq(
+      docs.where(col("doc_id") % 5 === 4 && col("doc_id") % 60 < 20),
+      docs.where(col("doc_id") % 5 === 4 && col("doc_id") % 60 >= 20 &&
+        col("doc_id") % 60 < 40),
+      docs.where(col("doc_id") % 5 === 4 && col("doc_id") % 60 >= 40),
+      corpus)
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val stage = new java.io.File(base, s"stage$i")
+      df.coalesce(1).write.parquet(stage.getPath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(streamDir, f"slice$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L) // force source order
+    }
+    val schema = docs.schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.getPath)
+    val q = StreamingOps.bandedNearDupScreen(
+        src.withColumn("ingest_ts",
+            when(col("doc_id") % 5 === 4,
+              timestamp_seconds(lit(1704067200L) + (col("doc_id") % 60) * 60))
+              .otherwise(timestamp_seconds(lit(1704067200L + 86400L))))
+          .withWatermark("ingest_ts", "10 minutes")
+          // filter on the WATERMARK COLUMN (⟺ arrivals): a doc_id
+          // predicate pushes below the EventTimeWatermark node and the
+          // heartbeats would never advance the watermark
+          .where(col("ingest_ts") < timestamp_seconds(lit(1704067200L + 86400L))),
+        corpus, "doc_id", "text", "ingest_ts", threshold = 0.8)
+      .writeStream.format("memory").queryName("s_banded_screen")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val got = spark.table("s_banded_screen").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // batch truth: the exact bipartite jaccard screen
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .withColumn("n", size(col("sh"))).localCheckpoint()
+    val expected = sh.where(col("doc_id") % 5 === 4)
+      .select(col("doc_id").as("a_id"), col("sh").as("a_sh"), col("n").as("a_n"))
+      .crossJoin(sh.where(col("doc_id") % 5 =!= 4)
+        .select(col("doc_id").as("c_id"), col("sh").as("c_sh"), col("n").as("c_n")))
+      .withColumn("inter", size(array_intersect(col("a_sh"), col("c_sh"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("a_n") + col("c_n") - col("inter")).cast("double"), 6))
+      .where(col("jaccard") >= 0.8)
+      .select(col("a_id"), col("c_id"), col("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected,
+      s"streamed banded screen diverged: missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+
+    // micro-batch slicing really happened (≥ 4 data batches)
+    val progresses = q.recentProgress
+    assert(progresses.count(_.numInputRows > 0) >= 4,
+      s"expected one batch per file: ${progresses.map(_.numInputRows).mkString(",")}")
+    // STATE BOUND: the heartbeat-advanced watermark closed every arrival
+    // window, so the aggregate's state store ends EMPTY — the refutation
+    // of the Complete-mode form's unbounded pair retention.
+    val finalState = progresses.reverse
+      .find(_.stateOperators.nonEmpty).get.stateOperators
+    assert(finalState.map(_.numRowsTotal).sum == 0,
+      s"end-of-stream aggregate state must be empty: " +
+        finalState.map(p => s"${p.operatorName}=${p.numRowsTotal}").mkString(","))
+    rm(base)
+  }
+
   test("runningUserTotalsTws: transformWithState (RocksDB store) ≡ fMGWS semantics") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
