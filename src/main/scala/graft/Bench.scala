@@ -116,12 +116,17 @@ object Bench {
     // to BENCH_SELF_ONLY.json so the committed full-surface BENCH_SELF.json
     // is never clobbered by a subset.
     val onlyRe = sys.env.get("SPARK_GRAFT_ONLY").filter(_.nonEmpty).map(_.r)
+    // Verification-only exclusion for scale runs: the oracle-parity twins
+    // (SparkEntry.oracleParityOnly) are super-linear BY DESIGN and a run at
+    // sf≥1 should drop them deliberately, not discover it.
+    val skipParity = sys.env.get("SPARK_GRAFT_SKIP_PARITY_ONLY").contains("1")
+    val parityOnly = SparkEntry.oracleParityOnly
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
-      onlyRe match {
+      (onlyRe match {
         case Some(re) => SparkEntry.queries.toSeq
           .filter { case (n, _) => re.findFirstIn(n).isDefined }
         case None => SparkEntry.queries.toSeq
-      }
+      }).filterNot { case (n, _) => skipParity && parityOnly(n) }
 
     // JVM/codegen warm-up on the smallest sf so timed numbers measure the
     // engine, not JIT compilation of the first query to run.
@@ -248,8 +253,13 @@ object Bench {
     val qsFull = results.map { case (k, v) => jstr(k) + ":" + jd(v) }.mkString("{", ",", "}")
     val stallsJson = stalls.map(jstr).mkString("[", ",", "]")
     val vetoedJson = guardVetoed.map(jstr).mkString("[", ",", "]")
+    // at-scale total = total minus the verification-only twins that ran
+    val totalAtScale = results
+      .filterNot { case (k, _) => parityOnly(k) }.map(_._2).filter(_ >= 0).sum
+    val parityJson = results.map(_._1).filter(parityOnly)
+      .map(jstr).mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"total","value":${jd(total)},"unit":"sec","queries":$qsFull,"errors":$errs,"n_failed":${errors.size},"stalls":$stallsJson,"guard_vetoed":$vetoedJson,"host_counters_available":$hostAvailable,"rep_times":${repsJson(repDetail.toSeq)},"reps":$Reps,"sweep_partitions":$sweepJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${jd(total)},"value_at_scale":${jd(totalAtScale)},"unit":"sec","queries":$qsFull,"errors":$errs,"n_failed":${errors.size},"stalls":$stallsJson,"guard_vetoed":$vetoedJson,"oracle_parity_only":$parityJson,"skip_parity_only":$skipParity,"host_counters_available":$hostAvailable,"rep_times":${repsJson(repDetail.toSeq)},"reps":$Reps,"sweep_partitions":$sweepJson,"sf":"$sfDir"}"""
     var detailWriteFailed = false
     val detailFile =
       if (onlyRe.isDefined) "BENCH_SELF_ONLY.json" else "BENCH_SELF.json"
@@ -263,7 +273,8 @@ object Bench {
     // Printed LAST (after spark.stop()'s shutdown logging) so the line sits
     // inside the consumer's ~2000-char tail window — see chooseHeadline.
     println(chooseHeadline(results.toSeq, errors.toSeq, stalls.size,
-      guardVetoed.size, Reps, sfDir, detailWriteFailed))
+      guardVetoed.size, Reps, sfDir, detailWriteFailed,
+      parityOnly = parityOnly))
   }
 
   /** The stdout contract line, degraded to fit the consumer's tail window.
@@ -286,11 +297,18 @@ object Bench {
                                     errors: Seq[(String, String)],
                                     nStalls: Int, nVetoed: Int, reps: Int,
                                     sfDir: String,
-                                    detailWriteFailed: Boolean): String = {
+                                    detailWriteFailed: Boolean,
+                                    parityOnly: Set[String] = Set.empty): String = {
     // dp=0 yields bare integers ("2", not "2.0").
     def jnum(v: Double, dp: Int): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2).filter(_ >= 0).sum
+    // The at-scale total (verification-only twins excluded) rides the
+    // headline only when some twin actually ran — constant ~25 chars.
+    val atScale =
+      if (!results.exists(r => parityOnly(r._1))) ""
+      else s""""value_at_scale":${jnum(results.filterNot(r => parityOnly(r._1))
+        .map(_._2).filter(_ >= 0).sum, 2)},"""
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     def headline(dp: Int, keep: Int): String = {
       // keep < n: slowest queries first (value desc, name asc tie-break) —
@@ -324,7 +342,7 @@ object Bench {
       val dwf = if (detailWriteFailed) s""""detail_write_failed":true,""" else ""
       // sf as basename: the directory prefix is invariant noise.
       val sfShort = new java.io.File(sfDir).getName
-      s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","queries":$qs,$omitted$err$stl$vet$dwf"reps":$reps,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":${jnum(total, 2)},$atScale"unit":"sec","queries":$qs,$omitted$err$stl$vet$dwf"reps":$reps,"sf":"$sfShort"}"""
     }
     // 1700 is the comfortable target; a FULL per-query map is worth
     // stretching right up to the ~1930 hard limit (tail window 2000 minus

@@ -25,6 +25,27 @@ object SparkEntry {
       FunctionQueries.queries ++ CurationQueries.queries ++
       LexicalQueries.queries
 
+  /** Queries whose REGISTERED form exists for DuckDB-oracle parity or as a
+    * demoted verification twin — NOT the at-scale path. Machine-readable so
+    * a scale run can exclude them DELIBERATELY instead of discovering their
+    * super-linear shape by accident (BASELINE.md round-7 scaling:
+    * dedup_simhash_pairs 34×, dedup_minhash_lsh 14× at 10× rows — by
+    * design, their 48-bit md5 bases exist solely so DuckDB can replay the
+    * full pipeline). Bench surfaces this set in BENCH_SELF.json
+    * (`oracle_parity_only`) and an excluded total in the headline
+    * (`value_at_scale`); `SPARK_GRAFT_SKIP_PARITY_ONLY=1` drops them from
+    * the run. Every entry has a registered at-scale twin covering the same
+    * semantics. */
+  def oracleParityOnly: Set[String] = Set(
+    // md5-48 token-hash basis (8-bit SimHash bands → ~n²/256 candidate
+    // growth); at-scale twins: dedup_simhash_xxhash, dedup_simhash128_pairs
+    "dedup_simhash_pairs",
+    // md5-48 MinHash basis; at-scale twin: dedup_minhash_xxhash
+    "dedup_minhash_lsh",
+    // Complete-mode output keeps all pair state forever; at-scale twin:
+    // stream_docs_neardup_banded (watermarked Append aggregate)
+    "stream_docs_neardup_pairs")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys (non-SQL-expressible ops — seeded
     * xxhash64 MinHash/SimHash/LSH, the fake-decode stub) get the driver's

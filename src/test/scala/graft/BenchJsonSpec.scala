@@ -97,6 +97,30 @@ class BenchJsonSpec extends AnyFunSuite {
         "realistic-magnitude run must not truncate the per-query map")
   }
 
+  test("oracleParityOnly: every tag names a registered query with a registered at-scale twin; headline carries value_at_scale") {
+    val tags = SparkEntry.oracleParityOnly
+    assert(tags.subsetOf(SparkEntry.queries.keySet),
+      s"dangling tags: ${tags -- SparkEntry.queries.keySet}")
+    // each twin the tag comments promise is actually registered
+    Seq("dedup_simhash_xxhash", "dedup_simhash128_pairs",
+      "dedup_minhash_xxhash", "stream_docs_neardup_banded")
+      .foreach(t => assert(SparkEntry.queries.contains(t), s"missing twin $t"))
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 2.0)
+    val line = Bench.chooseHeadline(results, Seq.empty, 0, 0, 3,
+      "/root/testdata/sf0.1", detailWriteFailed = false, parityOnly = tags)
+    val node = mapper.readTree(line)
+    assert(node.get("value_at_scale") != null, s"no value_at_scale in: $line")
+    assert(math.abs(node.get("value").asDouble() - node.get("value_at_scale").asDouble()
+      - 2.0 * tags.size) < 0.01)
+    assert(line.length <= 1930)
+    // with no tagged query in the run (e.g. SPARK_GRAFT_SKIP_PARITY_ONLY=1
+    // or a filtered subset), the field is omitted — total IS at-scale
+    val skipped = results.filterNot(r => tags(r._1))
+    val sline = Bench.chooseHeadline(skipped, Seq.empty, 0, 0, 3,
+      "/root/testdata/sf0.1", detailWriteFailed = false, parityOnly = tags)
+    assert(mapper.readTree(sline).get("value_at_scale") == null)
+  }
+
   test("committed BENCH_SELF.json, when present, is valid JSON end-to-end") {
     val f = new java.io.File("BENCH_SELF.json")
     assume(f.isFile)
