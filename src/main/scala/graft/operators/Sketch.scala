@@ -71,4 +71,44 @@ object Sketch {
       .groupBy(probeCols: _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
+
+  /** Exact distributed heavy hitters — every key of `items(keyCol)` whose
+    * occurrence count is ≥ `supportPerMille`‰ of the total — via the
+    * two-pass Misra-Gries protocol (see [[graft.functions.MisraGriesAggregator]]):
+    *
+    *   1. candidate pass: ONE global aggregate whose partials are ≤
+    *      `counters`-entry MG summaries (map-side combined — each mapper
+    *      ships a KB-scale map, never its key distribution). MG guarantees
+    *      every key above n/(counters+1) survives, so with
+    *      supportPerMille·(counters+1) > 1000 the candidate set is a
+    *      SUPERSET of the answer regardless of partitioning/merge order.
+    *   2. verify pass: broadcast the ≤ `counters` candidate keys, semi-join
+    *      them against the stream at the scan, and count exactly — the
+    *      shuffle carries candidate keys only.
+    *
+    * Contrast with a naive `groupBy(key).count.filter(...)`: that shuffles
+    * the ENTIRE key universe (billions of rows of vocabulary at 100 TB) to
+    * find a handful of frequent keys; this shape's shuffles are bounded by
+    * `counters` at every stage, at the price of scanning `items` twice —
+    * the standard trade for an unmaterializable key space.
+    *
+    * Output (key, n_exact, n_total), exact and deterministic — the sketch
+    * decides only what gets COUNTED, never what gets reported. */
+  def heavyHitters(items: DataFrame, keyCol: String,
+                   counters: Int, supportPerMille: Int): DataFrame = {
+    require(supportPerMille >= 1 && supportPerMille <= 1000,
+      s"support must be in (0, 1000]‰, got $supportPerMille")
+    require(supportPerMille.toLong * (counters + 1) > 1000,
+      s"completeness needs support‰·(counters+1) > 1000: " +
+        s"$supportPerMille‰ with $counters counters can miss true heavy hitters")
+    val candKeys = items
+      .agg(graft.functions.MisraGries.candidates(counters)(col(keyCol)).as("c"))
+      .select(explode(col("c")).as(keyCol))
+    val total = items.agg(count(lit(1)).as("n_total"))
+    items.join(broadcast(candKeys), Seq(keyCol), "left_semi")
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(total))
+      .where(col("n_exact") * 1000 >= col("n_total") * supportPerMille)
+  }
 }

@@ -460,6 +460,19 @@ object EventQueries {
           Sources.events(s, dir), "event_type", "ts", k = 3)
         .orderBy(col("event_type"), col("day"))),
 
+    // Exact heavy hitters via the two-pass Misra-Gries protocol (X122):
+    // users with ≥ 8‰ of all events, found with 128 bounded counters over
+    // a 150-key universe — the candidate pass EVICTS (universe > counters)
+    // and the verify pass still reports exactly the definitional answer,
+    // which is what the hash-compare proves. Both shuffles are bounded by
+    // the counter budget; only the two scans touch the corpus.
+    "sketch_mg_heavy_users" -> q((s, dir) =>
+      graft.operators.Sketch.heavyHitters(
+          Sources.events(s, dir)
+            .select(col("user_id").cast("string").as("user_key")),
+          "user_key", counters = 128, supportPerMille = 8)
+        .orderBy(col("user_key"))),
+
     // Per-group Tukey-fence outlier screen (X63): rows outside
     // [q1 − 1.5·IQR, q3 + 1.5·IQR] of their event_type's exact quartiles.
     // Fence table is |groups| rows → broadcast; corpus side is one narrow
@@ -953,6 +966,16 @@ object EventQueries {
         |         AS is_anomaly
         |FROM daily d JOIN st USING (event_type)
         |ORDER BY d.event_type, d.day""".stripMargin,
+
+    // The definitional frequency filter — the sketch pass only bounds what
+    // gets COUNTED, so exact SQL is the full specification of the output.
+    "sketch_mg_heavy_users" ->
+      """WITH n AS (SELECT count(*) AS n_total FROM events)
+        |SELECT user_id::varchar AS user_key, count(*) AS n_exact,
+        |       any_value(n.n_total) AS n_total
+        |FROM events, n GROUP BY user_id
+        |HAVING count(*) * 1000 >= any_value(n.n_total) * 8
+        |ORDER BY user_key""".stripMargin,
 
     // Identical fence algebra term-for-term (q1 − (q3−q1)·1.5 etc.): IEEE
     // ops over the same interpolated quantiles are bit-identical, so the
