@@ -64,6 +64,42 @@ object Versioning {
     kept.select(col(idCol), col(textCol)).union(upserts)
   }
 
+  /** Replay an ORDERED CHAIN of payload-carrying deltas over a base
+    * snapshot in ONE shuffle — the log-structured read path (the LSM /
+    * lakehouse pattern: a base plus an append-only delta log IS the
+    * current snapshot, reconstructed at read time, compacted on a cadence).
+    *
+    * Why not iterate [[applyDelta]]: k iterated merges anti-join the FULL
+    * snapshot k times — k corpus-sized shuffles for deltas that are each a
+    * fraction of a percent of the corpus. This form tags base rows version
+    * 0 and delta i's rows version i, unions them, and keeps per id the row
+    * of the HIGHEST version (one hash-partitioned argmax aggregate over
+    * base+deltas together), then drops ids whose winning generation is a
+    * tombstone (`removed`). Cost: one scan of everything + ONE shuffle
+    * keyed on the id, independent of chain length; id-bucketed storage
+    * makes even that shuffle-free. Compaction = materialize this plan and
+    * restart the log.
+    *
+    * Determinism: within the union an (id, version) pair occurs at most
+    * once (a delta touches an id once), so max(struct(version, …)) is
+    * total-order deterministic; the struct carries status + payload so the
+    * argmax needs no join-back. Law (spec-pinned): replayDeltas(s₀,
+    * [diff(s₀,s₁), …, diff(s_{k−1},s_k)]) ≡ s_k ≡ iterated applyDelta. */
+  def replayDeltas(base: DataFrame, deltas: Seq[DataFrame],
+                   idCol: String, textCol: String): DataFrame = {
+    val v0 = base.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+      lit(0).as("__version"), lit("added").as("status"))
+    val gens = deltas.zipWithIndex.map { case (d, i) =>
+      d.select(col("doc_id"), col(textCol).as("__text"),
+        lit(i + 1).as("__version"), col("status"))
+    }
+    (v0 +: gens).reduce(_ unionByName _)
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("__version"), col("status"), col("__text"))).as("w"))
+      .where(col("w.status") =!= "removed")
+      .select(col("doc_id"), col("w.__text").as(textCol))
+  }
+
   /** [[snapshotDiff]] carrying the new-side payload on added/changed rows
     * (null for removed) — the transport form [[applyDelta]] consumes. Same
     * single full-outer join; the payload rides the new-side projection. */

@@ -125,6 +125,33 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Log-structured delta-chain replay (X123): base + TWO ordered deltas
+    // reconstructed in ONE id-keyed shuffle (union + per-id max-version
+    // argmax), never k iterated merges. The oracle computes the FINAL
+    // snapshot directly from the input table, so the compared equality is
+    // the chain law replay(s0, [diff(s0,s1), diff(s1,s2)]) ≡ s2 — checked
+    // by an engine that ran neither the diffs nor the replay.
+    "corpus_replay_deltas" -> q((s, dir) => {
+      val d = Sources.documents(s, dir)
+      def snap(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+        f(d).select(col("doc_id"), col("text"))
+      val s0 = snap(_.where(col("doc_id") % 7 =!= 6))
+      val s1 = snap(_.where(col("doc_id") % 5 =!= 4)
+        .withColumn("text", when(col("doc_id") % 11 === 3,
+          concat(col("text"), lit(" v2"))).otherwise(col("text"))))
+      val s2 = snap(_.where(col("doc_id") % 3 =!= 2)
+        .withColumn("text", when(col("doc_id") % 13 === 5,
+          concat(col("text"), lit(" v3"))).otherwise(col("text"))))
+      // each delta feeds the union once — pin the full-outer diff lineages
+      val deltas = Seq(
+        Versioning.diffWithPayload(s0, s1, "doc_id", "text"),
+        Versioning.diffWithPayload(s1, s2, "doc_id", "text"))
+        .map(_.localCheckpoint(eager = false))
+      Versioning.replayDeltas(s0, deltas, "doc_id", "text")
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("fp_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Cross-doc boilerplate removal: drop aligned 8-token spans shared by
     // ≥ 2 docs, rebuild each doc from surviving spans + tail. The rewrite
     // form of dedup_span_hashes (same chunk/hash basis).
@@ -524,6 +551,14 @@ object CurationQueries {
         |       md5(CASE WHEN doc_id % 11 = 3 THEN text || ' v2'
         |                ELSE text END) AS fp_md5
         |FROM documents WHERE doc_id % 5 <> 4 ORDER BY doc_id""".stripMargin,
+
+    // The s2 snapshot computed DIRECTLY — equality with Spark's replay of
+    // the two-delta chain is the log-structured reconstruction law.
+    "corpus_replay_deltas" ->
+      """SELECT doc_id,
+        |       md5(CASE WHEN doc_id % 13 = 5 THEN text || ' v3'
+        |                ELSE text END) AS fp_md5
+        |FROM documents WHERE doc_id % 3 <> 2 ORDER BY doc_id""".stripMargin,
 
     // Same chunk decomposition as the dedup_span_hashes oracle (DuckDB list
     // slice is inclusive 1-based; range() half-open); rebuild = kept chunks

@@ -53,6 +53,44 @@ class VersioningSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("replayDeltas: chain law — replay(s0, diffs) ≡ s_k ≡ iterated applyDelta") {
+    import spark.implicits._
+    // s0 → s1 → s2 → s3 exercising add, change, remove, and REVIVAL
+    // (id 3 removed in s1, re-added in s3 with new text)
+    val s0 = Seq((1L, "a0"), (2L, "b0"), (3L, "c0")).toDF("doc_id", "text")
+    val s1 = Seq((1L, "a0"), (2L, "b1"), (4L, "d1")).toDF("doc_id", "text")
+    val s2 = Seq((1L, "a2"), (2L, "b1"), (4L, "d1"), (5L, "e2")).toDF("doc_id", "text")
+    val s3 = Seq((1L, "a2"), (3L, "c3"), (5L, "e2")).toDF("doc_id", "text")
+    val chain = Seq(s0 -> s1, s1 -> s2, s2 -> s3).map { case (o, n) =>
+      Versioning.diffWithPayload(o, n, "doc_id", "text")
+    }
+    val replayed = Versioning.replayDeltas(s0, chain, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = s3.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(replayed == want, s"one-shuffle replay diverged: $replayed vs $want")
+    val iterated = chain.foldLeft(s0)(Versioning.applyDelta(_, _, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(iterated == want, "iterated applyDelta disagrees with the chain target")
+  }
+
+  test("replayDeltas: empty chain is the base; plan has ONE exchange for any chain length") {
+    import spark.implicits._
+    val s0 = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val noop = Versioning.replayDeltas(s0, Nil, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(noop == Set((1L, "a"), (2L, "b")))
+    // materialized deltas (the stored-log shape): replay cost must be ONE
+    // id-keyed shuffle no matter how many generations are stacked
+    val deltas = (1 to 4).map(i =>
+      Seq((i.toLong + 10, "added", "x", "x", s"t$i"))
+        .toDF("doc_id", "status", "old_md5", "new_md5", "text")
+        .localCheckpoint())
+    val plan = Versioning.replayDeltas(s0.localCheckpoint(), deltas,
+      "doc_id", "text").queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"replay must shuffle exactly once, saw $exchanges:\n$plan")
+  }
+
   test("applyDelta: empty delta is a no-op; removed payloads are null in transport") {
     import spark.implicits._
     val snap = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
