@@ -157,6 +157,47 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** DETERMINISTIC FRACTIONAL UPSAMPLING — mixture weights ABOVE 1×: a
+    * pretraining recipe that REPEATS rare-domain data ("epochs over the
+    * tail": 2.5× zh, 3× code) needs w > 1000‰, which no keep-rate filter
+    * can express. Each row emits ⌊w/1000⌋ whole copies plus one more iff
+    * its content-hash bucket < (w mod 1000) — so a 2500‰ stratum gets
+    * exactly 2 copies of every row and a 3rd for a deterministic ~half of
+    * them, realizing the fractional multiplier without RNG. Weights below
+    * 1000‰ degrade to [[stratifiedHashSample]] (0 or 1 copies), so one
+    * operator covers the whole mixture-weight line; unlisted strata take
+    * `defaultPermille` (1000 = pass through unchanged, 0 = drop).
+    *
+    * Copies carry a `repeat_idx` column (0..copies−1) so downstream
+    * shuffling/packing can tell repetitions apart (and epoch-aware
+    * curricula can, e.g., keep idx 0 only in epoch 1). Determinism is the
+    * [[hashSample]] contract: the same row gets the same copy count on any
+    * cluster, any partitioning, any engine.
+    *
+    * Plan shape: a when-chain weight lookup (no join node at all), the
+    * copy-count arithmetic, and one generate (explode of a ≤⌈w⌉-element
+    * sequence) — entirely narrow, zero shuffles, output size n·w̄ by
+    * construction. At 100 TB the generate streams: no row ever holds more
+    * than ⌈max w⌉ elements. */
+  def upsampleMixture(df: DataFrame, keyCol: String, strataCol: String,
+                      weightsPermille: Map[String, Int],
+                      defaultPermille: Int = 1000): DataFrame = {
+    require((defaultPermille +: weightsPermille.values.toSeq).forall(_ >= 0),
+      "weights are non-negative permille multipliers")
+    val w = weightsPermille.foldLeft(lit(defaultPermille)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn("__w", w.cast("long"))
+      .withColumn("__copies",
+        expr("__w div 1000") +
+          when(bucket(col(keyCol)) < pmod(col("__w"), lit(1000L)), lit(1L))
+            .otherwise(lit(0L)))
+      .where(col("__copies") >= 1L)
+      .withColumn("repeat_idx",
+        explode(sequence(lit(0L), col("__copies") - 1L)))
+      .select(df.columns.map(col) :+ col("repeat_idx"): _*)
+  }
+
   /** DETERMINISTIC GLOBAL SHUFFLE ORDER — contiguous positions 0..n−1 in a
     * salted content-hash permutation: the epoch-shuffle primitive of a
     * training pipeline (each epoch's read order must be a reproducible

@@ -248,6 +248,20 @@ object DedupQueries {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // Fractional upsampling (X124): mixture weights ABOVE 1× — rare
+    // languages REPEAT (⌊w⌋ copies + one more iff content-hash bucket <
+    // frac(w)), en downsamples, fr passes through via the 1000‰ default.
+    // repeat_idx keys the copies; membership and copy count are the same
+    // md5-48 bucket rule as every sampler, so the oracle replays copies
+    // exactly.
+    "sample_upsample_mixture" -> q((s, dir) =>
+      graft.operators.Sampling.upsampleMixture(
+        Sources.documents(s, dir), "text", "lang",
+        weightsPermille = Map("zh" -> 3000, "de" -> 2500,
+                              "es" -> 1500, "en" -> 250))
+        .select(col("doc_id"), col("lang"), col("repeat_idx"))
+        .orderBy(col("doc_id"), col("repeat_idx"))),
+
     // Bloom-filter membership screen in front of exact incremental dedup:
     // docs with doc_id % 5 = 4 probe a 4096-bit / 4-hash index built over
     // the rest. The md5-48 double-hash basis makes build AND probe —
@@ -895,6 +909,21 @@ object DedupQueries {
         |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
         |WHERE ${hexFold48("d.text")} % 1000 < r.p
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Same ⌊w/1000⌋ + hash-bucket-fractional copy rule, copies replayed
+    // via unnest(range(copies)) (empty range = dropped row).
+    "sample_upsample_mixture" ->
+      s"""WITH w(lang, w) AS (VALUES ('zh', 3000), ('de', 2500),
+        |                           ('es', 1500), ('en', 250)),
+        |d AS (SELECT doc_id, d.lang,
+        |             coalesce(w.w, 1000) // 1000 +
+        |             CASE WHEN ${hexFold48("d.text")} % 1000 <
+        |                       coalesce(w.w, 1000) % 1000
+        |                  THEN 1 ELSE 0 END AS copies
+        |      FROM documents d LEFT JOIN w USING (lang))
+        |SELECT doc_id, lang, unnest(range(copies)) AS repeat_idx
+        |FROM d WHERE copies >= 1
+        |ORDER BY doc_id, repeat_idx""".stripMargin,
 
     // Full Bloom replay: Kirsch–Mitzenmacher positions over the same two
     // md5-48 folds, distinct corpus positions as the bitset, all-4-hit

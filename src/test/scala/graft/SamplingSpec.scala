@@ -256,4 +256,46 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(kept2 == kept)
   }
+
+  test("upsampleMixture: exact copy rule, contiguous repeat_idx, default pass-through, zero drops, partition-invariant") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val rows = (1 to 100).map(i => (s"a$i", "A")) ++
+      (1 to 40).map(i => (s"b$i", "B")) ++ (1 to 10).map(i => (s"c$i", "C")) ++
+      (1 to 10).map(i => (s"d$i", "D"))
+    val df = rows.toDF("text", "lang")
+    // A downsamples (400‰), B repeats fractionally (2500‰), C drops (0),
+    // D is unlisted → the 1000‰ default keeps it exactly once.
+    val w = Map("A" -> 400, "B" -> 2500, "C" -> 0)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.upsampleMixture(d, "text", "lang", w)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val got = run(df)
+    // membership/copies must equal the independent bucket-rule realization:
+    // copies = ⌊w/1000⌋ + [bucket < w mod 1000]
+    val expected = df
+      .withColumn("b", pmod(Dedup.md5Hash48(col("text")), lit(1000L)))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .flatMap { case (t, l, b) =>
+        val wl = w.getOrElse(l, 1000).toLong
+        val copies = wl / 1000 + (if (b < wl % 1000) 1 else 0)
+        (0L until copies).map(i => (t, l, i))
+      }.toSet
+    assert(got == expected)
+    // C fully dropped, D exactly once at idx 0
+    assert(!got.exists(_._2 == "C"))
+    assert(got.count(_._2 == "D") == 10 && got.filter(_._2 == "D").forall(_._3 == 0L))
+    // every B row has ≥2 copies with contiguous idx 0..copies−1
+    val bCopies = got.filter(_._2 == "B").groupBy(_._1).map { case (_, s) =>
+      val idx = s.map(_._3)
+      assert(idx == (0L until idx.size).toSet, "repeat_idx must be contiguous from 0")
+      idx.size
+    }
+    assert(bCopies.forall(n => n == 2 || n == 3))
+    // realized B multiplier tracks 2.5× to hash granularity
+    val bTotal = bCopies.sum
+    assert(bTotal >= 80 && bTotal <= 120, s"~2.5x of 40, got $bTotal")
+    // partition-invariance
+    assert(run(df.repartition(7)) == got)
+  }
 }
