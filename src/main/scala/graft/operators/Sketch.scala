@@ -82,9 +82,14 @@ object Sketch {
     *      every key above n/(counters+1) survives, so with
     *      supportPerMille·(counters+1) > 1000 the candidate set is a
     *      SUPERSET of the answer regardless of partitioning/merge order.
+    *      The corpus total rides the SAME aggregate (count alongside the
+    *      MG summary), so candidates and n_total always describe one
+    *      consistent snapshot of the input.
     *   2. verify pass: broadcast the ≤ `counters` candidate keys, semi-join
     *      them against the stream at the scan, and count exactly — the
-    *      shuffle carries candidate keys only.
+    *      shuffle carries candidate keys only. (This is a second scan of
+    *      `items`; a nondeterministic uncached source should be pinned by
+    *      the caller before both passes.)
     *
     * Contrast with a naive `groupBy(key).count.filter(...)`: that shuffles
     * the ENTIRE key universe (billions of rows of vocabulary at 100 TB) to
@@ -101,14 +106,19 @@ object Sketch {
     require(supportPerMille.toLong * (counters + 1) > 1000,
       s"completeness needs support‰·(counters+1) > 1000: " +
         s"$supportPerMille‰ with $counters counters can miss true heavy hitters")
-    val candKeys = items
-      .agg(graft.functions.MisraGries.candidates(counters)(col(keyCol)).as("c"))
-      .select(explode(col("c")).as(keyCol))
-    val total = items.agg(count(lit(1)).as("n_total"))
+    // One 1-row summary pass: MG candidates + the exact corpus total.
+    // Pinned so its two consumers (explode, scalar) share one scan; the
+    // total reaches the filter as a scalar subquery, NOT a crossJoin —
+    // no BroadcastNestedLoopJoin ever enters the plan.
+    val summary = items
+      .agg(graft.functions.MisraGries.candidates(counters)(col(keyCol)).as("c"),
+        count(lit(1)).as("n_total"))
+      .localCheckpoint(eager = false)
+    val candKeys = summary.select(explode(col("c")).as(keyCol))
     items.join(broadcast(candKeys), Seq(keyCol), "left_semi")
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_exact"))
-      .crossJoin(broadcast(total))
+      .withColumn("n_total", summary.select(col("n_total")).scalar())
       .where(col("n_exact") * 1000 >= col("n_total") * supportPerMille)
   }
 }

@@ -655,6 +655,59 @@ object TextOps {
     steps.reduce(_ unionByName _)
   }
 
+  /** FULL-CORPUS BPE ENCODE with the trained merge table — the one
+    * tokenizer step a training pipeline actually runs at 100 TB: every
+    * document's text becomes its token-id sequence. [[bpeTrain]] produces
+    * the artifact; this applies it.
+    *
+    * Shape: training is X114's cost (corpus touched once by the word-count
+    * aggregate, then |vocab|-sized rounds); ENCODING is one narrow scan.
+    * The `nMerges` (pattern, replacement) pairs ride as 1-row scalar
+    * subqueries staged per row, and each word is encoded by folding the
+    * merge list in training order over its anchored symbol string (the
+    * [[bpeTrain]] leading-space discipline — greedy leftmost
+    * non-overlapping fuse, identical in the JVM and DuckDB). No join, no
+    * shuffle, no dictionary exchange: the merge table IS the tokenizer,
+    * exactly as a real BPE encoder ships it.
+    *
+    * Token ids are the hashing-trick id space the repo's classifier
+    * already uses (md5-48 of the token symbol mod 2²⁰) — no vocab
+    * dictionary to build or broadcast, engine-portable, and collisions at
+    * 2²⁰ buckets are negligible for a ≤(chars+nMerges)-symbol vocabulary.
+    * Output: (idCol, n_words, n_tokens, token_ids) with the id sequence
+    * space-joined (the registry's stringified-array rule). */
+  def bpeEncode(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, nMerges: Int,
+                idBuckets: Long = 1L << 20): org.apache.spark.sql.DataFrame = {
+    val merges = bpeTrain(docs, idCol, textCol, nMerges)
+    val mergeCols = (1 to nMerges).map { i =>
+      merges.where(col("step") === i)
+        .select(struct(
+          concat(lit(" "), col("pair")).as("pat"),
+          concat(lit(" "), regexp_replace(col("pair"), " ", "")).as("rep"))
+          .as("m"))
+        .scalar().as(s"__m$i")
+    }
+    // Merge structs staged as attributes BEFORE the lambda (the
+    // classifierScore staging caveat: an unstaged scalar referenced inside
+    // a HOF lambda re-evaluates per element).
+    docs
+      .select(col(idCol) +: tokens(col(textCol)).as("tk") +: mergeCols: _*)
+      .withColumn("toks", flatten(transform(col("tk"), w => {
+        val syms0 = concat(lit(" "), array_join(split(w, ""), " "))
+        val folded = (1 to nMerges).foldLeft(syms0)((sy, i) =>
+          replace(sy, col(s"__m$i").getField("pat"),
+            col(s"__m$i").getField("rep")))
+        split(folded.substr(lit(2), length(folded)), " ")
+      })))
+      .select(col(idCol),
+        size(col("tk")).cast("long").as("n_words"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        array_join(transform(col("toks"),
+          t => (Dedup.md5Hash48(t) % idBuckets).cast("string")), " ")
+          .as("token_ids"))
+  }
+
   /** Default feature-hash dimensionality for [[classifierMargin]]: small
     * enough that the weight vector embeds as literals in the generated
     * oracle SQL, large enough to exercise real bucket dispersion. Production

@@ -172,6 +172,18 @@ object TextQueries {
         nMerges = 6)
         .orderBy(col("step"))),
 
+    // Full-corpus BPE ENCODE with the trained merge table (X125): every
+    // document's text → its token-id sequence, the tokenizer step a
+    // pipeline actually runs at 100 TB. Training is X114's cost; encoding
+    // is ONE narrow scan — the 6 merges ride as scalar subqueries and
+    // fold per word (greedy-leftmost anchored replace), ids via the
+    // md5-48 hashing trick (the classifier convention). No join, no
+    // shuffle.
+    "text_bpe_encode" -> q((s, dir) =>
+      TextOps.bpeEncode(Sources.documents(s, dir), "doc_id", "text",
+        nMerges = 6)
+        .orderBy(col("doc_id"))),
+
     // Hashed linear classifier inference (X73): the fastText-style learned
     // quality filter as a zero-shuffle narrow map — token → md5-48 feature
     // bucket, integer weight lookup (weights ride as codegen literals),
@@ -509,6 +521,51 @@ object TextQueries {
         |$rounds
         |$steps
         |ORDER BY step""".stripMargin
+    },
+
+    // Same six unrolled training rounds (w carried through the rewrite
+    // chain so the final vocabulary maps word → symbols), then every doc
+    // word joins its encoded symbol list, flattens in (word pos, symbol
+    // pos) order, and ids via the same md5-48 fold mod 2^20. LEFT JOIN
+    // keeps zero-token docs with ('' , 0) like the Spark narrow map.
+    "text_bpe_encode" -> {
+      val rounds = (1 to 6).map { i =>
+        raw"""p$i AS (
+          |  SELECT pair, sum(wc) AS n_total FROM (
+          |    SELECT wc, unnest(CASE WHEN len(a) < 2 THEN []::varchar[]
+          |           ELSE list_transform(range(1, len(a)),
+          |                               j -> a[j] || ' ' || a[j + 1]) END) AS pair
+          |    FROM (SELECT wc, string_split(substr(syms, 2), ' ') AS a
+          |          FROM s${i - 1}))
+          |  GROUP BY pair),
+          |t$i AS (SELECT pair, n_total FROM p$i
+          |        ORDER BY n_total DESC, pair ASC LIMIT 1),
+          |s$i AS (SELECT w, wc, replace(syms, ' ' || pair,
+          |                              ' ' || replace(pair, ' ', '')) AS syms
+          |        FROM s${i - 1}, t$i)""".stripMargin
+      }.mkString(",\n")
+      raw"""WITH v AS (
+        |  SELECT w, count(*) AS wc
+        |  FROM (SELECT unnest($toks) AS w FROM documents) GROUP BY w),
+        |s0 AS (SELECT w, wc, ' ' || array_to_string(string_split(w, ''), ' ')
+        |         AS syms FROM v),
+        |$rounds,
+        |enc AS (SELECT w, string_split(substr(syms, 2), ' ') AS wt FROM s6),
+        |d AS (SELECT doc_id, $toks AS tk FROM documents),
+        |dw AS (SELECT doc_id, unnest(tk) AS w,
+        |              unnest(range(1, len(tk) + 1)) AS pos FROM d),
+        |fl AS (SELECT doc_id, pos, unnest(e.wt) AS tok,
+        |              unnest(range(1, len(e.wt) + 1)) AS sub
+        |       FROM dw JOIN enc e USING (w)),
+        |agg AS (SELECT doc_id, count(*) AS n_tokens,
+        |               string_agg(((${DedupQueries.hexFold48("tok")}) % 1048576)::varchar,
+        |                          ' ' ORDER BY pos, sub) AS token_ids
+        |        FROM fl GROUP BY doc_id)
+        |SELECT d.doc_id, len(d.tk)::bigint AS n_words,
+        |       coalesce(a.n_tokens, 0)::bigint AS n_tokens,
+        |       coalesce(a.token_ids, '') AS token_ids
+        |FROM d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
     },
 
     // Same argmax pair, same greedy-leftmost replace() fuse over the
