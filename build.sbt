@@ -59,3 +59,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // GC, zero steal.
   "-XX:ReservedCodeCacheSize=1g",
 )
+// Ad-hoc JVM forensics for bench runs (e.g. -Xlog:codecache=debug:file=…
+// to measure code-cache occupancy/eviction during a full-surface run) —
+// space-separated flags appended to the forked JVM, empty by default.
+javaOptions ++= sys.env.get("SPARK_GRAFT_EXTRA_JVM").toSeq
+  .flatMap(_.split("\\s+")).filter(_.nonEmpty)

@@ -121,6 +121,63 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(mapper.readTree(sline).get("value_at_scale") == null)
   }
 
+  test("regression gate: >2x with clean counters flags; host-explained and sub-floor do not") {
+    val prev = Map("a" -> 1.0, "b" -> 1.0, "c" -> 0.1, "d" -> 1.0)
+    def rep(wall: Double, gc: Double = 0.0, steal: Double = 0.0) =
+      Bench.Rep(wall, gc, steal, 0.0, wall)
+    val reps = Map(
+      "a" -> Seq(rep(3.0), rep(3.1), rep(2.9)),            // clean 3x — flag
+      "b" -> Seq(rep(3.0, gc = 1.5), rep(3.1, gc = 1.4), rep(2.9, gc = 1.6)), // GC-explained
+      "c" -> Seq(rep(0.3), rep(0.3), rep(0.3)),            // 3x but sub-floor
+      "d" -> Seq(rep(1.1), rep(1.1), rep(1.1)),            // within 2x
+      "e" -> Seq(rep(9.0), rep(9.0), rep(9.0)))            // no prev — no gate
+    val now = Seq("a" -> 3.0, "b" -> 3.0, "c" -> 0.3, "d" -> 1.1, "e" -> 9.0)
+    val flagged = Bench.computeRegressions(prev, now, reps)
+    assert(flagged.map(_._1) === Seq("a"))
+    assert(flagged.head._2 === 1.0 && flagged.head._3 === 3.0)
+    // steal-explained slowness is the host's, not the code's
+    val stealReps = Map("a" -> Seq(rep(3.0, steal = 0.9), rep(3.0, steal = 0.9), rep(3.0, steal = 0.9)))
+    assert(Bench.computeRegressions(Map("a" -> 1.0), Seq("a" -> 3.0), stealReps).isEmpty)
+    // a failed query (-1) never counts as a regression
+    assert(Bench.computeRegressions(Map("a" -> 1.0), Seq("a" -> -1.0), Map.empty).isEmpty)
+  }
+
+  test("regression gate: readPrevQueries keys on matching sf and degrades to empty") {
+    val dir = java.nio.file.Files.createTempDirectory("benchprev")
+    val f = dir.resolve("prev.json").toFile
+    val w = new java.io.PrintWriter(f)
+    w.write("""{"queries":{"a":1.5,"b":-1},"sf":"/data/sf0.1"}"""); w.close()
+    assert(Bench.readPrevQueries(f.getPath, "/data/sf0.1") === Map("a" -> 1.5))
+    // mismatched sf (subset/alternate-scale file) must never gate
+    assert(Bench.readPrevQueries(f.getPath, "/data/sf1") === Map.empty)
+    // missing/corrupt file degrades to no evidence, not an exception
+    assert(Bench.readPrevQueries(dir.resolve("nope.json").toString, "/data/sf0.1") === Map.empty)
+    val g = dir.resolve("bad.json").toFile
+    val w2 = new java.io.PrintWriter(g); w2.write("{not json"); w2.close()
+    assert(Bench.readPrevQueries(g.getPath, "/data/sf0.1") === Map.empty)
+  }
+
+  test("headline carries n_regressions only when nonzero") {
+    val results = Seq("a" -> 1.0, "b" -> 2.0)
+    val clean = mapper.readTree(Bench.chooseHeadline(results, Seq.empty, 0, 0, 3,
+      "/root/testdata/sf0.1", detailWriteFailed = false))
+    assert(clean.get("n_regressions") == null)
+    val dirty = mapper.readTree(Bench.chooseHeadline(results, Seq.empty, 0, 0, 3,
+      "/root/testdata/sf0.1", detailWriteFailed = false, nRegressions = 2))
+    assert(dirty.get("n_regressions").asInt() === 2)
+  }
+
+  test("committed BENCH_SELF.json, when present, carries the regressions field") {
+    val f = new java.io.File("BENCH_SELF.json")
+    assume(f.isFile)
+    val node = mapper.readTree(f)
+    // present even when empty — the empty object IS the clean-run evidence
+    assume(node.get("regressions") != null,
+      "pre-gate BENCH_SELF.json (first post-gate run rewrites it)")
+    assert(node.get("regressions").isObject)
+    assert(node.get("n_regressions") != null)
+  }
+
   test("committed BENCH_SELF.json, when present, is valid JSON end-to-end") {
     val f = new java.io.File("BENCH_SELF.json")
     assume(f.isFile)
