@@ -444,20 +444,36 @@ object Dedup {
     *   per-round task count should track that size, not the corpus scan
     *   parallelism — at local bench scale, 32-partition exchanges per round
     *   were pure scheduling overhead (the streaming state-store lesson
-    *   applied to iteration). Scoped PER SUBPLAN via explicit
-    *   `repartition(n, key)` on the loop's join/aggregate inputs — never a
-    *   session-conf mutation, so concurrent queries on one session are
-    *   unaffected (round-7/8 advice). The edges table is repartitioned once
-    *   (pinned by its checkpoint); each round's aggregate and self-join
-    *   inputs carry the explicit n-partitioning, which EnsureRequirements
-    *   then satisfies without extra exchanges. The input pair derivation
-    *   and the returned label frame stay at the caller's parallelism.
-    *   None = session default everywhere. */
+    *   applied to iteration). Scoped to the loop via a CLONED child session
+    *   (`newSession()`: shared SparkContext, independent SQL conf) — never
+    *   a caller-session mutation, so concurrent queries are unaffected
+    *   (round-7/8 advice). The same child session disables ADAPTIVE
+    *   EXECUTION for the loop: AQE re-plans each tiny per-round exchange as
+    *   its own query-stage job plus broadcast futures (measured: 7 jobs per
+    *   round → 1 after scoping on the sf0.1 embedding graph — round-11
+    *   BASELINE.md), overhead built for TB shuffles that only adds
+    *   scheduling wall at iteration-state size. The input pair derivation
+    *   and the returned label frame stay on the caller's session.
+    *   None = caller's shuffle parallelism, still AQE-off for the loop. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           checkpointDir: Option[String] = None,
                           iterShufflePartitions: Option[Int] = None): DataFrame = {
     val spark = pairs.sparkSession
     val sc = spark.sparkContext
+    // The iteration runs on a CLONED session (shared SparkContext,
+    // independent SQL conf) with ADAPTIVE EXECUTION OFF: iteration state is
+    // pair-list-sized metadata, and AQE — built to re-plan TB shuffles —
+    // materializes every tiny per-round exchange as its own query-stage job
+    // plus broadcast futures. Measured on the sf0.1 embedding graph (920
+    // edges): SEVEN jobs per round under AQE vs one without, ~13 rounds —
+    // pure scheduling wall. A child session scopes the conf to this loop
+    // (never a caller-session mutation — the round-7/8 advice); per-round
+    // shuffle parallelism rides the same scoped conf instead of explicit
+    // repartition exchanges.
+    val iter = spark.newSession()
+    iter.conf.set("spark.sql.adaptive.enabled", "false")
+    iterShufflePartitions.foreach(n =>
+      iter.conf.set("spark.sql.shuffle.partitions", n.toString))
     val ckpt: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
         df => {
@@ -480,13 +496,13 @@ object Dedup {
     // twice (forward + reversed), and an un-checkpointed pair derivation
     // (e.g. the full jaccard join) would execute per branch.
     val p = ckpt(pairs.select(col(aCol).as("a"), col(bCol).as("b")))
-    // Per-subplan iteration sizing: repartition, never a conf mutation.
-    def part(df: DataFrame, key: Column): DataFrame =
-      iterShufflePartitions.map(n => df.repartition(n, key)).getOrElse(df)
-    val edges = ckpt(part(
+    // Hop the materialized inputs onto the iteration session: same pinned
+    // RDD blocks, loop-scoped SQL conf.
+    def onIter(df: DataFrame): DataFrame =
+      iter.createDataFrame(df.rdd, df.schema)
+    val edges = ckpt(onIter(
       p.select(col("a").as("src"), col("b").as("dst"))
-        .union(p.select(col("b").as("src"), col("a").as("dst"))),
-      col("src")))
+        .union(p.select(col("b").as("src"), col("a").as("dst")))))
     var labels = ckpt(edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")))
     val idType = labels.schema("id").dataType
@@ -497,12 +513,11 @@ object Dedup {
       // PRE-round label (`old`) through the aggregate — every id has exactly
       // one self row, so max(old) over (nulls from neighbors, old from self)
       // recovers it without a second join.
-      val prop = part(
-        labels.join(edges, col("id") === col("src"))
+      val prop =
+        labels.join(edges.hint("shuffle_hash"), col("id") === col("src"))
           .select(col("dst").as("id"), col("comp"),
             lit(null).cast(idType).as("old"))
-          .union(labels.select(col("id"), col("comp"), col("comp").as("old"))),
-        col("id"))
+          .union(labels.select(col("id"), col("comp"), col("comp").as("old")))
         .groupBy("id").agg(min("comp").as("comp"), max("old").as("old"))
       // Pointer jump (path halving): comp := comp's comp. Labels are always
       // existing vertex ids (initial = self, min only moves to other
@@ -517,10 +532,11 @@ object Dedup {
       val propRdd = prop.rdd
       pinRdd(propRdd)
       val propSchema = prop.schema
-      val left = part(spark.createDataFrame(propRdd, propSchema), col("comp"))
-      val right = part(spark.createDataFrame(propRdd, propSchema)
-        .select(col("id").as("cid"), col("comp").as("ccomp")), col("cid"))
-      val jumped = left.join(right, col("comp") === col("cid"))
+      val left = iter.createDataFrame(propRdd, propSchema)
+      val right = iter.createDataFrame(propRdd, propSchema)
+        .select(col("id").as("cid"), col("comp").as("ccomp"))
+      val jumped = left.join(right.hint("shuffle_hash"),
+          col("comp") === col("cid"))
         .select(col("id"), col("ccomp").as("comp"), col("old"))
       // One action runs the whole round: the count() materializes the
       // pinned next-labels RDD, and the map it passes through tallies
@@ -533,9 +549,11 @@ object Dedup {
       pinRdd(nextRdd)
       nextRdd.count()
       converged = changed.value == 0L
-      labels = spark.createDataFrame(nextRdd, labelSchema)
+      labels = iter.createDataFrame(nextRdd, labelSchema)
     }
-    labels
+    // Hand the result back on the CALLER's session (downstream plans then
+    // run under the caller's conf, not the loop's).
+    spark.createDataFrame(labels.rdd, labelSchema)
   }
 
   /** Near-duplicate dedup end-to-end: cluster the ≥θ jaccard pairs into
