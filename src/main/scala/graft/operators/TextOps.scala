@@ -646,7 +646,13 @@ object TextOps {
         concat(lit(" "), col("pair")).as("pat"),
         concat(lit(" "), regexp_replace(col("pair"), " ", "")).as("rep")).as("s"))
       cur = cur
-        .withColumn("__s", pat.scalar())
+        // Degenerate-corpus guard (round-10 advice): when the vocabulary
+        // has no mergeable pair left, the 1-row scalar is EMPTY → NULL
+        // struct → replace(syms, null, null) would null every word. The
+        // fallback replaces a pattern with itself — a true no-op whatever
+        // the text contains.
+        .withColumn("__s", coalesce(pat.scalar(),
+          struct(lit(" ").as("pat"), lit(" ").as("rep"))))
         .withColumn("syms", expr("replace(syms, __s.pat, __s.rep)"))
         .drop("__s")
         .localCheckpoint(eager = false)
@@ -678,15 +684,47 @@ object TextOps {
     * space-joined (the registry's stringified-array rule). */
   def bpeEncode(docs: org.apache.spark.sql.DataFrame, idCol: String,
                 textCol: String, nMerges: Int,
-                idBuckets: Long = 1L << 20): org.apache.spark.sql.DataFrame = {
-    val merges = bpeTrain(docs, idCol, textCol, nMerges)
+                idBuckets: Long = 1L << 20): org.apache.spark.sql.DataFrame =
+    bpeEncodeWithMerges(docs, idCol, textCol,
+      bpeTrain(docs, idCol, textCol, nMerges), nMerges, idBuckets)
+
+  /** Persist a trained BPE merge table as the shipped tokenizer artifact —
+    * the [[graft.operators.Dedup]] `writeDedupIndex` convention applied to
+    * the tokenizer: train ONCE, store (step, pair, n_total) as parquet,
+    * and every later encode is a pure narrow scan against the stored table
+    * (no retraining, no corpus-sized aggregate). At 100 TB this is the
+    * only sane shape: the tokenizer is a build artifact, not a per-job
+    * computation. */
+  def writeBpeMerges(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, nMerges: Int, outPath: String): Unit =
+    bpeTrain(docs, idCol, textCol, nMerges)
+      // nMerges rows: a single file keeps the artifact read metadata-cheap
+      .coalesce(1)
+      .write.mode("overwrite").parquet(outPath)
+
+  /** ENCODE against a supplied merge table — the stored-artifact path
+    * ([[writeBpeMerges]] output or any (step, pair) DataFrame in training
+    * order). Encoding itself never touches the training corpus: the
+    * `nMerges` (pattern, replacement) pairs ride as 1-row scalar
+    * subqueries off the merge table, and the document scan is one narrow
+    * map. Missing steps (a degenerate corpus trained fewer than `nMerges`
+    * merges) fall back to a no-op replace instead of nulling the fold
+    * (round-10 advice). Only `idBuckets` = 2²⁰ is oracle-checked (the
+    * generated SQL hardcodes the registry's bucket count); other values
+    * are spec-covered only. */
+  def bpeEncodeWithMerges(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                          textCol: String,
+                          merges: org.apache.spark.sql.DataFrame, nMerges: Int,
+                          idBuckets: Long = 1L << 20): org.apache.spark.sql.DataFrame = {
     val mergeCols = (1 to nMerges).map { i =>
-      merges.where(col("step") === i)
-        .select(struct(
-          concat(lit(" "), col("pair")).as("pat"),
-          concat(lit(" "), regexp_replace(col("pair"), " ", "")).as("rep"))
-          .as("m"))
-        .scalar().as(s"__m$i")
+      coalesce(
+        merges.where(col("step") === i)
+          .select(struct(
+            concat(lit(" "), col("pair")).as("pat"),
+            concat(lit(" "), regexp_replace(col("pair"), " ", "")).as("rep"))
+            .as("m"))
+          .scalar(),
+        struct(lit(" ").as("pat"), lit(" ").as("rep"))).as(s"__m$i")
     }
     // Merge structs staged as attributes BEFORE the lambda (the
     // classifierScore staging caveat: an unstaged scalar referenced inside

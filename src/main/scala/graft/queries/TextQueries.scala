@@ -184,6 +184,17 @@ object TextQueries {
         nMerges = 6)
         .orderBy(col("doc_id"))),
 
+    // The STORED-ARTIFACT encode path (X125's production shape, round-10
+    // judge task): the merge table is trained once per (process, corpus)
+    // and PERSISTED (writeBpeMerges — the X49 writeDedupIndex convention);
+    // the registered query is then a merge-table read + ONE narrow corpus
+    // scan, never a retrain. Same output as text_bpe_encode (the oracle is
+    // shared), so equality proves store→load→encode ≡ train→encode.
+    "text_bpe_encode_indexed" -> q((s, dir) =>
+      TextOps.bpeEncodeWithMerges(Sources.documents(s, dir), "doc_id",
+        "text", s.read.parquet(bpeMergesDir(s, dir)), nMerges = 6)
+        .orderBy(col("doc_id"))),
+
     // Hashed linear classifier inference (X73): the fastText-style learned
     // quality filter as a zero-shuffle narrow map — token → md5-48 feature
     // bucket, integer weight lookup (weights ride as codegen literals),
@@ -211,8 +222,29 @@ object TextQueries {
         .orderBy(col("doc_id")))
   )
 
+  /** Build-once-per-(process, corpus) persisted BPE merge table for the
+    * stored-artifact encode query — the zorderDir/compactionDir
+    * convention: the tokenizer trains once and every later encode scans
+    * the stored parquet. */
+  private val bpeMergesBuilt =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def bpeMergesDir(s: SparkSession, dir: String): String =
+    bpeMergesBuilt.getOrElseUpdate(dir, {
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_bpe_merges_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_")).getPath
+      TextOps.writeBpeMerges(Sources.documents(s, dir), "doc_id", "text",
+        nMerges = 6, outPath = out)
+      out
+    })
+
   // DuckDB twins. `len()` is BIGINT in DuckDB vs Spark size() INT → ::int.
-  private val toks = raw"regexp_split_to_array(trim(text), '\s+')"
+  /** Empty/whitespace-only docs must tokenize to ZERO tokens like the
+    * Spark side (TextOps.tokens): DuckDB's regexp_split_to_array('') yields
+    * [''] (len 1), a silent divergence on degenerate corpora (round-10
+    * advice). */
+  private val toks =
+    raw"(CASE WHEN trim(text) = '' THEN []::varchar[] ELSE regexp_split_to_array(trim(text), '\s+') END)"
 
   /** Shared CDC CTE block (window 8, modulus 32): per doc the token array
     * `tk`, completed boundary list `bs`, and the chunk index stream `j` —
@@ -237,7 +269,14 @@ object TextQueries {
       |  SELECT doc_id, tk, bs, unnest(range(1, len(bs))) AS j FROM bb)""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  /** The stored-artifact encode must produce byte-identical output to the
+    * inline-training form — one oracle serves both (the
+    * dedup_incremental_indexed convention), so equality across the two
+    * registered queries proves store→load→encode ≡ train→encode. */
+  def oracles: Map[String, String] =
+    baseOracles + ("text_bpe_encode_indexed" -> baseOracles("text_bpe_encode"))
+
+  private val baseOracles: Map[String, String] = Map(
     // Same explicit byte-range class + 'g' flag (Spark regexp_replace is
     // global by default); length() is characters in both engines.
     "text_canonicalize" ->
