@@ -161,6 +161,25 @@ object Multimodal {
       .toDF("asset_id", "features")
   }
 
+  /** Per-asset 128-bit perceptual-style block signatures as (id, hi, lo) —
+    * the [[graft.functions.BlockHash128]] average-hash kernel over the raw
+    * payload, shaped for [[Dedup.simHashNearDupPairs128]]'s pigeonhole-
+    * banded hamming join (maxHamming 5 → 6 bands of 21 bits, the X118
+    * 100 TB geometry). One narrow codegen'd scan; null payloads sign as
+    * empty (signature 0, like tokenless docs in the SimHash path). This is
+    * the byte-level perceptual near-dup bridge the content-hash dedup
+    * cannot provide: recompressed or lightly-edited payloads differ in a
+    * few threshold-adjacent bits, not all 128. */
+  def blockHashSignatures(assets: DataFrame, idCol: String = "asset_id",
+                          payloadCol: String = "payload"): DataFrame =
+    assets.select(col(idCol).as("id"),
+      graft.functions.BlockHash128.blockHash128(
+        coalesce(col(payloadCol).cast(BinaryType),
+          lit(Array.emptyByteArray))).as("sig"))
+      .select(col("id"),
+        element_at(col("sig"), 1).as("hi"),
+        element_at(col("sig"), 2).as("lo"))
+
   /** Assemble an asset DataFrame from any table with an id and a binary-able
     * column — the ingest adapter used by tests and the registered queries
     * (the driver testdata has no native binary table, so `documents.text`

@@ -79,11 +79,19 @@ object DedupQueries {
   private val simhash128SigCache =
     scala.collection.concurrent.TrieMap[String, Array[(Long, Long, Long)]]()
 
+  /** (id, hi, lo) perceptual block-hash signature capture for the
+    * multimodal near-dup oracle — the X118 convention applied to binary
+    * payloads, same bounded collect discipline, gated behind
+    * [[OracleCapture]]. */
+  private val phashSigCache =
+    scala.collection.concurrent.TrieMap[String, Array[(Long, Long, Long)]]()
+
   /** Test hook: which dirs have captured signatures (must stay empty when
     * [[OracleCapture]] is disabled — pinned by AllQueriesSpec). */
   private[graft] def capturedSimhashDirs: Set[String] =
     simhashSigCache.readOnlySnapshot().keySet.toSet ++
-      simhash128SigCache.readOnlySnapshot().keySet.toSet
+      simhash128SigCache.readOnlySnapshot().keySet.toSet ++
+      phashSigCache.readOnlySnapshot().keySet.toSet
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -513,6 +521,41 @@ object DedupQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // PERCEPTUAL near-dup for multimodal binaries (X126): average-hash
+    // block signatures over raw payload bytes (one native codegen scan,
+    // functions.BlockHash128) paired through the SAME pigeonhole-banded
+    // 128-bit hamming join as X118 — byte-exact content hashing (X19)
+    // misses a recompressed asset; a perceptual signature doesn't. The
+    // documents' text bytes stand in as payloads (no binary table in the
+    // driver testdata); a real image decoder swaps a luma grid in for the
+    // raw bytes without touching this plan. Oracle: embedded-signature
+    // convention — captured (id, hi, lo) replay as the trusted quadratic
+    // two-word hamming join in DuckDB.
+    "multimodal_phash_pairs" -> q((s, dir) => {
+      // Planted perceptual twins: every 25th doc re-appears with the
+      // uniform 'e'→'i' byte shift — length-preserving light perturbation,
+      // the recompression analog (measured: ~99% of such twins land within
+      // hamming 5 while unrelated docs sit ~60 apart). Every twin's
+      // CONTENT hash differs from its original on every byte-exact
+      // fingerprint — exactly the asset class X19 misses and this catches.
+      val base = graft.operators.Multimodal.ingest(
+          Sources.documents(s, dir), "doc_id", col("text"))
+        .select(col("asset_id"), col("payload"))
+      val planted = Sources.documents(s, dir)
+        .where(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 10000000L).as("asset_id"),
+          translate(col("text"), "e", "i").cast("binary").as("payload"))
+      val sigs = graft.operators.Multimodal.blockHashSignatures(
+        base.unionByName(planted))
+        .localCheckpoint(eager = false)
+      if (OracleCapture.enabled)
+        phashSigCache.getOrElseUpdate(dir,
+          sigs.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+            .sortBy(_._1))
+      Dedup.simHashNearDupPairs128(sigs, "id", "hi", "lo", maxHamming = 5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Duplicated spans across the corpus: 8-token chunk hashes occurring in
     // ≥2 distinct docs — the chunk-hash stand-in for suffix-array substring
     // dedup (detects copied passages that whole-doc fingerprints miss).
@@ -714,11 +757,16 @@ object DedupQueries {
     }
   }
 
-  /** X118 embedded-signature oracle: captured (doc_id, hi, lo) → VALUES
+  /** X118/X126 embedded-signature oracle: captured (id, hi, lo) → VALUES
     * CTE → trusted quadratic two-word hamming join, same single-dir
-    * emission contract as [[simhashXxOracle]]. */
-  private def simhash128Oracle: Option[String] = {
-    val cached = simhash128SigCache.readOnlySnapshot().toSeq
+    * emission contract as [[simhashXxOracle]]. Shared by the 128-bit
+    * SimHash twin and the multimodal perceptual block-hash twin — both
+    * run the identical banded join, so both verify against the identical
+    * quadratic form over their own signatures. */
+  private def twoWordHammingOracle(
+      cache: scala.collection.concurrent.TrieMap[String, Array[(Long, Long, Long)]])
+  : Option[String] = {
+    val cached = cache.readOnlySnapshot().toSeq
     if (cached.size != 1) None
     else {
       val rows = cached.head._2
@@ -738,7 +786,8 @@ object DedupQueries {
 
   def oracles: Map[String, String] =
     staticOracles ++ simhashXxOracle.map("dedup_simhash_xxhash" -> _) ++
-      simhash128Oracle.map("dedup_simhash128_pairs" -> _) ++
+      twoWordHammingOracle(simhash128SigCache).map("dedup_simhash128_pairs" -> _) ++
+      twoWordHammingOracle(phashSigCache).map("multimodal_phash_pairs" -> _) ++
       Map("dedup_incremental_indexed" -> staticOracles("dedup_incremental"),
         "stream_docs_neardup_banded" ->
           staticOracles("stream_docs_neardup_pairs"))

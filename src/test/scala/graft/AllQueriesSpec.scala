@@ -97,7 +97,7 @@ class AllQueriesSpec extends AnyFunSuite {
     // tolerate their absence in a bare JVM, never anything else's.
     val trainedOracles = Set("sim_topk_ivf", "sim_pq_codes", "sim_topk_pq",
       "sim_topk_ivfpq", "dedup_simhash_xxhash", "dedup_simhash128_pairs",
-      "sim_semdedup_pairs", "sim_semdedup_survivors")
+      "sim_semdedup_pairs", "sim_semdedup_survivors", "multimodal_phash_pairs")
     assert((missing -- trainedOracles) == knownRowsOnly,
       s"oracle-less queries changed: got $missing, expected $knownRowsOnly (+ $trainedOracles pre-training)")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -105,6 +105,95 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out == Map(1L -> false, 2L -> true))
   }
 
+  /** Independent blockhash reference: BigInt bit set, no shared code with
+    * the kernel — per-block byte-sum mean vs whole-payload mean, bit b of
+    * the 128-bit signature set iff blockSum·n > total·blockLen. */
+  private def refBlockHash(payload: Array[Byte]): (Long, Long) = {
+    val n = payload.length
+    if (n == 0) return (0L, 0L)
+    var sig = BigInt(0)
+    val total = payload.map(b => (b & 0xFF).toLong).sum
+    for (b <- 0 until 128) {
+      val lo = b * n / 128; val hi = (b + 1) * n / 128
+      val bs = payload.slice(lo, hi).map(x => (x & 0xFF).toLong).sum
+      if (bs * n > total * (hi - lo)) sig = sig.setBit(b)
+    }
+    ((sig >> 64).toLong, (sig & BigInt("ffffffffffffffff", 16)).toLong)
+  }
+
+  test("BlockHash128 kernel matches an independent BigInt reference") {
+    val ramp = Array.tabulate(200)(i => (i % 251).toByte)
+    val payloads = Seq(
+      Array.emptyByteArray, Array(7.toByte), Array.fill(127)(9.toByte),
+      ramp, "the quick brown fox jumps over the lazy dog".getBytes("UTF-8"))
+    payloads.foreach { p =>
+      val Array(hi, lo) = graft.functions.BlockHash128.compute(p)
+      assert((hi, lo) === refBlockHash(p), s"payload of ${p.length} bytes")
+    }
+    // uniform payload: every block mean equals the global mean → all ties → 0
+    val Array(h0, l0) = graft.functions.BlockHash128.compute(Array.fill(256)(42.toByte))
+    assert(h0 == 0L && l0 == 0L)
+  }
+
+  test("blockHash128 expression (codegen path) ≡ kernel; nulls sign as 0") {
+    val ramp = Array.tabulate(300)(i => ((i * 31) % 256).toByte)
+    val df = Seq((1L, Some("some document payload bytes".getBytes("UTF-8"))),
+      (2L, Some(ramp)), (3L, None))
+      .toDF("asset_id", "payload")
+    val out = Multimodal.blockHashSignatures(df)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === refBlockHash("some document payload bytes".getBytes("UTF-8")))
+    assert(out(2L) === refBlockHash(ramp))
+    assert(out(3L) === ((0L, 0L)), "null payload signs as empty")
+  }
+
+  test("perceptual locality: local edit → small hamming; unrelated → large") {
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val rnd = new scala.util.Random(7)
+    val base = Array.tabulate(4096)(_ => (rnd.nextInt(256)).toByte)
+    val edited = base.clone(); edited(100) = (edited(100) ^ 0x55).toByte
+    edited(2000) = (edited(2000) + 9).toByte // two localized byte edits
+    val unrelated = Array.tabulate(4096)(_ => (rnd.nextInt(256)).toByte)
+    val hEdit = ham(refBlockHash(base), refBlockHash(edited))
+    val hOther = ham(refBlockHash(base), refBlockHash(unrelated))
+    assert(hEdit <= 4, s"local edit moved $hEdit bits — not perceptual")
+    assert(hOther > 20, s"unrelated payloads only $hOther bits apart")
+    // content hash flips everything on the same edit — the gap this closes
+    assert(refBlockHash(base) != refBlockHash(unrelated))
+  }
+
+  test("banded phash pairs ≡ brute-force quadratic hamming join") {
+    val rnd = new scala.util.Random(11)
+    val base = Array.tabulate(2048)(_ => rnd.nextInt(256).toByte)
+    def perturb(p: Array[Byte], edits: Int, seed: Int): Array[Byte] = {
+      val r = new scala.util.Random(seed); val c = p.clone()
+      (0 until edits).foreach { _ =>
+        val i = r.nextInt(c.length); c(i) = (c(i) ^ r.nextInt(256)).toByte }
+      c
+    }
+    val payloads = Seq(
+      1L -> base, 2L -> perturb(base, 2, 1), 3L -> perturb(base, 4, 2),
+      4L -> base.clone()) ++ (5L to 12L).map(i =>
+      i -> Array.tabulate(2048)(_ => rnd.nextInt(256).toByte))
+    val df = payloads.toDF("asset_id", "payload")
+    val sigs = Multimodal.blockHashSignatures(df).localCheckpoint()
+    val banded = graft.operators.Dedup
+      .simHashNearDupPairs128(sigs, "id", "hi", "lo", maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val raw = sigs.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      (ia, ha, la) <- raw; (ib, hb, lb) <- raw if ia < ib
+      h = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if h <= 5
+    } yield (ia, ib, h)).toSet
+    assert(banded === brute, "pigeonhole banding must have recall 1.0")
+    assert(brute.exists { case (a, b, h) => a == 1L && b == 4L && h == 0 },
+      "exact copy at hamming 0")
+    assert(brute.exists { case (a, b, _) => a == 1L && b == 2L },
+      "2-byte edit within hamming 5")
+  }
+
   test("ingest: canonical asset schema with sniffed mime in meta") {
     val df = Seq((7, "hello")).toDF("doc_id", "text")
     val assets = Multimodal.ingest(df, "doc_id", col("text"))
