@@ -91,4 +91,31 @@ object Layout {
       .select(col(groupCol), col(idCol), col("__w").as(weightCol),
         expr(s"__start div $targetWeight").as("bin_id"))
   }
+
+  /** EXECUTE the compaction plan — the OPTIMIZE rewrite itself, not just
+    * the bin assignment: rows join their [[compactionPlan]] bin on the id
+    * key (one id-keyed shuffle), hash-repartition on (group, bin) so each
+    * bin's rows land wholly in ONE task, and write partitioned by
+    * (group, bin_id) — exactly one ≈targetWeight parquet file per bin,
+    * replacing however many small files the source layout had. This is the
+    * small-files maintenance pass at its 100 TB shape: no global sort, no
+    * driver materialization, output file count = Σ_groups
+    * ⌈groupWeight/target⌉, and the rewrite is a deterministic content
+    * permutation so re-running it is idempotent byte-for-byte row sets.
+    * LayoutSpec proves the file-count collapse (inputFiles before/after),
+    * the one-file-per-bin invariant, the per-bin weight bound, and the
+    * row-content hash round-trip; the registered read-back query
+    * (`layout_compaction_apply`) hash-matches a DuckDB replay of the
+    * binning, so the EXECUTED layout — not just the plan — is
+    * oracle-checked. */
+  def compact(df: DataFrame, groupCol: String, weightCol: String,
+              idCol: String, targetWeight: Long, outDir: String,
+              buckets: Int = 64): Unit = {
+    val plan = compactionPlan(df, groupCol, weightCol, idCol, targetWeight,
+        buckets)
+      .select(col(groupCol), col(idCol), col("bin_id"))
+    df.join(plan, Seq(groupCol, idCol))
+      .repartition(col(groupCol), col("bin_id"))
+      .write.partitionBy(groupCol, "bin_id").mode("overwrite").parquet(outDir)
+  }
 }

@@ -313,12 +313,53 @@ object CurationQueries {
       graft.operators.Layout.compactionPlan(Sources.documents(s, dir),
           groupCol = "source", weightCol = "n_chars", idCol = "doc_id",
           targetWeight = 2000L, buckets = 8)
-        .orderBy(col("source"), col("doc_id")))
+        .orderBy(col("source"), col("doc_id"))),
+
+    // Compaction EXECUTED (X76 completed): the corpus is physically
+    // rewritten once per process via Layout.compact — one ≈2000-char
+    // parquet file per (source, bin) — and the registered query reads the
+    // laid-out copy BACK and aggregates per bin, so what the oracle
+    // hash-checks is the executed layout (bin membership recovered from
+    // the directory structure), not a plan projection. The oracle replays
+    // the identical two-level binning over `documents` in SQL. LayoutSpec
+    // asserts the physical properties the hash can't see: file-count
+    // collapse vs a fragmented layout, exactly one file per bin, per-bin
+    // weight bound, row-content round-trip.
+    "layout_compaction_apply" -> q((s, dir) =>
+      s.read.parquet(compactionDir(s, dir))
+        .groupBy(col("source"), col("bin_id").cast("long").as("bin_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"))
+        .orderBy(col("source"), col("bin_id")))
   )
+
+  /** Build-once-per-(process, corpus) compacted rewrite of `documents` for
+    * the executed-compaction query — the zorderDir convention: the layout
+    * is written once and amortized over every scan (bench reps measure the
+    * READ, the at-scale shape of a maintenance pass's output). */
+  private val compactionBuilt =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def compactionDir(s: SparkSession, dir: String): String =
+    compactionBuilt.getOrElseUpdate(dir, {
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_compact_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_")).getPath
+      graft.operators.Layout.compact(Sources.documents(s, dir),
+        groupCol = "source", weightCol = "n_chars", idCol = "doc_id",
+        targetWeight = 2000L, outDir = out, buckets = 8)
+      out
+    })
 
   private val ScrubBlocklist = Seq("spark", "stream")
 
-  private val toks = raw"regexp_split_to_array(trim(text), '\s+')"
+  /** Empty/whitespace-only docs must tokenize to ZERO tokens like the
+    * Spark side (TextOps.tokens): DuckDB's regexp_split_to_array('') yields
+    * [''] (len 1), a silent divergence on degenerate corpora (round-10
+    * advice). */
+  private val toks =
+    raw"(CASE WHEN trim(text) = '' THEN []::varchar[] ELSE regexp_split_to_array(trim(text), '\s+') END)"
 
   /** Distinct word 5-gram list in DuckDB — mirrors NGramShingles semantics:
     * fewer than n tokens → ONE shingle of all tokens space-joined. DuckDB
@@ -683,6 +724,29 @@ object CurationQueries {
         |  FROM x)
         |SELECT source, doc_id, w AS n_chars,
         |       (coalesce(cum0, 0) // 2000)::bigint AS bin_id
-        |FROM c ORDER BY source, doc_id""".stripMargin
+        |FROM c ORDER BY source, doc_id""".stripMargin,
+
+    // The executed layout read back: the same binning replay, aggregated
+    // per (source, bin) — equality means the files on disk hold exactly
+    // the planned bin memberships.
+    "layout_compaction_apply" ->
+      raw"""WITH x AS (
+        |  SELECT source, doc_id, n_chars::bigint AS w,
+        |         ${DedupQueries.hexFold48("doc_id::varchar")} AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, w,
+        |         sum(w) OVER (PARTITION BY source ORDER BY h % 8, h, doc_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING
+        |                      AND 1 PRECEDING) AS cum0
+        |  FROM x),
+        |p AS (
+        |  SELECT source, doc_id, w,
+        |         (coalesce(cum0, 0) // 2000)::bigint AS bin_id
+        |  FROM c)
+        |SELECT source, bin_id, count(*)::bigint AS n_docs,
+        |       sum(w)::bigint AS sum_chars,
+        |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |FROM p GROUP BY source, bin_id ORDER BY source, bin_id""".stripMargin
   )
 }

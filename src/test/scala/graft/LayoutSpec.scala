@@ -145,4 +145,67 @@ class LayoutSpec extends AnyFunSuite {
       assert(ref(id) == bin, s"doc $id: two-level bin $bin != reference ${ref(id)}")
     }
   }
+
+  test("compact: file-count collapse, one file per bin, weight bound, content round-trip") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // target ≫ per-doc weight so bins ≪ fragments — the file-collapse
+    // regime compaction exists for (the registered query uses a small
+    // target to exercise MANY bins; this test proves the collapse)
+    val target = 20000L
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_spec")
+    val fragDir = tmp.resolve("fragmented").toString
+    val outDir = tmp.resolve("compacted").toString
+    try {
+      // the small-files disease: a streaming-ingest-shaped layout
+      // (sf0.001 has 20 sources at ~7.5k chars each → 20 bins at this
+      // target, so 60 fragments make the collapse strict)
+      docs.repartition(60).write.parquet(fragDir)
+      val fragFiles = spark.read.parquet(fragDir).inputFiles.length
+      assert(fragFiles >= 60, s"fragmented control expected ≥60 files, got $fragFiles")
+
+      Layout.compact(spark.read.parquet(fragDir), "source", "n_chars",
+        "doc_id", targetWeight = target, outDir = outDir, buckets = 8)
+      val back = spark.read.parquet(outDir)
+      val outFiles = back.inputFiles.length
+
+      // file-count collapse: one file per (source, bin); bins per source =
+      // max bin id + 1, far fewer than the 20 fragments × sources
+      val bins = back.select(col("source"), col("bin_id").cast("long"))
+        .distinct().count()
+      assert(outFiles == bins.toInt,
+        s"expected exactly one file per bin: $outFiles files, $bins bins")
+      assert(outFiles < fragFiles,
+        s"compaction must reduce file count: $outFiles vs $fragFiles")
+
+      // one PHYSICAL file per bin, directly from the scan's file mapping
+      val filesPerBin = back
+        .select(col("source"), col("bin_id").cast("long").as("bin"),
+          input_file_name().as("f"))
+        .groupBy(col("source"), col("bin"))
+        .agg(countDistinct(col("f")).as("nf"))
+        .where(col("nf") > 1).count()
+      assert(filesPerBin == 0, "some bin spans multiple files")
+
+      // per-bin weight bound: ≤ target + largest row (start-offset floor)
+      back.select(col("source"), col("bin_id").cast("long").as("bin"),
+          col("n_chars").cast("long").as("w"))
+        .groupBy(col("source"), col("bin"))
+        .agg(sum(col("w")).as("tot"), max(col("w")).as("mx"))
+        .collect().foreach { r =>
+          assert(r.getLong(2) <= target + r.getLong(3),
+            s"bin (${r.getString(0)}, ${r.getLong(1)}) overfull: ${r.getLong(2)}")
+        }
+
+      // content round-trip: the rewrite is a permutation, not a transform
+      val before = docs.select(col("doc_id"), md5(col("text").cast("binary")))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      val after = back.select(col("doc_id"), md5(col("text").cast("binary")))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      assert(after == before, "compacted corpus must hold identical rows")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp.toString)).deleteRecursively()
+    }
+  }
 }
