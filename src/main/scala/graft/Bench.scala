@@ -76,7 +76,12 @@ object Bench {
     * measured CPU steal must cover < 30% of the excess over the previous
     * number, otherwise the slowness is charged to the host/GC, not the
     * code. Sub-`floor` walls are skipped (fixed job overhead jitters
-    * 2–3× run-to-run at the 0.1 s scale without meaning anything).
+    * 2–3× run-to-run at the 0.1 s scale without meaning anything), and the
+    * absolute excess over the previous median must reach `minExcess` —
+    * without that term, consecutive clean full runs each flagged a
+    * DIFFERENT sub-1.5 s query on ±0.8 s cross-window jitter (the
+    * host-oscillation regime BASELINE.md documents), while every true
+    * historical regression moved ≥4 s.
     * Returns (name, prevSec, nowSec) triples. Two consecutive rounds
     * shipped a >2× roaming regression that only judge-side JSON diffing
     * caught; this makes every bench run self-auditing. */
@@ -85,10 +90,12 @@ object Bench {
       results: Seq[(String, Double)],
       reps: Map[String, Seq[Rep]],
       factor: Double = 2.0,
-      floor: Double = 0.5): Seq[(String, Double, Double)] =
+      floor: Double = 0.5,
+      minExcess: Double = 1.0): Seq[(String, Double, Double)] =
     results.flatMap { case (name, v) =>
       prev.get(name) match {
-        case Some(p) if p > 0 && v >= factor * p && v >= floor =>
+        case Some(p) if p > 0 && v >= factor * p && v >= floor &&
+            v - p >= minExcess =>
           val rs = reps.getOrElse(name, Seq.empty).sortBy(_.wall)
           val med = rs.lift(rs.size / 2)
           val hostExplained =

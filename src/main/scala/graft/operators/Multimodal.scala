@@ -180,6 +180,73 @@ object Multimodal {
         element_at(col("sig"), 1).as("hi"),
         element_at(col("sig"), 2).as("lo"))
 
+  /** Per-SEGMENT perceptual signatures: the payload splits into fixed
+    * `segSize`-byte segments (the frame/GOP analog — [[chunkOffsets]]'s
+    * grid), each signed by [[graft.functions.BlockHash128]] →
+    * (asset_id, seg, hi, lo). One narrow codegen'd scan whose only
+    * amplification is the payload/segSize fan-out — the standard
+    * frame-index shape; byte-SHIFT robustness would come from CDC
+    * boundaries (the X121 text machinery), fixed grids are the
+    * frame-aligned media case. Empty payloads sign as one all-zero
+    * segment (the [[blockHashSignatures]] convention). */
+  def segmentSignatures(assets: DataFrame, segSize: Int,
+                        idCol: String = "asset_id",
+                        payloadCol: String = "payload"): DataFrame =
+    assets.select(col(idCol).as("asset_id"),
+        coalesce(col(payloadCol).cast(BinaryType),
+          lit(Array.emptyByteArray)).as("p"))
+      .select(col("asset_id"), col("p"),
+        posexplode(chunkOffsets(col("p"), segSize)).as(Seq("seg", "off")))
+      .select(col("asset_id"), col("seg"),
+        graft.functions.BlockHash128.blockHash128(
+          col("p").substr(col("off"), lit(segSize))).as("sig"))
+      .select(col("asset_id"), col("seg"),
+        element_at(col("sig"), 1).as("hi"),
+        element_at(col("sig"), 2).as("lo"))
+
+  /** Cross-asset DUPLICATED-SEGMENT detection — the partial-copy class
+    * whole-asset fingerprints (X19 content hash, X126 whole-payload phash)
+    * both miss: an asset that embeds a stretch of another asset (clipped
+    * video, spliced audio, quoted document). Segments pair through the
+    * SAME pigeonhole-banded 128-bit hamming join as X118/X126 on a
+    * composite (asset·segMod + seg) key, then aggregate to asset pairs:
+    * `n_seg_pairs` matching segment pairs, `n_segs_a`/`n_segs_b` distinct
+    * segments of each side involved (the coverage numerator), and
+    * `min_hamming`. Within-asset repeats are excluded (they are the X39
+    * duplicated-spans story, not cross-asset copying). Scale shape:
+    * candidates stay band-bucket-local exactly as in the document path —
+    * the segment fan-out multiplies rows, never the join's candidate
+    * geometry. `segMod` must exceed any payload's segment count. */
+  def segmentNearDupAssets(assets: DataFrame, segSize: Int,
+                           maxHamming: Int = 5,
+                           idCol: String = "asset_id",
+                           payloadCol: String = "payload",
+                           segMod: Long = 1000000L): DataFrame =
+    segmentNearDupAssetsFromSigs(
+      segmentSignatures(assets, segSize, idCol, payloadCol), maxHamming, segMod)
+
+  /** The join+aggregate half of [[segmentNearDupAssets]] over an already
+    * computed (asset_id, seg, hi, lo) signature frame — split out so the
+    * registered query can checkpoint/capture the signatures once (the
+    * embedded-signature oracle convention) and feed both consumers. */
+  def segmentNearDupAssetsFromSigs(sigs: DataFrame, maxHamming: Int = 5,
+                                   segMod: Long = 1000000L): DataFrame = {
+    val composite = sigs.select(
+      (col("asset_id") * segMod + col("seg")).as("id"), col("hi"), col("lo"))
+    Dedup.simHashNearDupPairs128(composite, "id", "hi", "lo", maxHamming)
+      .select(expr(s"id_a div $segMod").as("asset_a"),
+        pmod(col("id_a"), lit(segMod)).as("seg_a"),
+        expr(s"id_b div $segMod").as("asset_b"),
+        pmod(col("id_b"), lit(segMod)).as("seg_b"),
+        col("hamming"))
+      .where(col("asset_a") =!= col("asset_b"))
+      .groupBy(col("asset_a"), col("asset_b"))
+      .agg(count(lit(1)).as("n_seg_pairs"),
+        countDistinct(col("seg_a")).as("n_segs_a"),
+        countDistinct(col("seg_b")).as("n_segs_b"),
+        min(col("hamming")).as("min_hamming"))
+  }
+
   /** Assemble an asset DataFrame from any table with an id and a binary-able
     * column — the ingest adapter used by tests and the registered queries
     * (the driver testdata has no native binary table, so `documents.text`

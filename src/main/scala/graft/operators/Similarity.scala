@@ -285,6 +285,15 @@ object Similarity {
         explode(transform(slice(cellDists(col("vec"), cents), 1, nProbe),
           s => s.getField("cell"))).as("cell"))
 
+    probeTopK(c, q, k)
+  }
+
+  /** The IVF probe join shared by the in-memory and stored-index paths:
+    * corpus rows (id, vec, nrm, cell) join the broadcast probe set
+    * (query_id, qvec, qnrm, cell) on cell, cosine-rank per query, keep k.
+    * Candidate volume is nProbe/nCells of the corpus; the window is bounded
+    * by candidates-per-query, never corpus-sized. */
+  private def probeTopK(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val scored = c.as("c").join(broadcast(q.as("q")),
         col("c.cell") === col("q.cell") && col("c.id") =!= col("q.query_id"))
       .withColumn("cosine",
@@ -294,6 +303,65 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("id").as("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Persist a trained IVF index as the shipped ANN artifact — the
+    * `writeDedupIndex`/`writeBpeMerges` convention applied to vector
+    * search: train the coarse quantizer ONCE, store (a) the centroid table
+    * (`<out>/centroids`: cell, centroid — nCells small rows, one file) and
+    * (b) the assigned corpus (`<out>/corpus`: id, vec, nrm, cell) written
+    * `partitionBy(cell)`, so every later query never re-trains, never
+    * re-assigns, and — the at-scale point — PRUNES AT THE SCAN: the probe
+    * join's cell keys reach the parquet reader as partition filters
+    * (dynamic partition pruning off the broadcast probe set), so a query
+    * batch READS nProbe/nCells of the corpus, not just scores that
+    * fraction. The in-memory [[ivfTopK]] assigns cells as a narrow map but
+    * still scans the whole corpus; the stored layout is how a 100 TB
+    * vector store actually serves probes. Pass `centroids` to reuse an
+    * already-trained quantizer (same corpus-property memo as [[ivfTopK]]). */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int = 16, seed: Long = 42L, outPath: String,
+                    centroids: Option[Array[Array[Double]]] = None): Unit = {
+    val cents = centroids.getOrElse(trainIvfCentroids(corpus, vecCol, nCells, seed))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outPath/centroids")
+    val cs: Seq[Seq[Double]] = cents.map(_.toSeq).toSeq
+    prep(corpus, idCol, vecCol)
+      .withColumn("cell",
+        element_at(cellDists(col("vec"), cs), 1).getField("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$outPath/corpus")
+  }
+
+  /** Load a stored quantizer's centroid matrix — nCells rows, a bounded
+    * driver-side read by construction (the index artifact's metadata, not
+    * corpus data). */
+  def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String): Array[Array[Double]] =
+    spark.read.parquet(s"$indexPath/centroids").orderBy(col("cell"))
+      .collect().map(_.getSeq[Double](1).toArray)
+
+  /** IVF top-k against a STORED index ([[writeIvfIndex]] output): centroid
+    * literals come from the artifact's centroid table, the corpus side is
+    * the cell-partitioned parquet (no re-assignment — `cell` is the
+    * partition column), and the probe join's cell keys prune the scan.
+    * Byte-identical results to [[ivfTopK]] with the same quantizer — the
+    * registered twin shares its oracle, so equality proves
+    * store → load → probe ≡ assign → probe. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                     indexPath: String, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int = 5,
+                     nProbe: Int = 4): DataFrame = {
+    val cents: Seq[Seq[Double]] =
+      readIvfCentroids(spark, indexPath).map(_.toSeq).toSeq
+    val c = spark.read.parquet(s"$indexPath/corpus")
+    val q = prep(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"),
+        explode(transform(slice(cellDists(col("vec"), cents), 1, nProbe),
+          s => s.getField("cell"))).as("cell"))
+    probeTopK(c, q, k)
   }
 
   // ── Product quantization (PQ) ────────────────────────────────────────────

@@ -86,12 +86,19 @@ object DedupQueries {
   private val phashSigCache =
     scala.collection.concurrent.TrieMap[String, Array[(Long, Long, Long)]]()
 
+  /** Composite (asset·10⁶ + seg, hi, lo) segment-signature capture for the
+    * cross-asset duplicated-segment oracle — same convention, the oracle
+    * replays the banded join AND the asset-pair aggregation. */
+  private val segSigCache =
+    scala.collection.concurrent.TrieMap[String, Array[(Long, Long, Long)]]()
+
   /** Test hook: which dirs have captured signatures (must stay empty when
     * [[OracleCapture]] is disabled — pinned by AllQueriesSpec). */
   private[graft] def capturedSimhashDirs: Set[String] =
     simhashSigCache.readOnlySnapshot().keySet.toSet ++
       simhash128SigCache.readOnlySnapshot().keySet.toSet ++
-      phashSigCache.readOnlySnapshot().keySet.toSet
+      phashSigCache.readOnlySnapshot().keySet.toSet ++
+      segSigCache.readOnlySnapshot().keySet.toSet
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -556,6 +563,41 @@ object DedupQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Cross-asset DUPLICATED-SEGMENT detection (X128): the partial-copy
+    // class both byte-exact hashing (X19) and whole-payload phash (X126)
+    // miss — an asset embedding a STRETCH of another (clipped video,
+    // spliced audio, quoted document). Payloads split into fixed 256-byte
+    // segments (the frame-grid analog), each signed by BlockHash128, and
+    // segments pair through the X118 banded hamming join on a composite
+    // (asset·10⁶ + seg) key, then aggregate to asset pairs with matched-
+    // segment counts + min hamming. Planted partial copies: every 20th
+    // doc re-appears as perturbed-head (first 1 kB, e→i) + structurally
+    // scrambled tail (reverse) — head segments near-match the original,
+    // the tail matches nothing. Oracle: embedded composite signatures →
+    // trusted quadratic hamming join + the identical aggregation.
+    "multimodal_segment_dup_assets" -> q((s, dir) => {
+      val base = graft.operators.Multimodal.ingest(
+          Sources.documents(s, dir), "doc_id", col("text"))
+        .select(col("asset_id"), col("payload"))
+      val planted = Sources.documents(s, dir)
+        .where(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 20000000L).as("asset_id"),
+          concat(translate(substring(col("text"), 1, 1024), "e", "i"),
+            reverse(col("text"))).cast("binary").as("payload"))
+      val sigs = graft.operators.Multimodal.segmentSignatures(
+        base.unionByName(planted), segSize = 256)
+        .localCheckpoint(eager = false)
+      if (OracleCapture.enabled)
+        segSigCache.getOrElseUpdate(dir,
+          sigs.collect()
+            .map(r => (r.getLong(0) * 1000000L + r.getInt(1),
+              r.getLong(2), r.getLong(3)))
+            .sortBy(_._1))
+      graft.operators.Multimodal.segmentNearDupAssetsFromSigs(sigs,
+          maxHamming = 5)
+        .orderBy(col("asset_a"), col("asset_b"))
+    }),
+
     // Duplicated spans across the corpus: 8-token chunk hashes occurring in
     // ≥2 distinct docs — the chunk-hash stand-in for suffix-array substring
     // dedup (detects copied passages that whole-doc fingerprints miss).
@@ -784,10 +826,43 @@ object DedupQueries {
     }
   }
 
+  /** X128 oracle: captured composite segment signatures → the trusted
+    * quadratic two-word hamming join PLUS the identical asset-pair
+    * aggregation (counts, distinct segment coverage, min hamming) — the
+    * [[twoWordHammingOracle]] convention extended one aggregate. */
+  private def segmentDupOracle: Option[String] = {
+    val cached = segSigCache.readOnlySnapshot().toSeq
+    if (cached.size != 1) None
+    else {
+      val rows = cached.head._2
+        .map { case (cid, hi, lo) => s"($cid, $hi, $lo)" }.mkString(",\n  ")
+      Some(
+        s"""WITH sigs(cid, hi, lo) AS (VALUES
+          |  $rows),
+          |p AS (
+          |  SELECT a.cid // 1000000 AS asset_a, a.cid % 1000000 AS seg_a,
+          |         b.cid // 1000000 AS asset_b, b.cid % 1000000 AS seg_b,
+          |         (bit_count(xor(a.hi::BIGINT, b.hi::BIGINT))
+          |          + bit_count(xor(a.lo::BIGINT, b.lo::BIGINT))) AS hamming
+          |  FROM sigs a JOIN sigs b ON a.cid < b.cid
+          |  WHERE bit_count(xor(a.hi::BIGINT, b.hi::BIGINT))
+          |        + bit_count(xor(a.lo::BIGINT, b.lo::BIGINT)) <= 5)
+          |SELECT asset_a::BIGINT AS asset_a, asset_b::BIGINT AS asset_b,
+          |       count(*)::BIGINT AS n_seg_pairs,
+          |       count(DISTINCT seg_a)::BIGINT AS n_segs_a,
+          |       count(DISTINCT seg_b)::BIGINT AS n_segs_b,
+          |       min(hamming)::int AS min_hamming
+          |FROM p WHERE asset_a <> asset_b
+          |GROUP BY asset_a, asset_b
+          |ORDER BY asset_a, asset_b""".stripMargin)
+    }
+  }
+
   def oracles: Map[String, String] =
     staticOracles ++ simhashXxOracle.map("dedup_simhash_xxhash" -> _) ++
       twoWordHammingOracle(simhash128SigCache).map("dedup_simhash128_pairs" -> _) ++
       twoWordHammingOracle(phashSigCache).map("multimodal_phash_pairs" -> _) ++
+      segmentDupOracle.map("multimodal_segment_dup_assets" -> _) ++
       Map("dedup_incremental_indexed" -> staticOracles("dedup_incremental"),
         "stream_docs_neardup_banded" ->
           staticOracles("stream_docs_neardup_pairs"))

@@ -29,6 +29,26 @@ object SimilarityQueries {
   private val centroidCache =
     scala.collection.concurrent.TrieMap[(String, Int, Long), Array[Array[Double]]]()
 
+  /** Build-once-per-(process, corpus) stored IVF index for the
+    * stored-artifact ANN query — the bpeMergesDir/compactionDir convention:
+    * the index is a build artifact; every probe run scans it. Reuses the
+    * memoized quantizer so the stored index and sim_topk_ivf share one
+    * training run (and therefore one oracle). */
+  private val ivfIndexBuilt =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def ivfIndexDir(s: SparkSession, dir: String): String =
+    ivfIndexBuilt.getOrElseUpdate(dir, {
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_ivf_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_")).getPath
+      val emb = Sources.embeddings(s, dir)
+      val cents = centroidCache.getOrElseUpdate((dir, 16, 42L),
+        Similarity.trainIvfCentroids(emb, "embedding", nCells = 16, seed = 42L))
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding", nCells = 16,
+        seed = 42L, outPath = out, centroids = Some(cents))
+      out
+    })
+
   /** PQ codebook memo: same corpus-property rationale as [[centroidCache]]. */
   private val pqCache =
     scala.collection.concurrent.TrieMap[(String, Int, Int, Long), Array[Array[Array[Double]]]]()
@@ -129,6 +149,22 @@ object SimilarityQueries {
         nCells = 16, nProbe = 4, centroids = Some(cents))
         .orderBy(col("query_id"), col("rank"))
     }),
+
+    // The STORED-index IVF path (the production serving shape): the
+    // quantizer + cell-assigned corpus persist once per (process, corpus)
+    // via writeIvfIndex — centroids as a small table, the corpus
+    // partitionBy(cell) — and the registered query is centroid-table read +
+    // probe join against the cell-partitioned parquet, never a retrain or
+    // re-assignment. The probe's cell keys prune the SCAN (dynamic
+    // partition pruning off the broadcast probe set — SimilaritySpec pins
+    // it), so a query batch reads nProbe/nCells of the corpus. Shares
+    // sim_topk_ivf's oracle: equality proves store → load → probe ≡
+    // assign → probe.
+    "sim_topk_ivf_indexed" -> q((s, dir) =>
+      Similarity.ivfTopKIndexed(s, ivfIndexDir(s, dir),
+        queries = Sources.embeddings(s, dir).where(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", k = 5, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))),
 
     // Product-quantization codes + reconstruction error: 64-dim float
     // (256 B) → 16×6-bit codes (12 B packed, ~21× compression; this corpus
@@ -952,7 +988,10 @@ object SimilarityQueries {
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT id FROM comp WHERE c <> id)
         |ORDER BY vec_id""".stripMargin
-  ) ++ ivfOracle.map("sim_topk_ivf" -> _) ++ pqOracles ++
+  ) ++ ivfOracle.map("sim_topk_ivf" -> _) ++
+    // the stored-index twin replays the identical pipeline — one oracle
+    // serves both (the dedup_incremental_indexed convention)
+    ivfOracle.map("sim_topk_ivf_indexed" -> _) ++ pqOracles ++
     ivfPqOracle.map("sim_topk_ivfpq" -> _) ++
     ivfPqRerankOracle.map("sim_topk_ivfpq_rerank" -> _) ++ semDedupOracles ++
     annRecallOracle.map("sim_ann_recall" -> _) ++

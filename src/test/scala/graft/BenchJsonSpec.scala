@@ -135,6 +135,11 @@ class BenchJsonSpec extends AnyFunSuite {
     val flagged = Bench.computeRegressions(prev, now, reps)
     assert(flagged.map(_._1) === Seq("a"))
     assert(flagged.head._2 === 1.0 && flagged.head._3 === 3.0)
+    // >2x and above floor but under the 1 s absolute excess: the small-
+    // query cross-window jitter class (0.58 -> 1.39 on a clean run) must
+    // NOT flag — only moves that are big in ratio AND in seconds do
+    assert(Bench.computeRegressions(Map("j" -> 0.55), Seq("j" -> 1.39),
+      Map("j" -> Seq(rep(1.39), rep(1.4), rep(1.38)))).isEmpty)
     // steal-explained slowness is the host's, not the code's
     val stealReps = Map("a" -> Seq(rep(3.0, steal = 0.9), rep(3.0, steal = 0.9), rep(3.0, steal = 0.9)))
     assert(Bench.computeRegressions(Map("a" -> 1.0), Seq("a" -> 3.0), stealReps).isEmpty)

@@ -194,6 +194,67 @@ class MultimodalSpec extends AnyFunSuite {
       "2-byte edit within hamming 5")
   }
 
+  test("segmentSignatures: sigs ≡ reference blockhash of the substring slices") {
+    val rnd = new scala.util.Random(23)
+    val p1 = Array.tabulate(700)(_ => rnd.nextInt(256).toByte) // 3 segments: 256+256+188
+    val p2 = Array.tabulate(100)(_ => rnd.nextInt(256).toByte) // 1 short segment
+    val df = Seq((1L, Some(p1)), (2L, Some(p2)), (3L, None))
+      .toDF("asset_id", "payload")
+    val out = Multimodal.segmentSignatures(df, segSize = 256)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.keySet === Set((1L, 0), (1L, 1), (1L, 2), (2L, 0), (3L, 0)))
+    assert(out((1L, 0)) === refBlockHash(p1.slice(0, 256)))
+    assert(out((1L, 1)) === refBlockHash(p1.slice(256, 512)))
+    assert(out((1L, 2)) === refBlockHash(p1.slice(512, 700)))
+    assert(out((2L, 0)) === refBlockHash(p2))
+    assert(out((3L, 0)) === ((0L, 0L)), "null payload signs as one empty segment")
+  }
+
+  test("segmentNearDupAssets: partial copy found, within-asset excluded, ≡ brute force") {
+    val rnd = new scala.util.Random(31)
+    def randBytes(n: Int) = Array.tabulate(n)(_ => rnd.nextInt(256).toByte)
+    val a = randBytes(1024) // 4 segments
+    val b = randBytes(1024)
+    // chimera: first half of a (segment-aligned, lightly edited) + junk —
+    // the clipped/spliced partial-copy class
+    val edited = a.slice(0, 512).clone(); edited(17) = (edited(17) ^ 0x3).toByte
+    val chimera = edited ++ randBytes(512)
+    // an asset with an INTERNAL repeat: must never pair with itself
+    val selfRep = randBytes(256) ++ Array.fill(256)(0.toByte) ++ Array.fill(256)(0.toByte)
+    val assets = Seq(1L -> a, 2L -> b, 3L -> chimera, 4L -> selfRep)
+      .toDF("asset_id", "payload")
+    val got = Multimodal.segmentNearDupAssets(assets, segSize = 256, maxHamming = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))
+      .toMap
+    // brute-force reference over all cross-asset segment pairs
+    def ham(x: (Long, Long), y: (Long, Long)): Int =
+      java.lang.Long.bitCount(x._1 ^ y._1) + java.lang.Long.bitCount(x._2 ^ y._2)
+    val segs = Seq(1L -> a, 2L -> b, 3L -> chimera, 4L -> selfRep).flatMap {
+      case (id, p) => p.grouped(256).zipWithIndex.map {
+        case (s, i) => (id, i, refBlockHash(s)) }
+    }
+    val pairs = for {
+      (ia, sa, ha) <- segs; (ib, sb, hb) <- segs
+      if ia * 1000000L + sa < ib * 1000000L + sb && ia != ib
+      h = ham(ha, hb) if h <= 5
+    } yield ((ia, ib), (sa, sb, h))
+    val ref = pairs.groupBy(_._1).map { case (k, vs) =>
+      k -> (vs.size.toLong, vs.map(_._2._1).distinct.size.toLong,
+        vs.map(_._2._2).distinct.size.toLong, vs.map(_._2._3).min)
+    }
+    assert(got === ref, "banded asset aggregation must equal brute force")
+    // the planted chimera pairs with its source on its two head segments
+    assert(got.contains((1L, 3L)), "partial copy must surface")
+    val (nPairs, nA, nB, minH) = got((1L, 3L))
+    assert(nA >= 2 && nB >= 2 && minH == 0 && nPairs >= 2,
+      s"head segments must match: $nPairs pairs, $nA/$nB segs, min $minH")
+    assert(!got.keySet.exists { case (x, y) => x == y }, "within-asset pairs excluded")
+  }
+
   test("ingest: canonical asset schema with sniffed mime in meta") {
     val df = Seq((7, "hello")).toDF("doc_id", "text")
     val assets = Multimodal.ingest(df, "doc_id", col("text"))

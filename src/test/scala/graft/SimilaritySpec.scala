@@ -125,6 +125,62 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"IVF recall@5 too low: $recall")
   }
 
+  test("stored IVF index: indexed ≡ direct, probe scan is cell-pruned (DPP)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 10)
+    val cents = Similarity.trainIvfCentroids(emb, "embedding", nCells = 16, seed = 42L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_spec")
+    try {
+      val idx = tmp.resolve("index").toString
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding", nCells = 16,
+        seed = 42L, outPath = idx, centroids = Some(cents))
+      // artifact shape: centroid table is nCells small rows, corpus is
+      // partitioned by cell (directory column)
+      assert(spark.read.parquet(s"$idx/centroids").count() == 16)
+      val stored = spark.read.parquet(s"$idx/corpus")
+      assert(stored.columns.toSet == Set("id", "vec", "nrm", "cell"))
+
+      // the store → load → probe law
+      val direct = Similarity.ivfTopK(emb, q, "vec_id", "embedding", k = 5,
+          nCells = 16, nProbe = 4, centroids = Some(cents))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+      val viaIndex = Similarity.ivfTopKIndexed(spark, idx, q,
+          "vec_id", "embedding", k = 5, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+      assert(viaIndex === direct, "stored-index probe must equal direct IVF")
+
+      // the at-scale property: ONE query probes 4 of 16 cells, and the
+      // corpus scan must READ only those cells — the probe side's cell
+      // keys reach the parquet reader as a dynamic partition filter
+      val total = stored.count()
+      val one = Similarity.ivfTopKIndexed(spark, idx,
+        emb.where(col("vec_id") === 0), "vec_id", "embedding", k = 5, nProbe = 4)
+      one.collect()
+      def corpusScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case ad: AdaptiveSparkPlanExec => corpusScans(ad.executedPlan)
+        case qs: QueryStageExec => corpusScans(qs.plan)
+        case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("corpus")) => Seq(s)
+        case other => other.children.flatMap(corpusScans)
+      }
+      val scans = corpusScans(one.queryExecution.executedPlan)
+      assert(scans.nonEmpty, "no corpus file scan found in the executed plan")
+      assert(scans.exists(_.partitionFilters.exists(
+          _.toString.toLowerCase.contains("dynamicpruning"))),
+        s"corpus scan carries no dynamic partition pruning filter:\n${scans.map(_.partitionFilters)}")
+      val read = scans.map(_.metrics("numOutputRows").value).sum
+      assert(read < total,
+        s"probe must not read the whole corpus: read $read of $total rows")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp.toString)).deleteRecursively()
+    }
+  }
+
   test("PQ: codes in range, encode deterministic, recon error ≤ direct decode error") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val books = Similarity.trainPqCodebooks(emb, "embedding", m = 16, ksub = 64)
