@@ -323,16 +323,47 @@ object Similarity {
                     nCells: Int = 16, seed: Long = 42L, outPath: String,
                     centroids: Option[Array[Array[Double]]] = None): Unit = {
     val cents = centroids.getOrElse(trainIvfCentroids(corpus, vecCol, nCells, seed))
-    val spark = corpus.sparkSession
+    writeCentroidTable(corpus.sparkSession, cents, outPath)
+    assignedCorpus(corpus, idCol, vecCol, cents.map(_.toSeq).toSeq)
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$outPath/corpus")
+  }
+
+  /** The centroid metadata table every stored-index variant shares:
+    * nCells small rows, one file. */
+  private def writeCentroidTable(spark: org.apache.spark.sql.SparkSession,
+                                 cents: Array[Array[Double]],
+                                 outPath: String): Unit = {
     import spark.implicits._
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$outPath/centroids")
-    val cs: Seq[Seq[Double]] = cents.map(_.toSeq).toSeq
+  }
+
+  /** (id, vec, nrm, cell) — the cell-assigned corpus frame both the initial
+    * index write and incremental appends produce (one narrow encode pass). */
+  private def assignedCorpus(corpus: DataFrame, idCol: String, vecCol: String,
+                             cs: Seq[Seq[Double]]): DataFrame =
     prep(corpus, idCol, vecCol)
       .withColumn("cell",
         element_at(cellDists(col("vec"), cs), 1).getField("cell"))
-      .write.partitionBy("cell").mode("overwrite").parquet(s"$outPath/corpus")
+
+  /** Incremental index maintenance — the X49 `writeDedupIndex` corpus-
+    * maintenance shape applied to ANN: new vectors are assigned cells with
+    * the index's STORED quantizer (never a retrain — the quantizer is the
+    * day-0 artifact; re-training would silently re-shuffle every existing
+    * assignment) and appended as new files under their cell partitions.
+    * Existing partitions' files are untouched — at 100 TB a daily delta
+    * writes |delta| rows into ≤nCells directories while the base corpus
+    * stays immobile, and probes over base+delta are indistinguishable from
+    * a full rebuild with the same quantizer (the registered query pins that
+    * equality against the rebuild oracle). */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String, newRows: DataFrame,
+                       idCol: String, vecCol: String): Unit = {
+    val cs: Seq[Seq[Double]] =
+      readIvfCentroids(spark, indexPath).map(_.toSeq).toSeq
+    assignedCorpus(newRows, idCol, vecCol, cs)
+      .write.partitionBy("cell").mode("append").parquet(s"$indexPath/corpus")
   }
 
   /** Load a stored quantizer's centroid matrix — nCells rows, a bounded
@@ -511,6 +542,14 @@ object Similarity {
       graft.functions.PqExpressions.pqAdcLutNative(col(vecCol), books).as("lut"),
       explode(transform(slice(cellDists(col(vecCol), cents), 1, nProbe),
         s => s.getField("cell"))).as("cell"))
+    adcProbeTopK(c, q, m, k)
+  }
+
+  /** The ADC probe join shared by the in-memory and stored-index IVF-PQ
+    * paths: code-carrying corpus rows (id, codes, cell) join the broadcast
+    * probe set (query_id, lut, cell) on cell; a candidate's approximate d²
+    * is m LUT probes, the top-k window is bounded per query. */
+  private def adcProbeTopK(c: DataFrame, q: DataFrame, m: Int, k: Int): DataFrame = {
     val adc = (0 until m).map(j =>
       element_at(element_at(col("lut"), j + 1),
         element_at(col("codes"), j + 1) + lit(1))).reduce(_ + _)
@@ -522,6 +561,67 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("id").as("neighbor_id"), col("adc_d2"), col("rank"))
+  }
+
+  /** Persist a trained IVF-PQ index — the full billion-scale serving
+    * artifact (FAISS `IndexIVFPQ` lineage): `<out>/centroids` (the coarse
+    * quantizer, nCells rows), `<out>/codebooks` (the PQ codebooks flattened
+    * to m·ksub small rows: sub, code, centroid), and `<out>/corpus` holding
+    * per vector ONLY (id, m small int codes) written `partitionBy(cell)`.
+    * This is what a 100 TB vector corpus actually stores: ~21× smaller than
+    * raw floats, cell-partitioned so the probe join's keys prune the SCAN
+    * (dynamic partition pruning), and scoring needs no corpus-side float
+    * math at all — a probe batch reads nProbe/nCells of an already-
+    * compressed table. Both trained structures may be passed in (corpus
+    * properties — the [[trainIvfCentroids]]/[[trainPqCodebooks]] memo
+    * rationale). */
+  def writeIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      outPath: String,
+                      centroids: Array[Array[Double]],
+                      books: Array[Array[Array[Double]]]): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    writeCentroidTable(spark, centroids, outPath)
+    books.zipWithIndex.flatMap { case (b, j) =>
+      b.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
+    }.toSeq.toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outPath/codebooks")
+    val cs: Seq[Seq[Double]] = centroids.map(_.toSeq).toSeq
+    corpus.select(col(idCol).as("id"),
+        pqEncode(col(vecCol), books).as("codes"),
+        element_at(cellDists(col(vecCol), cs), 1).getField("cell").as("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$outPath/corpus")
+  }
+
+  /** Load stored PQ codebooks back into the m×ksub×dsub matrix — m·ksub
+    * small rows, index metadata like [[readIvfCentroids]]. */
+  def readPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String): Array[Array[Array[Double]]] =
+    spark.read.parquet(s"$indexPath/codebooks")
+      .orderBy(col("sub"), col("code")).collect()
+      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray))
+
+  /** IVF-PQ top-k against a STORED index ([[writeIvfPqIndex]] output):
+    * quantizer + codebooks come from the artifact's metadata tables, the
+    * corpus side is the cell-partitioned CODES parquet (no vectors read,
+    * no re-encode), and the probe's cell keys prune the scan. Byte-
+    * identical to [[ivfPqTopK]] with the same trained structures — the
+    * registered twin shares its oracle, so equality proves
+    * store → load → probe ≡ encode → probe. */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String, queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int = 5,
+                       nProbe: Int = 4): DataFrame = {
+    val cents: Seq[Seq[Double]] =
+      readIvfCentroids(spark, indexPath).map(_.toSeq).toSeq
+    val books = readPqCodebooks(spark, indexPath)
+    val c = spark.read.parquet(s"$indexPath/corpus")
+    val q = queries.select(col(idCol).as("query_id"),
+      graft.functions.PqExpressions.pqAdcLutNative(col(vecCol), books).as("lut"),
+      explode(transform(slice(cellDists(col(vecCol), cents), 1, nProbe),
+        s => s.getField("cell"))).as("cell"))
+    adcProbeTopK(c, q, books.length, k)
   }
 
   /** IVF-PQ with EXACT RE-RANKING — the production two-stage retrieval

@@ -49,6 +49,48 @@ object SimilarityQueries {
       out
     })
 
+  /** Stored IVF-PQ index (compressed-code serving artifact) — build once
+    * per (process, corpus), reusing BOTH memoized trained structures so the
+    * indexed probe shares sim_topk_ivfpq's generated oracle. */
+  private val ivfPqIndexBuilt =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def ivfPqIndexDir(s: SparkSession, dir: String): String =
+    ivfPqIndexBuilt.getOrElseUpdate(dir, {
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_ivfpq_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_")).getPath
+      val emb = Sources.embeddings(s, dir)
+      val cents = centroidCache.getOrElseUpdate((dir, 16, 42L),
+        Similarity.trainIvfCentroids(emb, "embedding", nCells = 16, seed = 42L))
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", outPath = out,
+        centroids = cents, books = pqBooks(s, dir))
+      out
+    })
+
+  /** Incrementally-maintained IVF index: base index over 90% of the corpus,
+    * the remaining 10% appended later with [[Similarity.appendToIvfIndex]]
+    * using the STORED quantizer (trained on the FULL corpus — the day-0
+    * artifact convention; appends never retrain). Probes over base+delta
+    * must equal a full rebuild — the registered query shares the direct
+    * ivfTopK oracle to pin exactly that. */
+  private val ivfIncrBuilt =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def ivfIncrIndexDir(s: SparkSession, dir: String): String =
+    ivfIncrBuilt.getOrElseUpdate(dir, {
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_ivfincr_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_")).getPath
+      val emb = Sources.embeddings(s, dir)
+      val cents = centroidCache.getOrElseUpdate((dir, 16, 42L),
+        Similarity.trainIvfCentroids(emb, "embedding", nCells = 16, seed = 42L))
+      Similarity.writeIvfIndex(emb.where(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", nCells = 16, seed = 42L, outPath = out,
+        centroids = Some(cents))
+      Similarity.appendToIvfIndex(s, out,
+        emb.where(col("vec_id") % 10 === 0), "vec_id", "embedding")
+      out
+    })
+
   /** PQ codebook memo: same corpus-property rationale as [[centroidCache]]. */
   private val pqCache =
     scala.collection.concurrent.TrieMap[(String, Int, Int, Long), Array[Array[Array[Double]]]]()
@@ -162,6 +204,33 @@ object SimilarityQueries {
     // assign → probe.
     "sim_topk_ivf_indexed" -> q((s, dir) =>
       Similarity.ivfTopKIndexed(s, ivfIndexDir(s, dir),
+        queries = Sources.embeddings(s, dir).where(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", k = 5, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))),
+
+    // INCREMENTAL index maintenance (the X49 corpus-maintenance shape for
+    // ANN): the stored index is built over 90% of the corpus, the last 10%
+    // arrives later via appendToIvfIndex — cell-assigned with the STORED
+    // day-0 quantizer, appended as new files under existing cell
+    // partitions, base files untouched. Probing base+delta shares the
+    // direct ivfTopK oracle: equality proves append ≡ rebuild, the
+    // invariant that lets a 100 TB index absorb daily deltas without ever
+    // rewriting the corpus.
+    "sim_topk_ivf_incremental" -> q((s, dir) =>
+      Similarity.ivfTopKIndexed(s, ivfIncrIndexDir(s, dir),
+        queries = Sources.embeddings(s, dir).where(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", k = 5, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))),
+
+    // The STORED compressed index (writeIvfPqIndex artifact): quantizer +
+    // codebooks load from the index's metadata tables, the corpus side is
+    // the cell-partitioned CODES parquet — per vector only (id, 16 small
+    // ints), ~21× smaller than raw floats, never re-encoded — and the
+    // probe's cell keys prune the scan (DPP, pinned in SimilaritySpec).
+    // Shares sim_topk_ivfpq's generated oracle: equality proves
+    // store → load → probe ≡ encode → probe for the full compressed path.
+    "sim_topk_ivfpq_indexed" -> q((s, dir) =>
+      Similarity.ivfPqTopKIndexed(s, ivfPqIndexDir(s, dir),
         queries = Sources.embeddings(s, dir).where(col("vec_id") < 10),
         idCol = "vec_id", vecCol = "embedding", k = 5, nProbe = 4)
         .orderBy(col("query_id"), col("rank"))),
@@ -990,9 +1059,12 @@ object SimilarityQueries {
         |ORDER BY vec_id""".stripMargin
   ) ++ ivfOracle.map("sim_topk_ivf" -> _) ++
     // the stored-index twin replays the identical pipeline — one oracle
-    // serves both (the dedup_incremental_indexed convention)
-    ivfOracle.map("sim_topk_ivf_indexed" -> _) ++ pqOracles ++
+    // serves both (the dedup_incremental_indexed convention); the
+    // incremental twin additionally proves append ≡ rebuild
+    ivfOracle.map("sim_topk_ivf_indexed" -> _) ++
+    ivfOracle.map("sim_topk_ivf_incremental" -> _) ++ pqOracles ++
     ivfPqOracle.map("sim_topk_ivfpq" -> _) ++
+    ivfPqOracle.map("sim_topk_ivfpq_indexed" -> _) ++
     ivfPqRerankOracle.map("sim_topk_ivfpq_rerank" -> _) ++ semDedupOracles ++
     annRecallOracle.map("sim_ann_recall" -> _) ++
     rrfOracle.map("sim_rrf_fusion" -> _)

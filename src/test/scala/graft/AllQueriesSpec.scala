@@ -96,8 +96,9 @@ class AllQueriesSpec extends AnyFunSuite {
     // SimHash signatures) only exist after their queries have run —
     // tolerate their absence in a bare JVM, never anything else's.
     val trainedOracles = Set("sim_topk_ivf", "sim_topk_ivf_indexed",
-      "sim_pq_codes", "sim_topk_pq",
-      "sim_topk_ivfpq", "dedup_simhash_xxhash", "dedup_simhash128_pairs",
+      "sim_topk_ivf_incremental", "sim_pq_codes", "sim_topk_pq",
+      "sim_topk_ivfpq", "sim_topk_ivfpq_indexed",
+      "dedup_simhash_xxhash", "dedup_simhash128_pairs",
       "sim_semdedup_pairs", "sim_semdedup_survivors", "multimodal_phash_pairs",
       "multimodal_segment_dup_assets")
     assert((missing -- trainedOracles) == knownRowsOnly,

@@ -181,6 +181,113 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("stored IVF-PQ index: indexed ≡ direct, codes-only corpus, scan is cell-pruned") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 10)
+    val cents = Similarity.trainIvfCentroids(emb, "embedding", nCells = 16, seed = 42L)
+    val books = Similarity.trainPqCodebooks(emb, "embedding", m = 16, ksub = 64, seed = 42L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_spec")
+    try {
+      val idx = tmp.resolve("index").toString
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", outPath = idx,
+        centroids = cents, books = books)
+      // artifact shape: metadata tables are small, the corpus stores ONLY
+      // (id, codes) under cell partitions — no floats on the big table
+      assert(spark.read.parquet(s"$idx/centroids").count() == 16)
+      assert(spark.read.parquet(s"$idx/codebooks").count() == 16 * 64)
+      val stored = spark.read.parquet(s"$idx/corpus")
+      assert(stored.columns.toSet == Set("id", "codes", "cell"))
+      // codebooks round-trip exactly (doubles stored verbatim)
+      val reread = Similarity.readPqCodebooks(spark, idx)
+      assert(reread.length == books.length)
+      assert(reread.flatten.flatten.toSeq == books.flatten.flatten.toSeq)
+
+      // the store → load → probe law for the compressed path
+      val direct = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding",
+          centroids = cents, books = books, k = 5, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+      val viaIndex = Similarity.ivfPqTopKIndexed(spark, idx, q,
+          "vec_id", "embedding", k = 5, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+      assert(viaIndex === direct, "stored-index ADC probe must equal direct IVF-PQ")
+
+      // one query probes 4 of 16 cells: the codes scan must be DPP-pruned
+      val total = stored.count()
+      val one = Similarity.ivfPqTopKIndexed(spark, idx,
+        emb.where(col("vec_id") === 0), "vec_id", "embedding", k = 5, nProbe = 4)
+      one.collect()
+      def corpusScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case ad: AdaptiveSparkPlanExec => corpusScans(ad.executedPlan)
+        case qs: QueryStageExec => corpusScans(qs.plan)
+        case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("corpus")) => Seq(s)
+        case other => other.children.flatMap(corpusScans)
+      }
+      val scans = corpusScans(one.queryExecution.executedPlan)
+      assert(scans.nonEmpty, "no corpus file scan found in the executed plan")
+      assert(scans.exists(_.partitionFilters.exists(
+          _.toString.toLowerCase.contains("dynamicpruning"))),
+        s"codes scan carries no dynamic partition pruning filter:\n${scans.map(_.partitionFilters)}")
+      val read = scans.map(_.metrics("numOutputRows").value).sum
+      assert(read < total,
+        s"probe must not read the whole codes table: read $read of $total rows")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp.toString)).deleteRecursively()
+    }
+  }
+
+  test("appendToIvfIndex: append ≡ rebuild, base files untouched, delta lands in cell partitions") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 10)
+    val cents = Similarity.trainIvfCentroids(emb, "embedding", nCells = 16, seed = 42L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfincr_spec")
+    try {
+      val idx = tmp.resolve("index").toString
+      Similarity.writeIvfIndex(emb.where(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", nCells = 16, seed = 42L, outPath = idx,
+        centroids = Some(cents))
+      def corpusFiles(): Map[String, Long] = {
+        val base = java.nio.file.Paths.get(idx, "corpus")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(base).iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet"))
+          .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+          .toMap
+      }
+      val before = corpusFiles()
+      Similarity.appendToIvfIndex(spark, idx,
+        emb.where(col("vec_id") % 10 === 0), "vec_id", "embedding")
+      val after = corpusFiles()
+      // immobile base: every pre-append file survives byte-untouched
+      // (same path, same mtime); the delta is strictly new files
+      assert(before.forall { case (p, t) => after.get(p).contains(t) },
+        "append must not rewrite or touch base corpus files")
+      assert(after.size > before.size, "append must add new files")
+      // all delta files live under cell=N partition directories
+      assert((after.keySet -- before.keySet).forall(_.contains("cell=")),
+        "delta files must land in cell partitions")
+      // the law: probing base+delta ≡ direct IVF over the full corpus
+      // with the same (day-0, full-corpus-trained) quantizer
+      val direct = Similarity.ivfTopK(emb, q, "vec_id", "embedding", k = 5,
+          nCells = 16, nProbe = 4, centroids = Some(cents))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+      val viaIndex = Similarity.ivfTopKIndexed(spark, idx, q,
+          "vec_id", "embedding", k = 5, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+      assert(viaIndex === direct, "incrementally-maintained index must equal rebuild")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp.toString)).deleteRecursively()
+    }
+  }
+
   test("PQ: codes in range, encode deterministic, recon error ≤ direct decode error") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val books = Similarity.trainPqCodebooks(emb, "embedding", m = 16, ksub = 64)
