@@ -839,6 +839,39 @@ object Similarity {
       .select(col("id").as("vec_id"), col("eval_id"), cosineExpr.as("cosine"))
   }
 
+  /** Semantic INGEST GATE against a STORED IVF index — streaming-capable:
+    * arriving vectors probe their `nProbe` nearest cells (centroid literals
+    * load once from the artifact's metadata table at plan time) and
+    * stream-static equi-join the cell-partitioned corpus; candidates score
+    * exact cosine, threshold survivors emit (a_id, c_id, cosine). Entirely
+    * STATELESS — each corpus row lives in exactly one cell partition and an
+    * arrival's probe cells are distinct, so an (arrival, corpus) pair can
+    * appear at most once and no dedup aggregate (hence no state store, no
+    * watermark bookkeeping) is needed: the ingest gate's state is ZERO at
+    * any corpus size, the stored index carries the standing corpus. At
+    * production scale the static side re-resolves per micro-batch from the
+    * index artifact — appends via [[appendToIvfIndex]] are picked up
+    * without restarting the stream. Works identically on a batch
+    * `arrivals` frame. */
+  def semanticScreenIndexed(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String, arrivals: DataFrame,
+                            idCol: String, vecCol: String,
+                            threshold: Double, nProbe: Int = 4): DataFrame = {
+    val cents: Seq[Seq[Double]] =
+      readIvfCentroids(spark, indexPath).map(_.toSeq).toSeq
+    val c = spark.read.parquet(s"$indexPath/corpus")
+    val a = prep(arrivals, idCol, vecCol)
+      .select(col("id").as("a_id"), col("vec").as("avec"), col("nrm").as("anrm"),
+        explode(transform(slice(cellDists(col("vec"), cents), 1, nProbe),
+          s => s.getField("cell"))).as("cell"))
+    a.join(c, Seq("cell"))
+      .where(col("id") =!= col("a_id"))
+      .withColumn("cosine",
+        round(cosinePrenormed(col("vec"), col("avec"), col("nrm"), col("anrm")), 6))
+      .where(col("cosine") >= lit(threshold))
+      .select(col("a_id"), col("id").as("c_id"), col("cosine"))
+  }
+
   /** Hard-negative mining for contrastive/embedding training: per anchor,
     * its most-similar vector carrying a DIFFERENT label, restricted to the
     * anchor's k-means cell (the [[cellNearDupPairs]] SemDeDup restriction —

@@ -235,6 +235,28 @@ object SimilarityQueries {
         idCol = "vec_id", vecCol = "embedding", k = 5, nProbe = 4)
         .orderBy(col("query_id"), col("rank"))),
 
+    // STREAMING semantic ingest gate over the STORED index: arriving
+    // vectors (every 5th) flow through the real streaming runtime
+    // (readStream → probe → stream-static cell join → cosine threshold →
+    // memory sink) against the X127 artifact. The composition's at-scale
+    // point is that it is STATELESS — the standing corpus lives in the
+    // index, not the state store, so the gate's state is zero at any
+    // corpus size and index appends are picked up between micro-batches.
+    // Oracle: embedded-centroid SQL replaying probe + screen in batch —
+    // equality proves the streamed path emits exactly the batch semantics.
+    "stream_semantic_screen_indexed" -> q((s, dir) => {
+      val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+      val idx = ivfIndexDir(s, dir)
+      graft.streaming.StreamingOps.runToMemorySink(s, dir,
+        "embeddings.parquet", schema,
+        src => Similarity.semanticScreenIndexed(src.sparkSession, idx,
+          src.where(col("vec_id") % 5 === 4), "vec_id", "embedding",
+          CosineThreshold, nProbe = 4),
+        mode = org.apache.spark.sql.streaming.OutputMode.Append(),
+        shufflePartitions = Some(8))
+        .orderBy(col("a_id"), col("c_id"))
+    }),
+
     // Product-quantization codes + reconstruction error: 64-dim float
     // (256 B) → 16×6-bit codes (12 B packed, ~21× compression; this corpus
     // is near-random, so recall needs the finer m=16/ksub=64 grid — real
@@ -561,6 +583,34 @@ object SimilarityQueries {
       val c2 = c.map(x => x * x).sum
       s"{'d': list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, $lits) + $c2, 'cell': $i}"
     }.mkString("[", ",\n           ", "]")
+
+  /** Indexed streaming screen oracle — embedded-centroid batch replay of
+    * probe (nProbe=4 of 16 cells) + cell-restricted cosine screen over the
+    * every-5th arrival set; aliases q (arrivals) / c (corpus) reuse
+    * [[cosExpr]]. */
+  private def screenIndexedOracle: Option[String] = {
+    val cached = centroidCache.readOnlySnapshot().toSeq
+    if (cached.size != 1) None else Some {
+      val distList = centDistList(cached.head._2)
+      s"""WITH vecs AS (
+        |  SELECT vec_id, embedding,
+        |         list_transform(embedding, x -> x::DOUBLE) AS e
+        |  FROM embeddings),
+        |dists AS (
+        |  SELECT vec_id, embedding, list_sort($distList) AS ds FROM vecs v),
+        |corpus AS (
+        |  SELECT vec_id, embedding, ds[1].cell AS cell FROM dists),
+        |arrivals AS (
+        |  SELECT vec_id, embedding,
+        |         unnest(list_transform(ds[1:4], s -> s.cell)) AS cell
+        |  FROM dists WHERE vec_id % 5 = 4)
+        |SELECT q.vec_id AS a_id, c.vec_id AS c_id, $cosExpr AS cosine
+        |FROM arrivals q JOIN corpus c
+        |  ON c.cell = q.cell AND c.vec_id <> q.vec_id
+        |WHERE $cosExpr >= $CosineThreshold
+        |ORDER BY a_id, c_id""".stripMargin
+    }
+  }
 
   private def ivfOracle: Option[String] = {
     val cached = centroidCache.readOnlySnapshot().toSeq
@@ -1062,7 +1112,8 @@ object SimilarityQueries {
     // serves both (the dedup_incremental_indexed convention); the
     // incremental twin additionally proves append ≡ rebuild
     ivfOracle.map("sim_topk_ivf_indexed" -> _) ++
-    ivfOracle.map("sim_topk_ivf_incremental" -> _) ++ pqOracles ++
+    ivfOracle.map("sim_topk_ivf_incremental" -> _) ++
+    screenIndexedOracle.map("stream_semantic_screen_indexed" -> _) ++ pqOracles ++
     ivfPqOracle.map("sim_topk_ivfpq" -> _) ++
     ivfPqOracle.map("sim_topk_ivfpq_indexed" -> _) ++
     ivfPqRerankOracle.map("sim_topk_ivfpq_rerank" -> _) ++ semDedupOracles ++

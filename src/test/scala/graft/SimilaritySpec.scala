@@ -241,6 +241,63 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("semanticScreenIndexed: ≡ brute-force probe-cell screen; stateless plan (no state store)") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = Similarity.trainIvfCentroids(emb, "embedding", nCells = 16, seed = 42L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_screen_spec")
+    try {
+      val idx = tmp.resolve("index").toString
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding", nCells = 16,
+        seed = 42L, outPath = idx, centroids = Some(cents))
+      val arrivals = emb.where(col("vec_id") % 5 === 4)
+      val got = Similarity.semanticScreenIndexed(spark, idx, arrivals,
+          "vec_id", "embedding", threshold = 0.3, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+
+      // driver-side brute-force reference: per arrival, candidates are the
+      // corpus rows whose assigned cell is among the arrival's 4 nearest
+      val rows = emb.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      def d2(v: Array[Double], c: Array[Double]): Double =
+        v.indices.map(i => (v(i) - c(i)) * (v(i) - c(i))).sum
+      def cellsOf(v: Array[Double]): Seq[Int] =
+        cents.zipWithIndex.map { case (c, i) => (d2(v, c), i) }.sorted.map(_._2)
+      val assigned = rows.map { case (id, v) => id -> cellsOf(v).head }.toMap
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        val dot = a.indices.map(i => a(i) * b(i)).sum
+        val na = math.sqrt(a.map(x => x * x).sum)
+        val nb = math.sqrt(b.map(x => x * x).sum)
+        if (na == 0 || nb == 0) 0.0
+        else BigDecimal(dot / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val ref = (for {
+        (aid, av) <- rows if aid % 5 == 4
+        probes = cellsOf(av).take(4).toSet
+        (cid, cv) <- rows if cid != aid && probes(assigned(cid))
+        c = cos(av, cv) if c >= 0.3
+      } yield (aid, cid, c)).sortBy(t => (t._1, t._2)).toSeq
+      assert(got == ref, "indexed screen must equal the brute-force probe-cell screen")
+      assert(got.nonEmpty, "threshold 0.3 must surface pairs on this corpus")
+
+      // stateless: the streamed plan must contain NO stateful operator
+      val schema = emb.schema
+      val streamed = graft.streaming.StreamingOps.runToMemorySink(spark, dir,
+        "embeddings.parquet", schema,
+        src => Similarity.semanticScreenIndexed(src.sparkSession, idx,
+          src.where(col("vec_id") % 5 === 4), "vec_id", "embedding",
+          threshold = 0.3, nProbe = 4),
+        mode = org.apache.spark.sql.streaming.OutputMode.Append(),
+        shufflePartitions = Some(4))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(streamed == ref, "streamed gate must emit exactly the batch semantics")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp.toString)).deleteRecursively()
+    }
+  }
+
   test("appendToIvfIndex: append ≡ rebuild, base files untouched, delta lands in cell partitions") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val q = emb.where(col("vec_id") < 10)
