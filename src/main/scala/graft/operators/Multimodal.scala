@@ -204,6 +204,72 @@ object Multimodal {
         element_at(col("sig"), 1).as("hi"),
         element_at(col("sig"), 2).as("lo"))
 
+  /** Byte-SHIFT-ROBUST per-segment signatures: boundaries are CONTENT-
+    * DEFINED (the X121 CDC machinery applied to the payload BYTES — a
+    * boundary wherever md5-48 of the trailing `window` bytes ≡ 0 mod
+    * `modulus`, expected segment length ≈ `modulus`), so an insertion or
+    * deletion only perturbs the segments it touches and every later
+    * boundary RE-SYNCHRONIZES — the property [[segmentSignatures]]'s fixed
+    * grid cannot have (one inserted byte shifts every later segment).
+    * Segments sign with the same [[graft.functions.BlockHash128]] →
+    * (asset_id, seg, hi, lo), drop-in for
+    * [[segmentNearDupAssetsFromSigs]]. One narrow scan; the md5-per-
+    * position window hash is the verifiability basis (the text-CDC
+    * convention) — a production engine swaps in a rolling polynomial
+    * without touching the plan. Empty payloads sign as one all-zero
+    * segment (the [[blockHashSignatures]] convention). */
+  def cdcSegmentSignatures(assets: DataFrame, window: Int = 16,
+                           modulus: Int = 256, minSize: Int = 64,
+                           idCol: String = "asset_id",
+                           payloadCol: String = "payload"): DataFrame = {
+    require(window > 0 && modulus > 0 && minSize >= 0,
+      "window > 0, modulus > 0, minSize ≥ 0")
+    val base = assets.select(col(idCol).as("asset_id"),
+        coalesce(col(payloadCol).cast(BinaryType),
+          lit(Array.emptyByteArray)).as("p"))
+      .withColumn("n", length(col("p")).cast("long"))
+    // candidate boundary AFTER byte i (1-based) iff the window ending at i
+    // hashes to 0 mod modulus; payloads shorter than the window have no
+    // candidates (sequence(w, n) DESCENDS when n < w — the charEntropy
+    // lesson)
+    val boundaries = filter(
+      when(col("n") < window, array().cast("array<long>"))
+        .otherwise(sequence(lit(window.toLong), col("n"))),
+      i => pmod(Dedup.md5Hash48(
+        col("p").substr((i - window + 1).cast("int"), lit(window))),
+        lit(modulus.toLong)) === 0L)
+    // enforce the CDC minimum segment size: a candidate is accepted only
+    // ≥ minSize past the previously ACCEPTED boundary (the classic
+    // min-bound — without it, sub-32-byte segments sign with degenerate
+    // low-entropy blockhashes and pair promiscuously across unrelated
+    // assets). Sequential by definition → a per-row aggregate fold over
+    // the (small) candidate list, still one narrow scan.
+    val accepted = aggregate(boundaries, array(lit(0L)),
+      (acc, b) => when(b - element_at(acc, -1) >= minSize,
+        concat(acc, array(b))).otherwise(acc))
+    base
+      .withColumn("__b", accepted)
+      // close the last segment at n; size>1 guards the empty payload
+      // (n=0 must yield the one [0,0) segment, not zero segments)
+      .withColumn("__b",
+        when(size(col("__b")) > 1 && element_at(col("__b"), -1) === col("n"),
+          col("__b"))
+          .otherwise(concat(col("__b"), array(col("n")))))
+      .select(col("asset_id"), col("p"),
+        posexplode(transform(sequence(lit(0), size(col("__b")) - 2),
+          j => struct(
+            element_at(col("__b"), (j + 1).cast("int")).as("s"),
+            element_at(col("__b"), (j + 2).cast("int")).as("e"))))
+          .as(Seq("seg", "c")))
+      .select(col("asset_id"), col("seg"),
+        graft.functions.BlockHash128.blockHash128(
+          col("p").substr((col("c.s") + 1).cast("int"),
+            (col("c.e") - col("c.s")).cast("int"))).as("sig"))
+      .select(col("asset_id"), col("seg"),
+        element_at(col("sig"), 1).as("hi"),
+        element_at(col("sig"), 2).as("lo"))
+  }
+
   /** Cross-asset DUPLICATED-SEGMENT detection — the partial-copy class
     * whole-asset fingerprints (X19 content hash, X126 whole-payload phash)
     * both miss: an asset that embeds a stretch of another asset (clipped

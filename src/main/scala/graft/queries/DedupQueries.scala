@@ -92,13 +92,18 @@ object DedupQueries {
   private val segSigCache =
     scala.collection.concurrent.TrieMap[String, Array[(Long, Long, Long)]]()
 
+  /** Same composite capture for the CDC-boundary (shift-robust) variant. */
+  private val cdcSegSigCache =
+    scala.collection.concurrent.TrieMap[String, Array[(Long, Long, Long)]]()
+
   /** Test hook: which dirs have captured signatures (must stay empty when
     * [[OracleCapture]] is disabled — pinned by AllQueriesSpec). */
   private[graft] def capturedSimhashDirs: Set[String] =
     simhashSigCache.readOnlySnapshot().keySet.toSet ++
       simhash128SigCache.readOnlySnapshot().keySet.toSet ++
       phashSigCache.readOnlySnapshot().keySet.toSet ++
-      segSigCache.readOnlySnapshot().keySet.toSet
+      segSigCache.readOnlySnapshot().keySet.toSet ++
+      cdcSegSigCache.readOnlySnapshot().keySet.toSet
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -598,6 +603,37 @@ object DedupQueries {
         .orderBy(col("asset_a"), col("asset_b"))
     }),
 
+    // SHIFT-ROBUST variant (X133): the X128 fixed grid loses every segment
+    // after an INSERTION (all later segments shift); content-defined
+    // boundaries re-synchronize, so only the touched segment is lost.
+    // Planted partial copies here carry exactly that perturbation — every
+    // 20th doc re-appears with one byte inserted at position 100 — and the
+    // CDC pipeline pairs them on their re-synced segments through the SAME
+    // banded hamming join + asset-pair aggregation. Oracle: embedded
+    // composite signatures → the shared quadratic replay generator.
+    "multimodal_cdc_segment_dup" -> q((s, dir) => {
+      val base = graft.operators.Multimodal.ingest(
+          Sources.documents(s, dir), "doc_id", col("text"))
+        .select(col("asset_id"), col("payload"))
+      val planted = Sources.documents(s, dir)
+        .where(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 30000000L).as("asset_id"),
+          concat(substring(col("text"), 1, 100), lit("X"),
+            substring(col("text"), 101, 1000000)).cast("binary").as("payload"))
+      val sigs = graft.operators.Multimodal.cdcSegmentSignatures(
+        base.unionByName(planted), window = 16, modulus = 256, minSize = 64)
+        .localCheckpoint(eager = false)
+      if (OracleCapture.enabled)
+        cdcSegSigCache.getOrElseUpdate(dir,
+          sigs.collect()
+            .map(r => (r.getLong(0) * 1000000L + r.getInt(1),
+              r.getLong(2), r.getLong(3)))
+            .sortBy(_._1))
+      graft.operators.Multimodal.segmentNearDupAssetsFromSigs(sigs,
+          maxHamming = 5)
+        .orderBy(col("asset_a"), col("asset_b"))
+    }),
+
     // Duplicated spans across the corpus: 8-token chunk hashes occurring in
     // ≥2 distinct docs — the chunk-hash stand-in for suffix-array substring
     // dedup (detects copied passages that whole-doc fingerprints miss).
@@ -826,12 +862,15 @@ object DedupQueries {
     }
   }
 
-  /** X128 oracle: captured composite segment signatures → the trusted
+  /** X128/X133 oracle: captured composite segment signatures → the trusted
     * quadratic two-word hamming join PLUS the identical asset-pair
     * aggregation (counts, distinct segment coverage, min hamming) — the
-    * [[twoWordHammingOracle]] convention extended one aggregate. */
-  private def segmentDupOracle: Option[String] = {
-    val cached = segSigCache.readOnlySnapshot().toSeq
+    * [[twoWordHammingOracle]] convention extended one aggregate. One
+    * generator serves the fixed-grid and CDC-boundary caches. */
+  private def segmentDupOracle(
+      cache: scala.collection.concurrent.TrieMap[String, Array[(Long, Long, Long)]])
+  : Option[String] = {
+    val cached = cache.readOnlySnapshot().toSeq
     if (cached.size != 1) None
     else {
       val rows = cached.head._2
@@ -862,7 +901,8 @@ object DedupQueries {
     staticOracles ++ simhashXxOracle.map("dedup_simhash_xxhash" -> _) ++
       twoWordHammingOracle(simhash128SigCache).map("dedup_simhash128_pairs" -> _) ++
       twoWordHammingOracle(phashSigCache).map("multimodal_phash_pairs" -> _) ++
-      segmentDupOracle.map("multimodal_segment_dup_assets" -> _) ++
+      segmentDupOracle(segSigCache).map("multimodal_segment_dup_assets" -> _) ++
+      segmentDupOracle(cdcSegSigCache).map("multimodal_cdc_segment_dup" -> _) ++
       Map("dedup_incremental_indexed" -> staticOracles("dedup_incremental"),
         "stream_docs_neardup_banded" ->
           staticOracles("stream_docs_neardup_pairs"))

@@ -101,7 +101,7 @@ class AllQueriesSpec extends AnyFunSuite {
       "stream_semantic_screen_indexed",
       "dedup_simhash_xxhash", "dedup_simhash128_pairs",
       "sim_semdedup_pairs", "sim_semdedup_survivors", "multimodal_phash_pairs",
-      "multimodal_segment_dup_assets")
+      "multimodal_segment_dup_assets", "multimodal_cdc_segment_dup")
     assert((missing -- trainedOracles) == knownRowsOnly,
       s"oracle-less queries changed: got $missing, expected $knownRowsOnly (+ $trainedOracles pre-training)")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

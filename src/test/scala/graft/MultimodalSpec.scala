@@ -255,6 +255,76 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!got.keySet.exists { case (x, y) => x == y }, "within-asset pairs excluded")
   }
 
+  test("cdcSegmentSignatures ≡ driver reference (content-defined boundaries + blockhash)") {
+    val rnd = new scala.util.Random(41)
+    val p1 = Array.tabulate(1200)(_ => rnd.nextInt(256).toByte)
+    val p2 = Array.tabulate(10)(_ => rnd.nextInt(256).toByte) // shorter than window
+    val df = Seq((1L, Some(p1)), (2L, Some(p2)), (3L, None))
+      .toDF("asset_id", "payload")
+    val got = Multimodal.cdcSegmentSignatures(df, window = 16, modulus = 64,
+        minSize = 32)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // independent reference: md5-48 of each 16-byte window, boundary iff
+    // ≡ 0 mod 64 AND ≥ 32 past the last accepted boundary, chunks =
+    // boundary-delimited slices, each blockhashed
+    def md548(bs: Array[Byte]): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(bs).map(b => f"$b%02x").mkString.take(12)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def refSegs(p: Array[Byte]): Seq[(Int, (Long, Long))] = {
+      if (p.isEmpty) return Seq(0 -> ((0L, 0L)))
+      val cands = (16 to p.length)
+        .filter(i => md548(p.slice(i - 16, i)) % 64 == 0)
+      val bounds = cands.foldLeft(Vector(0L)) { (acc, b) =>
+        if (b - acc.last >= 32) acc :+ b.toLong else acc
+      }
+      val bs = bounds ++
+        (if (bounds.size > 1 && bounds.last == p.length) Nil
+         else Seq(p.length.toLong))
+      bs.sliding(2).zipWithIndex.map { case (Seq(s, e), j) =>
+        j -> refBlockHash(p.slice(s.toInt, e.toInt))
+      }.toSeq
+    }
+    val want = Seq(1L -> p1, 2L -> p2, 3L -> Array.emptyByteArray).flatMap {
+      case (id, p) => refSegs(p).map { case (j, sig) => (id, j) -> sig }
+    }.toMap
+    assert(got == want, "CDC segments must match the independent reference")
+    // the corpus actually split: p1 should carry more than one segment
+    assert(got.keys.count(_._1 == 1L) > 1, "1200 random bytes must yield >1 CDC segment")
+    assert(got((3L, 0)) == ((0L, 0L)), "empty payload signs as one zero segment")
+  }
+
+  test("CDC re-syncs after an insertion where the fixed grid loses everything") {
+    val rnd = new scala.util.Random(43)
+    val orig = Array.tabulate(4096)(_ => rnd.nextInt(256).toByte)
+    // 1-byte insertion near the head — every fixed-grid segment after it shifts
+    val shifted = (orig.take(100) :+ 0x58.toByte) ++ orig.drop(100)
+    val assets = Seq(1L -> orig, 2L -> shifted).toDF("asset_id", "payload")
+
+    def matchedPairs(sigs: org.apache.spark.sql.DataFrame): Long =
+      Multimodal.segmentNearDupAssetsFromSigs(sigs, maxHamming = 5)
+        .collect().map(r => r.getLong(2)).sum
+
+    val fixedMatches = matchedPairs(
+      Multimodal.segmentSignatures(assets, segSize = 256))
+    val cdcSigs = Multimodal.cdcSegmentSignatures(assets, window = 16,
+      modulus = 64, minSize = 32)
+    val cdcMatches = matchedPairs(cdcSigs)
+    // fixed grid: only segment 0 contains the insertion point; every later
+    // segment is shifted random bytes → at most the head can pair (and the
+    // head differs in 156 trailing bytes, so realistically nothing)
+    assert(fixedMatches <= 1, s"fixed grid should lose shifted segments, got $fixedMatches")
+    // CDC: boundaries re-synchronize after the touched segment → most
+    // segments pair exactly (hamming 0)
+    val nSegs = cdcSigs.where(col("asset_id") === 1L).count()
+    assert(cdcMatches >= nSegs / 2,
+      s"CDC must recover most of $nSegs segments after the shift, got $cdcMatches")
+    assert(cdcMatches > fixedMatches, "CDC must beat the fixed grid on a shifted copy")
+  }
+
   test("ingest: canonical asset schema with sniffed mime in meta") {
     val df = Seq((7, "hello")).toDF("doc_id", "text")
     val assets = Multimodal.ingest(df, "doc_id", col("text"))
