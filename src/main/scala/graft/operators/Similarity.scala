@@ -602,6 +602,26 @@ object Similarity {
       .groupBy(_.getInt(0)).toArray.sortBy(_._1)
       .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray))
 
+  /** Incremental maintenance for the COMPRESSED index — the [[appendToIvfIndex]]
+    * law applied to [[writeIvfPqIndex]]: new vectors are cell-assigned with
+    * the stored quantizer AND encoded with the stored codebooks (retraining
+    * either would silently invalidate every existing code), then appended
+    * as new files under their cell partitions. At 100 TB the codes table is
+    * the artifact that actually gets maintained — raw vectors may not even
+    * be retained — so the delta write is \|delta\| rows of (id, m small
+    * ints) into ≤nCells directories, base files immobile. */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, newRows: DataFrame,
+                         idCol: String, vecCol: String): Unit = {
+    val cs: Seq[Seq[Double]] =
+      readIvfCentroids(spark, indexPath).map(_.toSeq).toSeq
+    val books = readPqCodebooks(spark, indexPath)
+    newRows.select(col(idCol).as("id"),
+        pqEncode(col(vecCol), books).as("codes"),
+        element_at(cellDists(col(vecCol), cs), 1).getField("cell").as("cell"))
+      .write.partitionBy("cell").mode("append").parquet(s"$indexPath/corpus")
+  }
+
   /** IVF-PQ top-k against a STORED index ([[writeIvfPqIndex]] output):
     * quantizer + codebooks come from the artifact's metadata tables, the
     * corpus side is the cell-partitioned CODES parquet (no vectors read,

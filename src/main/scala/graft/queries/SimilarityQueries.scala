@@ -91,6 +91,29 @@ object SimilarityQueries {
       out
     })
 
+  /** Incrementally-maintained COMPRESSED index: base IVF-PQ index over 90%
+    * of the corpus, the rest appended with [[Similarity.appendToIvfPqIndex]]
+    * — cells from the stored quantizer, codes from the stored codebooks,
+    * never a retrain of either. Shares sim_topk_ivfpq's oracle: equality
+    * proves compressed append ≡ compressed rebuild. */
+  private val ivfPqIncrBuilt =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def ivfPqIncrIndexDir(s: SparkSession, dir: String): String =
+    ivfPqIncrBuilt.getOrElseUpdate(dir, {
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_ivfpqincr_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_")).getPath
+      val emb = Sources.embeddings(s, dir)
+      val cents = centroidCache.getOrElseUpdate((dir, 16, 42L),
+        Similarity.trainIvfCentroids(emb, "embedding", nCells = 16, seed = 42L))
+      Similarity.writeIvfPqIndex(emb.where(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", outPath = out,
+        centroids = cents, books = pqBooks(s, dir))
+      Similarity.appendToIvfPqIndex(s, out,
+        emb.where(col("vec_id") % 10 === 0), "vec_id", "embedding")
+      out
+    })
+
   /** PQ codebook memo: same corpus-property rationale as [[centroidCache]]. */
   private val pqCache =
     scala.collection.concurrent.TrieMap[(String, Int, Int, Long), Array[Array[Array[Double]]]]()
@@ -231,6 +254,17 @@ object SimilarityQueries {
     // store → load → probe ≡ encode → probe for the full compressed path.
     "sim_topk_ivfpq_indexed" -> q((s, dir) =>
       Similarity.ivfPqTopKIndexed(s, ivfPqIndexDir(s, dir),
+        queries = Sources.embeddings(s, dir).where(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", k = 5, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))),
+
+    // Incremental maintenance of the COMPRESSED index — the X130 law on
+    // the codes table (the artifact a 100 TB store actually maintains; raw
+    // vectors may not even be retained): base written over 90%, the delta
+    // appended with the stored quantizer + codebooks. Shares the direct
+    // sim_topk_ivfpq oracle: equality proves compressed append ≡ rebuild.
+    "sim_topk_ivfpq_incremental" -> q((s, dir) =>
+      Similarity.ivfPqTopKIndexed(s, ivfPqIncrIndexDir(s, dir),
         queries = Sources.embeddings(s, dir).where(col("vec_id") < 10),
         idCol = "vec_id", vecCol = "embedding", k = 5, nProbe = 4)
         .orderBy(col("query_id"), col("rank"))),
@@ -1116,6 +1150,7 @@ object SimilarityQueries {
     screenIndexedOracle.map("stream_semantic_screen_indexed" -> _) ++ pqOracles ++
     ivfPqOracle.map("sim_topk_ivfpq" -> _) ++
     ivfPqOracle.map("sim_topk_ivfpq_indexed" -> _) ++
+    ivfPqOracle.map("sim_topk_ivfpq_incremental" -> _) ++
     ivfPqRerankOracle.map("sim_topk_ivfpq_rerank" -> _) ++ semDedupOracles ++
     annRecallOracle.map("sim_ann_recall" -> _) ++
     rrfOracle.map("sim_rrf_fusion" -> _)

@@ -345,6 +345,38 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("appendToIvfPqIndex: compressed append ≡ rebuild, stored codes identical") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 10)
+    val cents = Similarity.trainIvfCentroids(emb, "embedding", nCells = 16, seed = 42L)
+    val books = Similarity.trainPqCodebooks(emb, "embedding", m = 16, ksub = 64, seed = 42L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpqincr_spec")
+    try {
+      val full = tmp.resolve("full").toString
+      val incr = tmp.resolve("incr").toString
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", full, cents, books)
+      Similarity.writeIvfPqIndex(emb.where(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", incr, cents, books)
+      Similarity.appendToIvfPqIndex(spark, incr,
+        emb.where(col("vec_id") % 10 === 0), "vec_id", "embedding")
+      // the stored artifact itself converges: same (id, codes, cell) set
+      def canon(p: String) = spark.read.parquet(s"$p/corpus")
+        .collect().map(r => (r.getLong(0),
+          r.getSeq[Int](1).toSeq, r.getInt(2))).sortBy(_._1).toSeq
+      assert(canon(incr) == canon(full),
+        "append with stored structures must reproduce the rebuild's codes")
+      // and so do probe results
+      def topk(p: String) = Similarity.ivfPqTopKIndexed(spark, p, q,
+          "vec_id", "embedding", k = 5, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+      assert(topk(incr) == topk(full), "compressed append ≡ rebuild on probes")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp.toString)).deleteRecursively()
+    }
+  }
+
   test("PQ: codes in range, encode deterministic, recon error ≤ direct decode error") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val books = Similarity.trainPqCodebooks(emb, "embedding", m = 16, ksub = 64)
