@@ -387,7 +387,8 @@ object Similarity {
                      nProbe: Int = 4): DataFrame = {
     val cents: Seq[Seq[Double]] =
       readIvfCentroids(spark, indexPath).map(_.toSeq).toSeq
-    val c = spark.read.parquet(s"$indexPath/corpus")
+    val c = minusTombstones(spark, indexPath,
+      spark.read.parquet(s"$indexPath/corpus"))
     val q = prep(queries, idCol, vecCol)
       .select(col("id").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"),
         explode(transform(slice(cellDists(col("vec"), cents), 1, nProbe),
@@ -602,6 +603,69 @@ object Similarity {
       .groupBy(_.getInt(0)).toArray.sortBy(_._1)
       .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray))
 
+  /** DELETE from a stored index via TOMBSTONES — the deletion-vector
+    * pattern: removing a vector must not rewrite multi-TB cell partitions
+    * on the critical path (and compliance deletes can't wait for a
+    * maintenance window), so `deleteFromIvfIndex` appends the ids to a
+    * small `<index>/tombstones` table — O(|delete|) work, immediately
+    * visible because every probe ([[ivfTopKIndexed]],
+    * [[semanticScreenIndexed]]) anti-joins the broadcast tombstone set —
+    * and [[vacuumIvfIndex]] later REWRITES ONLY the cell partitions that
+    * actually contain tombstoned rows (dynamic partition overwrite;
+    * untouched cells' files stay byte-immobile) and clears the tombstone
+    * table. Probe results are identical before and after vacuum — the
+    * spec pins that law plus file immobility on both halves. */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, deleteIds: DataFrame,
+                         idCol: String): Unit =
+    deleteIds.select(col(idCol).cast("long").as("id")).distinct()
+      .coalesce(1).write.mode("append").parquet(s"$indexPath/tombstones")
+
+  /** The live tombstone set, or None when the index has none — a bounded
+    * metadata read (the deletion log, not corpus data). */
+  private def tombstones(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Apply the tombstone filter to a corpus frame (anti-join against the
+    * broadcast deletion set) — shared by every stored-index probe path. */
+  private def minusTombstones(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String, corpus: DataFrame): DataFrame =
+    tombstones(spark, indexPath) match {
+      case Some(t) => corpus.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")
+      case None => corpus
+    }
+
+  /** Physically remove tombstoned rows: rewrite ONLY the cell partitions
+    * containing them (dynamic partition overwrite — other cells' files are
+    * never touched) and drop the tombstone table. The rewritten rows pin
+    * through a local checkpoint before the overwrite (same-path
+    * read-then-write); they are bounded by the touched partitions, i.e. by
+    * the deletes' cell locality — at production scale the rewrite stages
+    * through the FS commit protocol the same way. */
+  def vacuumIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                     indexPath: String): Unit =
+    tombstones(spark, indexPath).foreach { t =>
+      val corpus = spark.read.parquet(s"$indexPath/corpus")
+      val del = broadcast(t.select(col("id")))
+      val touched = broadcast(
+        corpus.join(del, Seq("id")).select(col("cell")).distinct())
+      val rewritten = corpus
+        .join(touched, Seq("cell"), "left_semi")
+        .join(del, Seq("id"), "left_anti")
+        // corpus column order back to write order (cell last = partition col)
+        .select(corpus.columns.filter(_ != "cell").map(col) :+ col("cell"): _*)
+        .localCheckpoint(eager = true)
+      rewritten.write.partitionBy("cell")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(s"$indexPath/corpus")
+      val p = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+
   /** Incremental maintenance for the COMPRESSED index — the [[appendToIvfIndex]]
     * law applied to [[writeIvfPqIndex]]: new vectors are cell-assigned with
     * the stored quantizer AND encoded with the stored codebooks (retraining
@@ -636,7 +700,8 @@ object Similarity {
     val cents: Seq[Seq[Double]] =
       readIvfCentroids(spark, indexPath).map(_.toSeq).toSeq
     val books = readPqCodebooks(spark, indexPath)
-    val c = spark.read.parquet(s"$indexPath/corpus")
+    val c = minusTombstones(spark, indexPath,
+      spark.read.parquet(s"$indexPath/corpus"))
     val q = queries.select(col(idCol).as("query_id"),
       graft.functions.PqExpressions.pqAdcLutNative(col(vecCol), books).as("lut"),
       explode(transform(slice(cellDists(col(vecCol), cents), 1, nProbe),
@@ -879,7 +944,8 @@ object Similarity {
                             threshold: Double, nProbe: Int = 4): DataFrame = {
     val cents: Seq[Seq[Double]] =
       readIvfCentroids(spark, indexPath).map(_.toSeq).toSeq
-    val c = spark.read.parquet(s"$indexPath/corpus")
+    val c = minusTombstones(spark, indexPath,
+      spark.read.parquet(s"$indexPath/corpus"))
     val a = prep(arrivals, idCol, vecCol)
       .select(col("id").as("a_id"), col("vec").as("avec"), col("nrm").as("anrm"),
         explode(transform(slice(cellDists(col("vec"), cents), 1, nProbe),

@@ -91,6 +91,29 @@ object SimilarityQueries {
       out
     })
 
+  /** Tombstone-deleted index: full-corpus IVF index with every 10th vector
+    * DELETED via [[Similarity.deleteFromIvfIndex]] — the deletion-vector
+    * pattern: O(|delete|) tombstone append, immediately visible to probes
+    * through the broadcast anti-join, no partition rewrite on the critical
+    * path ([[Similarity.vacuumIvfIndex]] is the amortized physical
+    * removal, spec-pinned equivalent). */
+  private val ivfDelBuilt =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def ivfDeletedIndexDir(s: SparkSession, dir: String): String =
+    ivfDelBuilt.getOrElseUpdate(dir, {
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_ivfdel_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_")).getPath
+      val emb = Sources.embeddings(s, dir)
+      val cents = centroidCache.getOrElseUpdate((dir, 16, 42L),
+        Similarity.trainIvfCentroids(emb, "embedding", nCells = 16, seed = 42L))
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding", nCells = 16,
+        seed = 42L, outPath = out, centroids = Some(cents))
+      Similarity.deleteFromIvfIndex(s, out,
+        emb.where(col("vec_id") % 10 === 0), "vec_id")
+      out
+    })
+
   /** Incrementally-maintained COMPRESSED index: base IVF-PQ index over 90%
     * of the corpus, the rest appended with [[Similarity.appendToIvfPqIndex]]
     * — cells from the stored quantizer, codes from the stored codebooks,
@@ -254,6 +277,20 @@ object SimilarityQueries {
     // store → load → probe ≡ encode → probe for the full compressed path.
     "sim_topk_ivfpq_indexed" -> q((s, dir) =>
       Similarity.ivfPqTopKIndexed(s, ivfPqIndexDir(s, dir),
+        queries = Sources.embeddings(s, dir).where(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", k = 5, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))),
+
+    // TOMBSTONE DELETE (the CRUD leg indexes usually punt on): every 10th
+    // vector is deleted from the stored index as an O(|delete|) tombstone
+    // append — no partition rewrite on the critical path, which is what a
+    // compliance delete against a 100 TB index needs — and the probe's
+    // broadcast anti-join makes it immediately visible. Oracle: the direct
+    // IVF replay over the corpus MINUS the deleted set; equality proves
+    // tombstone visibility ≡ physical absence (and the spec pins vacuum —
+    // the amortized partition rewrite — as probe-identical).
+    "sim_topk_ivf_deleted" -> q((s, dir) =>
+      Similarity.ivfTopKIndexed(s, ivfDeletedIndexDir(s, dir),
         queries = Sources.embeddings(s, dir).where(col("vec_id") < 10),
         idCol = "vec_id", vecCol = "embedding", k = 5, nProbe = 4)
         .orderBy(col("query_id"), col("rank"))),
@@ -646,7 +683,10 @@ object SimilarityQueries {
     }
   }
 
-  private def ivfOracle: Option[String] = {
+  /** `corpusWhere` narrows the replayed corpus — the deleted-index twin
+    * passes the tombstone complement so equality proves tombstone
+    * visibility ≡ physical absence. */
+  private def ivfOracle(corpusWhere: String = "TRUE"): Option[String] = {
     val cached = centroidCache.readOnlySnapshot().toSeq
     if (cached.size != 1) None else Some {
       val distList = centDistList(cached.head._2)
@@ -659,7 +699,8 @@ object SimilarityQueries {
         |         list_sort($distList) AS ds
         |  FROM vecs v),
         |corpus AS (
-        |  SELECT vec_id, embedding, ds[1].cell AS cell FROM dists),
+        |  SELECT vec_id, embedding, ds[1].cell AS cell FROM dists
+        |  WHERE $corpusWhere),
         |queries AS (
         |  SELECT vec_id, embedding, unnest(list_transform(ds[1:4], s -> s.cell)) AS cell
         |  FROM dists WHERE vec_id < 10)
@@ -1141,12 +1182,14 @@ object SimilarityQueries {
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT id FROM comp WHERE c <> id)
         |ORDER BY vec_id""".stripMargin
-  ) ++ ivfOracle.map("sim_topk_ivf" -> _) ++
+  ) ++ ivfOracle().map("sim_topk_ivf" -> _) ++
     // the stored-index twin replays the identical pipeline — one oracle
     // serves both (the dedup_incremental_indexed convention); the
-    // incremental twin additionally proves append ≡ rebuild
-    ivfOracle.map("sim_topk_ivf_indexed" -> _) ++
-    ivfOracle.map("sim_topk_ivf_incremental" -> _) ++
+    // incremental twin additionally proves append ≡ rebuild, and the
+    // deleted twin replays the tombstone complement
+    ivfOracle().map("sim_topk_ivf_indexed" -> _) ++
+    ivfOracle().map("sim_topk_ivf_incremental" -> _) ++
+    ivfOracle("vec_id % 10 <> 0").map("sim_topk_ivf_deleted" -> _) ++
     screenIndexedOracle.map("stream_semantic_screen_indexed" -> _) ++ pqOracles ++
     ivfPqOracle.map("sim_topk_ivfpq" -> _) ++
     ivfPqOracle.map("sim_topk_ivfpq_indexed" -> _) ++

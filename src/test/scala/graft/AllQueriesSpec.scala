@@ -96,7 +96,8 @@ class AllQueriesSpec extends AnyFunSuite {
     // SimHash signatures) only exist after their queries have run —
     // tolerate their absence in a bare JVM, never anything else's.
     val trainedOracles = Set("sim_topk_ivf", "sim_topk_ivf_indexed",
-      "sim_topk_ivf_incremental", "sim_pq_codes", "sim_topk_pq",
+      "sim_topk_ivf_incremental", "sim_topk_ivf_deleted",
+      "sim_pq_codes", "sim_topk_pq",
       "sim_topk_ivfpq", "sim_topk_ivfpq_indexed", "sim_topk_ivfpq_incremental",
       "stream_semantic_screen_indexed",
       "dedup_simhash_xxhash", "dedup_simhash128_pairs",

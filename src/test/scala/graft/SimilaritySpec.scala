@@ -345,6 +345,67 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("tombstone delete: O(|delete|) visible immediately; vacuum rewrites only touched cells") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 10)
+    val cents = Similarity.trainIvfCentroids(emb, "embedding", nCells = 16, seed = 42L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfdel_spec")
+    try {
+      val idx = tmp.resolve("index").toString
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding", nCells = 16,
+        seed = 42L, outPath = idx, centroids = Some(cents))
+      def corpusFiles(): Map[String, Long] = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(idx, "corpus"))
+          .iterator().asScala.filter(_.toString.endsWith(".parquet"))
+          .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+          .toMap
+      }
+      val before = corpusFiles()
+      Similarity.deleteFromIvfIndex(spark, idx,
+        emb.where(col("vec_id") % 10 === 0), "vec_id")
+      // the delete wrote ONLY the tombstone table — corpus bytes immobile
+      assert(corpusFiles() == before, "delete must not touch corpus files")
+
+      def topk() = Similarity.ivfTopKIndexed(spark, idx, q,
+          "vec_id", "embedding", k = 5, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+      // immediately visible: ≡ direct IVF over the corpus minus deleted
+      val expect = Similarity.ivfTopK(emb.where(col("vec_id") % 10 =!= 0), q,
+          "vec_id", "embedding", k = 5, nProbe = 4, centroids = Some(cents))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+      val preVacuum = topk()
+      assert(preVacuum == expect, "tombstoned probe must equal the filtered corpus")
+      assert(preVacuum != Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+          k = 5, nProbe = 4, centroids = Some(cents))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq,
+        "the delete must actually change results on this corpus")
+
+      // which cells hold deleted rows — only those may be rewritten
+      val touched = spark.read.parquet(s"$idx/corpus")
+        .where(col("id") % 10 === 0).select(col("cell").cast("int"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      Similarity.vacuumIvfIndex(spark, idx)
+      assert(!new java.io.File(s"$idx/tombstones").exists(),
+        "vacuum must clear the tombstone table")
+      val after = corpusFiles()
+      val untouchedBefore = before.filter { case (p, _) =>
+        !touched.exists(c => p.contains(s"cell=$c/")) }
+      assert(untouchedBefore.forall { case (p, t) => after.get(p).contains(t) },
+        "vacuum must leave cells without deleted rows byte-immobile")
+      // physically gone, probe unchanged
+      assert(spark.read.parquet(s"$idx/corpus")
+        .where(col("id") % 10 === 0).count() == 0, "vacuum removes tombstoned rows")
+      assert(topk() == preVacuum, "vacuum must not change probe results")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp.toString)).deleteRecursively()
+    }
+  }
+
   test("appendToIvfPqIndex: compressed append ≡ rebuild, stored codes identical") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val q = emb.where(col("vec_id") < 10)
