@@ -41,9 +41,13 @@ object Export {
     * (partition dirs `shard=N`, one parquet file each, columns
     * id/text/n_tokens) and the read-back-derived manifest under
     * `outDir/manifest` (shard, n_docs, n_tokens, fingerprint). The
-    * fingerprint is the 48-bit-hash SUM over `id:text` — order-independent
-    * (shard files may be written in any row order) and recomputable by any
-    * engine. */
+    * fingerprint is the 48-bit-hash XOR fold over `id:text` —
+    * order-independent (shard files may be written in any row order),
+    * OVERFLOW-FREE at any shard size (a sum of 48-bit values crosses
+    * Long.MaxValue at ~65k docs per shard — an ANSI-mode crash, or a
+    * silent Spark-wrap vs DuckDB-HUGEINT divergence), and recomputable by
+    * any engine. Rows are id-distinct by the pipeline's dedup contract, so
+    * XOR pair-cancellation cannot collide distinct shard contents. */
   def writeShards(docs: DataFrame, idCol: String, textCol: String,
                   nShards: Int, outDir: String): Unit = {
     require(nShards > 0, "nShards must be positive")
@@ -57,10 +61,11 @@ object Export {
     // the manifest describes what is ON DISK, not what we meant to write:
     // built from the read-back, fingerprint recomputed from stored bytes
     spark.read.parquet(s"$outDir/shards")
+      .withColumn("__fp", fingerprint(col("id"), col("text")))
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
-        sum(fingerprint(col("id"), col("text"))).as("fingerprint"))
+        expr("bit_xor(__fp)").as("fingerprint"))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
   }
 
@@ -71,10 +76,11 @@ object Export {
     * (shard, n_docs, n_tokens, fingerprint, manifest_match). */
   def auditShards(spark: SparkSession, outDir: String): DataFrame = {
     val onDisk = spark.read.parquet(s"$outDir/shards")
+      .withColumn("__fp", fingerprint(col("id"), col("text")))
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(TextOps.tokens(col("text"))).cast("long")).as("n_tokens"),
-        sum(fingerprint(col("id"), col("text"))).as("fingerprint"))
+        expr("bit_xor(__fp)").as("fingerprint"))
     val manifest = spark.read.parquet(s"$outDir/manifest")
       .select(col("shard"), col("n_docs").as("m_docs"),
         col("n_tokens").as("m_tokens"), col("fingerprint").as("m_fp"))

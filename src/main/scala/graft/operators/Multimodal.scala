@@ -297,8 +297,18 @@ object Multimodal {
     * embedded-signature oracle convention) and feed both consumers. */
   def segmentNearDupAssetsFromSigs(sigs: DataFrame, maxHamming: Int = 5,
                                    segMod: Long = 1000000L): DataFrame = {
-    val composite = sigs.select(
-      (col("asset_id") * segMod + col("seg")).as("id"), col("hi"), col("lo"))
+    // the composite key decomposes by div/pmod only when every seg index
+    // fits under segMod and asset ids are non-negative — violate either
+    // and segments silently attribute to the WRONG asset; fail loudly
+    // instead (assert_true inside an always-true filter so pruning can't
+    // drop the check)
+    val composite = sigs
+      .where(assert_true(col("seg") < lit(segMod) && col("seg") >= 0 &&
+          col("asset_id") >= 0,
+        lit(s"segment index must be in [0, $segMod) and asset_id >= 0 " +
+          "for the composite key — raise segMod or shift ids")).isNull)
+      .select(
+        (col("asset_id") * segMod + col("seg")).as("id"), col("hi"), col("lo"))
     Dedup.simHashNearDupPairs128(composite, "id", "hi", "lo", maxHamming)
       .select(expr(s"id_a div $segMod").as("asset_a"),
         pmod(col("id_a"), lit(segMod)).as("seg_a"),

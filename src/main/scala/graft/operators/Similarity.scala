@@ -618,7 +618,10 @@ object Similarity {
   def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
                          indexPath: String, deleteIds: DataFrame,
                          idCol: String): Unit =
-    deleteIds.select(col(idCol).cast("long").as("id")).distinct()
+    // id type is preserved verbatim — the index accepts any id type and a
+    // cast here (e.g. to long) would NULL string ids and silently no-op
+    // the delete
+    deleteIds.select(col(idCol).as("id")).distinct()
       .coalesce(1).write.mode("append").parquet(s"$indexPath/tombstones")
 
   /** The live tombstone set, or None when the index has none — a bounded
@@ -651,10 +654,12 @@ object Similarity {
     tombstones(spark, indexPath).foreach { t =>
       val corpus = spark.read.parquet(s"$indexPath/corpus")
       val del = broadcast(t.select(col("id")))
-      val touched = broadcast(
-        corpus.join(del, Seq("id")).select(col("cell")).distinct())
+      // the cells to rewrite — ≤ nCells values, a bounded driver read
+      val touched = corpus.join(del, Seq("id"))
+        .select(col("cell").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
       val rewritten = corpus
-        .join(touched, Seq("cell"), "left_semi")
+        .where(col("cell").cast("long").isInCollection(touched))
         .join(del, Seq("id"), "left_anti")
         // corpus column order back to write order (cell last = partition col)
         .select(corpus.columns.filter(_ != "cell").map(col) :+ col("cell"): _*)
@@ -662,8 +667,18 @@ object Similarity {
       rewritten.write.partitionBy("cell")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(s"$indexPath/corpus")
-      val p = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      // dynamic overwrite only replaces partitions PRESENT in the output:
+      // a touched cell whose every row was tombstoned writes no partition
+      // and its stale files would survive (and resurrect once the
+      // tombstones drop) — delete emptied cell directories explicitly
+      val survivors = rewritten.select(col("cell").cast("long"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      val fs = new org.apache.hadoop.fs.Path(indexPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (touched -- survivors).foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/corpus/cell=$c"), true)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/tombstones"), true)
     }
 
   /** Incremental maintenance for the COMPRESSED index — the [[appendToIvfIndex]]
@@ -933,11 +948,14 @@ object Similarity {
     * arrival's probe cells are distinct, so an (arrival, corpus) pair can
     * appear at most once and no dedup aggregate (hence no state store, no
     * watermark bookkeeping) is needed: the ingest gate's state is ZERO at
-    * any corpus size, the stored index carries the standing corpus. At
-    * production scale the static side re-resolves per micro-batch from the
-    * index artifact — appends via [[appendToIvfIndex]] are picked up
-    * without restarting the stream. Works identically on a batch
-    * `arrivals` frame. */
+    * any corpus size, the stored index carries the standing corpus. The
+    * static side's FILE LISTING is fixed at plan time (Spark does not
+    * re-list a static parquet join side per micro-batch), so
+    * [[appendToIvfIndex]] deltas become visible on the next gate
+    * (re)start — and statelessness is exactly what makes that restart
+    * free: no state store to rebuild, no watermark to replay. A deployment
+    * wanting intra-run pickup rebuilds this frame per batch inside
+    * `foreachBatch`. Works identically on a batch `arrivals` frame. */
   def semanticScreenIndexed(spark: org.apache.spark.sql.SparkSession,
                             indexPath: String, arrivals: DataFrame,
                             idCol: String, vecCol: String,

@@ -789,7 +789,7 @@ object CurationQueries {
         |  FROM documents)
         |SELECT shard::bigint AS shard, count(*)::bigint AS n_docs,
         |       sum(n_tokens)::bigint AS n_tokens,
-        |       sum(fp)::bigint AS fingerprint,
+        |       bit_xor(fp)::bigint AS fingerprint,
         |       true AS manifest_match
         |FROM x GROUP BY shard ORDER BY shard""".stripMargin
   )

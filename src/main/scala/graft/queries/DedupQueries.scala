@@ -550,12 +550,15 @@ object DedupQueries {
       // hamming 5 while unrelated docs sit ~60 apart). Every twin's
       // CONTENT hash differs from its original on every byte-exact
       // fingerprint — exactly the asset class X19 misses and this catches.
+      // base ids double, planted twins take the odd slot — bijective at
+      // ANY doc_id scale (a fixed +10M offset collides once the corpus
+      // reaches 10M docs, silently aliasing planted and genuine assets)
       val base = graft.operators.Multimodal.ingest(
           Sources.documents(s, dir), "doc_id", col("text"))
-        .select(col("asset_id"), col("payload"))
+        .select((col("asset_id") * 2).as("asset_id"), col("payload"))
       val planted = Sources.documents(s, dir)
         .where(col("doc_id") % 25 === 0)
-        .select((col("doc_id") + 10000000L).as("asset_id"),
+        .select((col("doc_id") * 2 + 1).as("asset_id"),
           translate(col("text"), "e", "i").cast("binary").as("payload"))
       val sigs = graft.operators.Multimodal.blockHashSignatures(
         base.unionByName(planted))
@@ -581,12 +584,14 @@ object DedupQueries {
     // the tail matches nothing. Oracle: embedded composite signatures →
     // trusted quadratic hamming join + the identical aggregation.
     "multimodal_segment_dup_assets" -> q((s, dir) => {
+      // the phash doubling scheme: planted partial copies take odd ids,
+      // collision-free at any corpus scale
       val base = graft.operators.Multimodal.ingest(
           Sources.documents(s, dir), "doc_id", col("text"))
-        .select(col("asset_id"), col("payload"))
+        .select((col("asset_id") * 2).as("asset_id"), col("payload"))
       val planted = Sources.documents(s, dir)
         .where(col("doc_id") % 20 === 0)
-        .select((col("doc_id") + 20000000L).as("asset_id"),
+        .select((col("doc_id") * 2 + 1).as("asset_id"),
           concat(translate(substring(col("text"), 1, 1024), "e", "i"),
             reverse(col("text"))).cast("binary").as("payload"))
       val sigs = graft.operators.Multimodal.segmentSignatures(
@@ -612,12 +617,13 @@ object DedupQueries {
     // banded hamming join + asset-pair aggregation. Oracle: embedded
     // composite signatures → the shared quadratic replay generator.
     "multimodal_cdc_segment_dup" -> q((s, dir) => {
+      // doubling scheme again — planted shifted copies on the odd ids
       val base = graft.operators.Multimodal.ingest(
           Sources.documents(s, dir), "doc_id", col("text"))
-        .select(col("asset_id"), col("payload"))
+        .select((col("asset_id") * 2).as("asset_id"), col("payload"))
       val planted = Sources.documents(s, dir)
         .where(col("doc_id") % 20 === 0)
-        .select((col("doc_id") + 30000000L).as("asset_id"),
+        .select((col("doc_id") * 2 + 1).as("asset_id"),
           concat(substring(col("text"), 1, 100), lit("X"),
             substring(col("text"), 101, 1000000)).cast("binary").as("payload"))
       val sigs = graft.operators.Multimodal.cdcSegmentSignatures(

@@ -312,7 +312,8 @@ object SimilarityQueries {
     // memory sink) against the X127 artifact. The composition's at-scale
     // point is that it is STATELESS — the standing corpus lives in the
     // index, not the state store, so the gate's state is zero at any
-    // corpus size and index appends are picked up between micro-batches.
+    // corpus size and a restart (how index appends become visible — the
+    // static file listing pins at plan time) costs nothing to recover.
     // Oracle: embedded-centroid SQL replaying probe + screen in batch —
     // equality proves the streamed path emits exactly the batch semantics.
     "stream_semantic_screen_indexed" -> q((s, dir) => {

@@ -74,7 +74,7 @@ class ExportSpec extends AnyFunSuite {
           pmod(Dedup.md5Hash48(col("doc_id").cast("string")), lit(4L)).as("shard"),
           size(TextOps.tokens(col("text"))).cast("long").as("t"),
           Dedup.md5Hash48(concat(col("doc_id").cast("string"), lit(":"), col("text"))).as("fp"))
-        .groupBy("shard").agg(count(lit(1)), sum("t"), sum("fp"))
+        .groupBy("shard").agg(count(lit(1)), sum("t"), expr("bit_xor(fp)"))
         .collect().map(r => r.getLong(0) ->
           (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
       assert(manifest == expect, "manifest must equal independent recomputation")

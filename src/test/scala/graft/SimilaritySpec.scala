@@ -400,6 +400,26 @@ class SimilaritySpec extends AnyFunSuite {
       assert(spark.read.parquet(s"$idx/corpus")
         .where(col("id") % 10 === 0).count() == 0, "vacuum removes tombstoned rows")
       assert(topk() == preVacuum, "vacuum must not change probe results")
+
+      // the resurrection trap: tombstone EVERY remaining row of one cell —
+      // dynamic overwrite writes no partition for an emptied cell, so
+      // without explicit directory removal its stale files would survive
+      // the tombstone drop and the deleted rows would come back
+      val corpusNow = spark.read.parquet(s"$idx/corpus")
+      val aCell = corpusNow.select(col("cell").cast("long"))
+        .groupBy("cell").count().orderBy(col("count"), col("cell"))
+        .collect()(0).getLong(0)
+      val cellIds = corpusNow.where(col("cell").cast("long") === aCell)
+        .select(col("id"))
+      val nCellIds = cellIds.count()
+      assert(nCellIds > 0)
+      Similarity.deleteFromIvfIndex(spark, idx, cellIds, "id")
+      Similarity.vacuumIvfIndex(spark, idx)
+      assert(!new java.io.File(s"$idx/corpus/cell=$aCell").exists(),
+        "vacuum must remove an emptied cell's directory")
+      assert(spark.read.parquet(s"$idx/corpus")
+          .where(col("cell").cast("long") === aCell).count() == 0,
+        "an emptied cell's rows must not resurrect after vacuum")
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(tmp.toString)).deleteRecursively()
