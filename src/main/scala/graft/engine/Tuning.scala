@@ -13,6 +13,22 @@ import org.apache.spark.sql.SparkSession
   * without risking driver OOM on a genuinely large build side.
   */
 object Tuning {
+
+  /** Clone a session with the PARENT'S runtime SQL conf: `newSession()`
+    * initializes from the context defaults, silently dropping runtime
+    * settings (shuffle parallelism, timezone, tuning knobs) — callers that
+    * scope a conf override to a child session must inherit first. Static
+    * (non-modifiable) confs throw on set and are skipped; only non-fatal
+    * failures are swallowed. */
+  def cloneWithRuntimeConf(parent: SparkSession): SparkSession = {
+    val c = parent.newSession()
+    parent.conf.getAll.foreach { case (k, v) =>
+      try c.conf.set(k, v)
+      catch { case scala.util.control.NonFatal(_) => () } // static confs
+    }
+    c
+  }
+
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -470,15 +470,10 @@ object Dedup {
     // (never a caller-session mutation — the round-7/8 advice); per-round
     // shuffle parallelism rides the same scoped conf instead of explicit
     // repartition exchanges.
-    val iter = spark.newSession()
-    // newSession() initializes SQL conf from the CONTEXT defaults, not the
-    // caller's runtime conf — inherit it first (tuning knobs, timezone,
-    // and the documented "None = caller's shuffle parallelism" contract),
-    // THEN apply the loop-scoped overrides (the runToMemorySink clone
-    // discipline).
-    spark.conf.getAll.foreach { case (k, v) =>
-      try iter.conf.set(k, v) catch { case _: Throwable => () } // static confs
-    }
+    // the clone inherits the caller's RUNTIME conf (tuning knobs, timezone,
+    // and the documented "None = caller's shuffle parallelism" contract)
+    // BEFORE the loop-scoped overrides
+    val iter = graft.engine.Tuning.cloneWithRuntimeConf(spark)
     iter.conf.set("spark.sql.adaptive.enabled", "false")
     iterShufflePartitions.foreach(n =>
       iter.conf.set("spark.sql.shuffle.partitions", n.toString))

@@ -61,11 +61,10 @@ object Export {
     // the manifest describes what is ON DISK, not what we meant to write:
     // built from the read-back, fingerprint recomputed from stored bytes
     spark.read.parquet(s"$outDir/shards")
-      .withColumn("__fp", fingerprint(col("id"), col("text")))
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
-        expr("bit_xor(__fp)").as("fingerprint"))
+        bit_xor(fingerprint(col("id"), col("text"))).as("fingerprint"))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
   }
 
@@ -76,11 +75,10 @@ object Export {
     * (shard, n_docs, n_tokens, fingerprint, manifest_match). */
   def auditShards(spark: SparkSession, outDir: String): DataFrame = {
     val onDisk = spark.read.parquet(s"$outDir/shards")
-      .withColumn("__fp", fingerprint(col("id"), col("text")))
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(TextOps.tokens(col("text"))).cast("long")).as("n_tokens"),
-        expr("bit_xor(__fp)").as("fingerprint"))
+        bit_xor(fingerprint(col("id"), col("text"))).as("fingerprint"))
     val manifest = spark.read.parquet(s"$outDir/manifest")
       .select(col("shard"), col("n_docs").as("m_docs"),
         col("n_tokens").as("m_tokens"), col("fingerprint").as("m_fp"))

@@ -304,9 +304,11 @@ object Multimodal {
     // drop the check)
     val composite = sigs
       .where(assert_true(col("seg") < lit(segMod) && col("seg") >= 0 &&
-          col("asset_id") >= 0,
-        lit(s"segment index must be in [0, $segMod) and asset_id >= 0 " +
-          "for the composite key — raise segMod or shift ids")).isNull)
+          col("asset_id") >= 0 &&
+          col("asset_id") < lit(Long.MaxValue / segMod),
+        lit(s"composite key needs seg in [0, $segMod) and asset_id in " +
+          s"[0, ${Long.MaxValue / segMod}) — asset_id·segMod+seg must not " +
+          "overflow Long; raise segMod only with smaller ids")).isNull)
       .select(
         (col("asset_id") * segMod + col("seg")).as("id"), col("hi"), col("lo"))
     Dedup.simHashNearDupPairs128(composite, "id", "hi", "lo", maxHamming)

@@ -617,12 +617,16 @@ object Similarity {
     * spec pins that law plus file immobility on both halves. */
   def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
                          indexPath: String, deleteIds: DataFrame,
-                         idCol: String): Unit =
-    // id type is preserved verbatim — the index accepts any id type and a
-    // cast here (e.g. to long) would NULL string ids and silently no-op
-    // the delete
-    deleteIds.select(col(idCol).as("id")).distinct()
+                         idCol: String): Unit = {
+    // normalize to the CORPUS's id type (a parquet-footer read): a fixed
+    // cast (e.g. to long) would NULL string ids and silently no-op the
+    // delete, while a verbatim passthrough would let differently-typed
+    // delete frames land conflicting parquet schemas in the append-mode
+    // tombstone store and crash every later probe's read
+    val idType = spark.read.parquet(s"$indexPath/corpus").schema("id").dataType
+    deleteIds.select(col(idCol).cast(idType).as("id")).distinct()
       .coalesce(1).write.mode("append").parquet(s"$indexPath/tombstones")
+  }
 
   /** The live tombstone set, or None when the index has none — a bounded
     * metadata read (the deletion log, not corpus data). */
@@ -675,6 +679,19 @@ object Similarity {
         .distinct().collect().map(_.getLong(0)).toSet
       val fs = new org.apache.hadoop.fs.Path(indexPath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // a vacuum that would empty the WHOLE corpus is unrepresentable in
+      // this layout (Spark cannot write a readable empty partitioned
+      // parquet — only _SUCCESS survives, and every later read fails
+      // schema inference); fail loudly before destroying data — a full
+      // purge should drop the index directory instead
+      if (survivors.isEmpty) {
+        val allCells = corpus.select(col("cell").cast("long"))
+          .distinct().collect().map(_.getLong(0)).toSet
+        require(touched != allCells,
+          s"vacuumIvfIndex would delete every row of $indexPath — an empty " +
+            "index is unrepresentable (unreadable empty partitioned " +
+            "parquet); drop the index directory for a full purge")
+      }
       (touched -- survivors).foreach { c =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/corpus/cell=$c"), true)
       }

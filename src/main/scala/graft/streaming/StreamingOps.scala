@@ -257,10 +257,7 @@ object StreamingOps {
     val name = s"graft_mem_sink_${memSinkId.incrementAndGet()}"
     val sess = shufflePartitions match {
       case Some(n) =>
-        val c = s.newSession()
-        s.conf.getAll.foreach { case (k, v) =>
-          try c.conf.set(k, v) catch { case _: Throwable => () } // static confs
-        }
+        val c = graft.engine.Tuning.cloneWithRuntimeConf(s)
         c.conf.set("spark.sql.shuffle.partitions", n.toString)
         c
       case None => s

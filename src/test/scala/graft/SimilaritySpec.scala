@@ -420,6 +420,16 @@ class SimilaritySpec extends AnyFunSuite {
       assert(spark.read.parquet(s"$idx/corpus")
           .where(col("cell").cast("long") === aCell).count() == 0,
         "an emptied cell's rows must not resurrect after vacuum")
+
+      // a vacuum that would empty the WHOLE corpus must refuse loudly (an
+      // empty partitioned parquet is unreadable) instead of bricking the
+      // index — a full purge drops the index directory
+      Similarity.deleteFromIvfIndex(spark, idx,
+        spark.read.parquet(s"$idx/corpus").select(col("id")), "id")
+      val e = intercept[Exception] { Similarity.vacuumIvfIndex(spark, idx) }
+      assert(e.getMessage.contains("drop the index directory"), e.getMessage)
+      assert(spark.read.parquet(s"$idx/corpus").count() > 0,
+        "the refused vacuum must leave the corpus intact")
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(tmp.toString)).deleteRecursively()
