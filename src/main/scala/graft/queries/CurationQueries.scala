@@ -489,7 +489,7 @@ object CurationQueries {
         |        'https?://[^\s]+', '<URL>', 'g'),
         |      '\b(spark|stream)\b', '<BLOCKED>', 'g') AS text
         |  FROM documents),
-        |tt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |tt AS (SELECT doc_id, (CASE WHEN trim(text) = '' THEN []::varchar[] ELSE regexp_split_to_array(trim(text), '\s+') END) AS tk
         |       FROM scr WHERE NOT is_bench),
         |ch AS (
         |  SELECT doc_id, i AS pos, tk[i*8+1 : i*8+8] AS ctk,
@@ -519,7 +519,7 @@ object CurationQueries {
         |                       ELSE [array_to_string(t[i:i+2], ' ')
         |                             for i in generate_series(1, len(t)-2)]
         |                       END) AS s
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM (SELECT doc_id, (CASE WHEN trim(text) = '' THEN []::varchar[] ELSE regexp_split_to_array(trim(text), '\s+') END) AS t
         |        FROM ex)),
         |prs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -534,11 +534,11 @@ object CurationQueries {
         |comp AS (SELECT s AS id, least(s, min(t)) AS c FROM reach GROUP BY s),
         |ded AS (SELECT doc_id, text FROM ex
         |        WHERE doc_id NOT IN (SELECT id FROM comp WHERE c <> id)),
-        |btk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |btk AS (SELECT doc_id, (CASE WHEN trim(text) = '' THEN []::varchar[] ELSE regexp_split_to_array(trim(text), '\s+') END) AS tk
         |        FROM scr WHERE is_bench),
         |bgr AS (SELECT DISTINCT unnest($grams5) AS gram FROM btk),
         |dgr AS (SELECT doc_id, $grams5 AS grams
-        |        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |        FROM (SELECT doc_id, (CASE WHEN trim(text) = '' THEN []::varchar[] ELSE regexp_split_to_array(trim(text), '\s+') END) AS tk
         |              FROM ded)),
         |hits AS (
         |  SELECT g.doc_id, count(*) AS n_cont
@@ -552,7 +552,7 @@ object CurationQueries {
         |         ELSE coalesce(h.n_cont, 0) * 10000 // len(g.grams) END) <= 2000),
         |ps AS (
         |  SELECT doc_id, md5(text) AS text_md5,
-        |         len(regexp_split_to_array(trim(text), '\s+'))::bigint AS n_tokens,
+        |         len((CASE WHEN trim(text) = '' THEN []::varchar[] ELSE regexp_split_to_array(trim(text), '\s+') END))::bigint AS n_tokens,
         |         (${DedupQueries.hexFold48("text")} % 8)::bigint AS pack_group
         |  FROM cln),
         |pc AS (
@@ -637,7 +637,7 @@ object CurationQueries {
     // byte-identical.
     "text_strip_boilerplate" ->
       raw"""WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  SELECT doc_id, (CASE WHEN trim(text) = '' THEN []::varchar[] ELSE regexp_split_to_array(trim(text), '\s+') END) AS tk
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, i AS pos, tk[i*8+1 : i*8+8] AS ctk,

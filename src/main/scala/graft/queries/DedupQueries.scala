@@ -689,7 +689,7 @@ object DedupQueries {
       |                       ELSE [array_to_string(t[i:i+2], ' ')
       |                             for i in generate_series(1, len(t)-2)]
       |                       END) AS s
-      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM (SELECT doc_id, (CASE WHEN trim(text) = '' THEN []::varchar[] ELSE regexp_split_to_array(trim(text), '\s+') END) AS t
       |        FROM documents)""".stripMargin
 
   private val shingleCte = s"WITH sh AS (\n$shingleBody)"
@@ -711,7 +711,7 @@ object DedupQueries {
     * span text — token-exact region boundaries. */
   private val strideSpanCte =
     raw"""WITH t AS (
-      |  SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS tk
+      |  SELECT doc_id AS id, (CASE WHEN trim(text) = '' THEN []::varchar[] ELSE regexp_split_to_array(trim(text), '\s+') END) AS tk
       |  FROM documents),
       |sidx AS (
       |  SELECT id, tk, unnest(range(0, greatest(len(tk) - 7, 0))) AS i
@@ -725,7 +725,7 @@ object DedupQueries {
     * chunks, md5 over the space-joined chunk text. */
   private val spanCte =
     raw"""WITH t AS (
-      |  SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS tk
+      |  SELECT doc_id AS id, (CASE WHEN trim(text) = '' THEN []::varchar[] ELSE regexp_split_to_array(trim(text), '\s+') END) AS tk
       |  FROM documents),
       |idx AS (
       |  SELECT id, tk, unnest(range(0, len(tk) // 8)) AS i FROM t),
@@ -778,7 +778,7 @@ object DedupQueries {
       .map(j => s"CASE WHEN c$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END")
       .mkString("\n         + ")
     raw"""WITH toks AS (
-       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+       |  SELECT doc_id, unnest((CASE WHEN trim(text) = '' THEN []::varchar[] ELSE regexp_split_to_array(trim(text), '\s+') END)) AS t
        |  FROM documents WHERE length(trim(text)) > 0),
        |hashed AS (
        |  SELECT doc_id, ${hexFold48("t")} AS h
@@ -1252,7 +1252,7 @@ object DedupQueries {
         |toks AS (
         |  SELECT doc_id AS id,
         |         CASE WHEN trim(text) = '' THEN 0
-        |              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+        |              ELSE len((CASE WHEN trim(text) = '' THEN []::varchar[] ELSE regexp_split_to_array(trim(text), '\s+') END))
         |         END AS n_tokens
         |  FROM documents)
         |SELECT t.id AS doc_id, t.n_tokens,
