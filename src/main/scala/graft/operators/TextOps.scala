@@ -746,6 +746,73 @@ object TextOps {
           .as("token_ids"))
   }
 
+  /** SYMBOL VOCABULARY of a trained tokenizer — the id→symbol table that
+    * makes [[bpeEncode]]'s hashing-trick ids DECODABLE. The symbol set is
+    * CLOSED under the merge fold: every token the encoder can emit is
+    * either an original corpus character or one of the `nMerges` merge
+    * outputs, so vocab = corpus character alphabet ∪ the merge-output
+    * symbols — derivable from the (tiny) distinct-word table plus the
+    * merge artifact, never a second corpus scan beyond the word aggregate.
+    * Ids are the same md5-48 hashing trick mod `idBuckets` the encoder
+    * uses; if two symbols ever bucket-collide, the id resolves
+    * DETERMINISTICALLY to the lexicographically smallest symbol (both
+    * engines replay the same min rule, so a collision degrades round-trip
+    * equality identically instead of diverging). Output:
+    * (token_id: long, sym: string), one row per occupied bucket. */
+  def bpeVocab(docs: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String, merges: org.apache.spark.sql.DataFrame,
+               idBuckets: Long = 1L << 20): org.apache.spark.sql.DataFrame = {
+    val chars = docs
+      .select(explode(tokens(col(textCol))).as("w")).distinct()
+      .select(explode(split(col("w"), "")).as("sym"))
+    chars
+      .unionByName(merges.select(
+        regexp_replace(col("pair"), " ", "").as("sym")))
+      .distinct()
+      .groupBy((Dedup.md5Hash48(col("sym")) % idBuckets).as("token_id"))
+      .agg(min(col("sym")).as("sym"))
+  }
+
+  /** Persist the tokenizer's id→symbol vocabulary next to the merge table
+    * — the second half of the shipped-artifact pair ([[writeBpeMerges]]):
+    * merges make text ENCODABLE, the vocab makes ids DECODABLE. Same
+    * one-write-many-reads shape; the table is |alphabet| + nMerges rows,
+    * so a single file keeps the read metadata-cheap. */
+  def writeBpeVocab(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, merges: org.apache.spark.sql.DataFrame,
+                    outPath: String, idBuckets: Long = 1L << 20): Unit =
+    bpeVocab(docs, idCol, textCol, merges, idBuckets)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(outPath)
+
+  /** DECODE token-id sequences back to text with a stored vocabulary —
+    * the inspection/debug direction every training pipeline needs once
+    * token ids exist (spot-checking shard contents, attributing loss
+    * spikes to documents). The vocab rides as ONE scalar-subquery map
+    * (|alphabet| + nMerges entries — a broadcast-sized literal, no join,
+    * no shuffle), staged as an attribute BEFORE the per-id lambda (the
+    * classifierScore staging caveat), so decoding is one narrow map over
+    * the encoded frame: split ids, look each up, concatenate. Word
+    * boundaries are not part of the id stream (the encoder flattens), so
+    * the decode target is the whitespace-normalized concatenation
+    * `concat(tokens(text))` — exactly what a round-trip check compares.
+    * Appends `decoded` to `encoded`; empty id strings decode to "". */
+  def bpeDecode(encoded: org.apache.spark.sql.DataFrame, idsCol: String,
+                vocab: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val vmap = vocab.select(
+      map_from_entries(collect_list(struct(
+        col("token_id").cast("string").as("k"), col("sym").as("v"))))
+        .as("m"))
+    encoded
+      .withColumn("__vm", vmap.scalar())
+      .withColumn("decoded",
+        when(col(idsCol) === "", lit(""))
+          .otherwise(array_join(transform(split(col(idsCol), " "),
+            i => element_at(col("__vm"), i)), "")))
+      .drop("__vm")
+  }
+
   /** Default feature-hash dimensionality for [[classifierMargin]]: small
     * enough that the weight vector embeds as literals in the generated
     * oracle SQL, large enough to exercise real bucket dispersion. Production
