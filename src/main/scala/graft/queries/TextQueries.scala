@@ -195,6 +195,30 @@ object TextQueries {
         "text", s.read.parquet(bpeMergesDir(s, dir)), nMerges = 6)
         .orderBy(col("doc_id"))),
 
+    // BPE DECODE round-trip (X135): encode the corpus against the STORED
+    // merge table, decode the id stream against the STORED id→symbol
+    // vocabulary (writeBpeVocab — the artifact pair a shipped tokenizer
+    // is), and audit `decoded == whitespace-stripped original` per doc.
+    // Decode is one narrow map (the |alphabet|+nMerges vocab rides as ONE
+    // scalar-subquery map — broadcast-sized, no join); the audit join back
+    // to the source is doc_id-keyed (the export_train_shards manifest
+    // shape). The roundtrip flag is the inspection contract a training
+    // pipeline runs over shards: ids must reproduce the text they claim.
+    "text_bpe_decode_roundtrip" -> q((s, dir) => {
+      val docs = Sources.documents(s, dir)
+      val enc = TextOps.bpeEncodeWithMerges(docs, "doc_id", "text",
+        s.read.parquet(bpeMergesDir(s, dir)), nMerges = 6)
+      val dec = TextOps.bpeDecode(enc, "token_ids",
+        s.read.parquet(bpeVocabDir(s, dir)))
+      val target = docs.select(col("doc_id"),
+        array_join(TextOps.tokens(col("text")), "").as("__target"))
+      dec.join(target, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"),
+          md5(col("decoded").cast("binary")).as("decoded_md5"),
+          (col("decoded") === col("__target")).as("roundtrip"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Hashed linear classifier inference (X73): the fastText-style learned
     // quality filter as a zero-shuffle narrow map — token → md5-48 feature
     // bucket, integer weight lookup (weights ride as codegen literals),
@@ -235,6 +259,22 @@ object TextQueries {
           dir.replaceAll("[^A-Za-z0-9._-]", "_")).getPath
       TextOps.writeBpeMerges(Sources.documents(s, dir), "doc_id", "text",
         nMerges = 6, outPath = out)
+      out
+    })
+
+  /** The vocabulary half of the shipped tokenizer artifact pair — built
+    * once per (process, corpus) from the stored merge table (so the two
+    * artifacts are guaranteed consistent) and persisted for the decode
+    * query. */
+  private val bpeVocabBuilt =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def bpeVocabDir(s: SparkSession, dir: String): String =
+    bpeVocabBuilt.getOrElseUpdate(dir, {
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_bpe_vocab_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_")).getPath
+      TextOps.writeBpeVocab(Sources.documents(s, dir), "doc_id", "text",
+        s.read.parquet(bpeMergesDir(s, dir)), outPath = out)
       out
     })
 
@@ -604,6 +644,60 @@ object TextQueries {
         |       coalesce(a.n_tokens, 0)::bigint AS n_tokens,
         |       coalesce(a.token_ids, '') AS token_ids
         |FROM d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+    },
+
+    // Decode replay: the same six unrolled training rounds and per-word
+    // encode as text_bpe_encode, PLUS the vocabulary (corpus character
+    // alphabet ∪ the six merge outputs, id = md5-48 mod 2^20, min-symbol
+    // on bucket collision) and the id→symbol lookback — every emitted
+    // token re-hashes to its id and joins the vocab, so the oracle proves
+    // the STORED artifacts decode exactly what the encoder emitted.
+    "text_bpe_decode_roundtrip" -> {
+      val rounds = (1 to 6).map { i =>
+        raw"""p$i AS (
+          |  SELECT pair, sum(wc) AS n_total FROM (
+          |    SELECT wc, unnest(CASE WHEN len(a) < 2 THEN []::varchar[]
+          |           ELSE list_transform(range(1, len(a)),
+          |                               j -> a[j] || ' ' || a[j + 1]) END) AS pair
+          |    FROM (SELECT wc, string_split(substr(syms, 2), ' ') AS a
+          |          FROM s${i - 1}))
+          |  GROUP BY pair),
+          |t$i AS (SELECT pair, n_total FROM p$i
+          |        ORDER BY n_total DESC, pair ASC LIMIT 1),
+          |s$i AS (SELECT w, wc, replace(syms, ' ' || pair,
+          |                              ' ' || replace(pair, ' ', '')) AS syms
+          |        FROM s${i - 1}, t$i)""".stripMargin
+      }.mkString(",\n")
+      val tall = (1 to 6).map(i => s"SELECT pair FROM t$i").mkString(" UNION ALL ")
+      raw"""WITH v AS (
+        |  SELECT w, count(*) AS wc
+        |  FROM (SELECT unnest($toks) AS w FROM documents) GROUP BY w),
+        |s0 AS (SELECT w, wc, ' ' || array_to_string(string_split(w, ''), ' ')
+        |         AS syms FROM v),
+        |$rounds,
+        |enc AS (SELECT w, string_split(substr(syms, 2), ' ') AS wt FROM s6),
+        |vocab AS (
+        |  SELECT (${DedupQueries.hexFold48("sym")}) % 1048576 AS token_id,
+        |         min(sym) AS sym
+        |  FROM (SELECT DISTINCT unnest(string_split(w, '')) AS sym FROM v
+        |        UNION SELECT DISTINCT replace(pair, ' ', '') FROM ($tall))
+        |  GROUP BY 1),
+        |d AS (SELECT doc_id, $toks AS tk FROM documents),
+        |dw AS (SELECT doc_id, unnest(tk) AS w,
+        |              unnest(range(1, len(tk) + 1)) AS pos FROM d),
+        |fl AS (SELECT doc_id, pos, unnest(e.wt) AS tok,
+        |              unnest(range(1, len(e.wt) + 1)) AS sub
+        |       FROM dw JOIN enc e USING (w)),
+        |dec AS (SELECT f.doc_id, count(*) AS n_tokens,
+        |               string_agg(vb.sym, '' ORDER BY f.pos, f.sub) AS decoded
+        |        FROM fl f JOIN vocab vb
+        |          ON (${DedupQueries.hexFold48("f.tok")}) % 1048576 = vb.token_id
+        |        GROUP BY f.doc_id)
+        |SELECT d.doc_id, coalesce(c.n_tokens, 0)::bigint AS n_tokens,
+        |       md5(coalesce(c.decoded, '')) AS decoded_md5,
+        |       coalesce(c.decoded, '') = array_to_string(d.tk, '') AS roundtrip
+        |FROM d LEFT JOIN dec c USING (doc_id)
         |ORDER BY doc_id""".stripMargin
     },
 

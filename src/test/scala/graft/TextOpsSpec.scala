@@ -406,6 +406,43 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(2L) === ((1L, 1L, tokId("b").toString)))
   }
 
+  test("bpeVocab: alphabet ∪ merge outputs, hashing-trick ids, min-symbol collision rule") {
+    import SparkTestSession.spark.implicits._
+    val merges = Seq((1, "a a"), (2, "aa b")).toDF("step", "pair")
+    val docs = Seq((1L, "aaa aab b"), (2L, ""), (3L, "cc")).toDF("doc_id", "text")
+    val out = TextOps.bpeVocab(docs, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // chars {a, b, c} ∪ merge outputs {aa, aab}; no collisions at 2^20
+    val expect = Seq("a", "b", "c", "aa", "aab").map(s => (tokId(s), s))
+    assert(out.sorted === expect.sorted)
+  }
+
+  test("bpeDecode: stored-artifact round-trip — decoded == whitespace-stripped text; empty doc → ''") {
+    import SparkTestSession.spark.implicits._
+    val docs = Seq(
+      (1L, "aaa aab b"),   // multi-symbol words incl. a multi-char merge
+      (2L, ""),            // empty doc: '' ids decode to ''
+      (3L, "  b   aa  ")   // whitespace noise: target strips it
+    ).toDF("doc_id", "text")
+    val merges = Seq((1, "a a"), (2, "aa b")).toDF("step", "pair")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_vocab_spec")
+    try {
+      val vpath = tmp.resolve("vocab").toString
+      TextOps.writeBpeVocab(docs, "doc_id", "text", merges, vpath)
+      val enc = TextOps.bpeEncodeWithMerges(docs, "doc_id", "text", merges,
+        nMerges = 2)
+      val dec = TextOps.bpeDecode(enc, "token_ids",
+        SparkTestSession.spark.read.parquet(vpath))
+        .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+      assert(dec(1L) === "aaaaabb")
+      assert(dec(2L) === "")
+      assert(dec(3L) === "baa")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp.toString)).deleteRecursively()
+    }
+  }
+
   test("charEntropy: hand-checked integer centibits; uniform/constant extremes") {
     import SparkTestSession.spark.implicits._
     val docs = Seq(
