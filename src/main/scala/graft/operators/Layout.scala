@@ -118,4 +118,34 @@ object Layout {
       .repartition(col(groupCol), col("bin_id"))
       .write.partitionBy(groupCol, "bin_id").mode("overwrite").parquet(outDir)
   }
+
+  /** Write `df` as a BUCKETED, per-bucket-sorted external parquet table —
+    * the co-located-join layout: two fact tables bucketed on their join key
+    * with the same bucket count join with ZERO exchange on either side
+    * (each bucketed scan reports `HashPartitioning(key, nBuckets)`, which
+    * satisfies the join's distribution requirement outright), so the one
+    * operation that dominates a 100 TB fact-fact join — shuffling both
+    * sides — never happens. This is what Spark's `bucketBy` exists for;
+    * z-order ([[zOrderBy]]) optimizes SKIPPING, bucketing optimizes
+    * JOINING — a production lakehouse lays out its biggest co-keyed tables
+    * with both.
+    *
+    * The pre-`repartition` on the key uses the SAME murmur3
+    * `pmod(hash(key), n)` routing as the bucket-id assignment, so every
+    * write task holds exactly one bucket's rows → exactly ONE file per
+    * bucket (the [[compact]] one-file-per-unit discipline; also what lets
+    * Spark trust per-bucket sortedness). The table is registered EXTERNAL
+    * (explicit `path`) so the catalog entry is metadata only and the data
+    * lives where the caller says — re-creatable from any session. */
+  def writeBucketed(df: DataFrame, table: String, nBuckets: Int,
+                    key: String, path: String): Unit = {
+    require(nBuckets >= 1, "nBuckets >= 1")
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    df.repartition(nBuckets, col(key))
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, key).sortBy(key)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+  }
 }

@@ -332,7 +332,30 @@ object CurationQueries {
           sum(col("n_chars")).as("sum_chars"),
           min(col("doc_id")).as("min_doc_id"),
           max(col("doc_id")).as("max_doc_id"))
-        .orderBy(col("source"), col("bin_id")))
+        .orderBy(col("source"), col("bin_id"))),
+
+    // BUCKETED co-located fact-fact join (X136): orders and lineitem are
+    // laid out ONCE as bucketed tables on their join key
+    // (Layout.writeBucketed — 16 buckets, one file per bucket, per-bucket
+    // sorted), and the registered query joins the two bucketed scans:
+    // at 100 TB this is THE join shape — neither side shuffles, because
+    // each bucketed scan already reports the hash partitioning the join
+    // requires. The only exchange left in the plan is the 5-group
+    // presentation aggregate. LayoutSpec pins the property (zero shuffle
+    // under the join with broadcast disabled); the oracle replays the
+    // plain join over the source parquet, so the hash match also proves
+    // the bucketed copies round-tripped content exactly.
+    "layout_bucketed_join" -> q((s, dir) => {
+      val (liTable, ordTable) = bucketedTables(s, dir)
+      s.table(liTable).join(s.table(ordTable),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          min(col("l_orderkey")).as("min_orderkey"),
+          max(col("l_orderkey")).as("max_orderkey"))
+        .orderBy(col("o_orderpriority"))
+    })
   ) ++ Map(
 
     // TRAINING-SHARD EXPORT with a verified manifest (X131): the curated
@@ -379,6 +402,28 @@ object CurationQueries {
         groupCol = "source", weightCol = "n_chars", idCol = "doc_id",
         targetWeight = 2000L, outDir = out, buckets = 8)
       out
+    })
+
+  /** Build-once-per-(process, corpus) bucketed orders/lineitem tables for
+    * the co-located-join query — the compactionDir convention: the layout
+    * amortizes once, bench reps measure the exchange-free JOIN (the
+    * recurring at-scale operation). External tables; data under tmp. */
+  private val bucketedBuilt =
+    scala.collection.concurrent.TrieMap[String, (String, String)]()
+  private def bucketedTables(s: SparkSession, dir: String): (String, String) =
+    bucketedBuilt.getOrElseUpdate(dir, {
+      val pid = ProcessHandle.current().pid()
+      val tag = dir.replaceAll("[^A-Za-z0-9_]", "_")
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_bucketed_${pid}_$tag")
+      val (lt, ot) = (s"graft_li_b_${pid}_$tag", s"graft_ord_b_${pid}_$tag")
+      graft.operators.Layout.writeBucketed(Sources.lineitem(s, dir), lt,
+        nBuckets = 16, key = "l_orderkey",
+        path = new java.io.File(base, "lineitem").getPath)
+      graft.operators.Layout.writeBucketed(Sources.orders(s, dir), ot,
+        nBuckets = 16, key = "o_orderkey",
+        path = new java.io.File(base, "orders").getPath)
+      (lt, ot)
     })
 
   private val ScrubBlocklist = Seq("spark", "stream")
@@ -777,6 +822,17 @@ object CurationQueries {
         |       sum(w)::bigint AS sum_chars,
         |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
         |FROM p GROUP BY source, bin_id ORDER BY source, bin_id""".stripMargin,
+
+    // plain join over the SOURCE parquet — equality proves the bucketed
+    // copies round-tripped content exactly (the layout is invisible to
+    // the result, as it must be)
+    "layout_bucketed_join" ->
+      raw"""SELECT o_orderpriority, count(*)::bigint AS n_items,
+        |       sum(l_quantity)::bigint AS sum_qty,
+        |       min(l_orderkey) AS min_orderkey,
+        |       max(l_orderkey) AS max_orderkey
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // replay the content-addressed shard assignment + manifest aggregation
     // from the source table; manifest_match pinned true — a mismatch on the

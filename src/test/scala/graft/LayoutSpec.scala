@@ -208,4 +208,71 @@ class LayoutSpec extends AnyFunSuite {
       new Directory(new java.io.File(tmp.toString)).deleteRecursively()
     }
   }
+
+  test("writeBucketed: co-located join is exchange-free under the join; one file per bucket; content round-trip") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val pid = ProcessHandle.current().pid()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bucket_spec")
+    val (lt, ot) = (s"graft_li_spec_$pid", s"graft_ord_spec_$pid")
+    val dir = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+    // the plan property is AQE/broadcast-independent; pin it on the plain
+    // physical plan with both off so the assertion sees the raw join
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.get(k))
+    try {
+      Layout.writeBucketed(li, lt, nBuckets = 8, key = "l_orderkey",
+        path = tmp.resolve("li").toString)
+      Layout.writeBucketed(ord, ot, nBuckets = 8, key = "o_orderkey",
+        path = tmp.resolve("ord").toString)
+
+      // exactly ONE data file per bucket (the pre-repartition uses the
+      // same murmur3 pmod routing as the bucket-id assignment)
+      val liFiles = spark.table(lt).inputFiles.length
+      assert(liFiles == 8, s"expected 8 bucket files, got $liFiles")
+
+      // content round-trip through the bucketed layout
+      assert(spark.table(lt).count() == li.count())
+      assert(spark.table(ot).count() == ord.count())
+
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table(lt)
+        .join(spark.table(ot), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_items"))
+      val plan = j.queryExecution.executedPlan
+      val smj = plan.collect { case s: SortMergeJoinExec => s }
+      assert(smj.nonEmpty, s"expected a sort-merge join:\n$plan")
+      val shuffles = smj.head.collect { case e: ShuffleExchangeLike => e }
+      assert(shuffles.isEmpty,
+        s"bucketed join must not shuffle either side:\n${smj.head}")
+      // the ONLY exchange in the whole plan is the presentation aggregate
+      val all = plan.collect { case e: ShuffleExchangeLike => e }
+      assert(all.length == 1,
+        s"expected exactly one exchange (the final agg), got ${all.length}")
+
+      // an UNBUCKETED control join from the same data shuffles BOTH sides
+      // — the property is the layout's, not the optimizer's mood
+      val ctrl = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_items"))
+      val ctrlSmj = ctrl.queryExecution.executedPlan
+        .collect { case s: SortMergeJoinExec => s }
+      val ctrlShuffles = ctrlSmj.head
+        .collect { case e: ShuffleExchangeLike => e }
+      assert(ctrlShuffles.length == 2,
+        s"control join expected 2 exchanges, got ${ctrlShuffles.length}")
+
+      // and the bucketed join's RESULT equals the control's
+      assert(j.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+        == ctrl.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq)
+    } finally {
+      saved.foreach { case (k, v) => spark.conf.set(k, v) }
+      spark.sql(s"DROP TABLE IF EXISTS $lt")
+      spark.sql(s"DROP TABLE IF EXISTS $ot")
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp.toString)).deleteRecursively()
+    }
+  }
 }
