@@ -195,6 +195,34 @@ object RefParityQueries {
         .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))
         .orderBy(col("l_partkey"))),
 
+    // RUNTIME bloom-filter join pruning (X137): the selective dimension
+    // predicate reaches the FACT side as an injected bloom filter
+    // (Catalyst's InjectRuntimeFilter — semi-join reduction), so the fact
+    // table shuffles only rows whose key probably joins. THE star-schema
+    // shape at 100 TB with an un-broadcastable dimension: without the
+    // bloom, ALL fact rows cross the network to be dropped at the join;
+    // with it, non-matching rows die at the scan site. Conf-scoped to a
+    // cloned session (the 100 TB posture: broadcast off — both sides big —
+    // and the application-side size threshold lowered so the optimizer
+    // fires at benchmark scale). Oracle = the plain join; the plan pin
+    // lives in RefParityQueriesSpec.
+    "join_runtime_bloom" -> q((s0, dir) => {
+      val s = Tuning.cloneWithRuntimeConf(s0)
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold", "0")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val urgent = Sources.orders(s, dir)
+        .where(col("o_orderpriority") === "1-URGENT")
+      Sources.lineitem(s, dir)
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          min(col("l_orderkey")).as("min_orderkey"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ── Aggregations (A1-A6) ──────────────────────────────────────────────
     // Strict > HAVING on count (A4; MovieRating.java:96-97).
     "having_support" -> q((s, dir) =>
@@ -391,6 +419,16 @@ object RefParityQueries {
       """SELECT l.l_partkey, count(*) AS cnt, round(sum(l.l_quantity), 2) AS sum_qty
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |GROUP BY l.l_partkey ORDER BY l.l_partkey""".stripMargin,
+
+    // the bloom filter is a pure pruning hint — the result is the plain
+    // selective join, so the oracle is exactly that
+    "join_runtime_bloom" ->
+      """SELECT l.l_returnflag, count(*)::bigint AS n_items,
+        |       sum(l.l_quantity)::bigint AS sum_qty,
+        |       min(l.l_orderkey) AS min_orderkey
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
 
     "having_support" ->
       """SELECT l_suppkey, count(*) AS cnt FROM lineitem

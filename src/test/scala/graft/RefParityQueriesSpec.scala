@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 import graft.queries.RefParityQueries
 
 /** Smoke + spot checks for every registered reference-parity query on the
@@ -54,5 +55,42 @@ class RefParityQueriesSpec extends AnyFunSuite {
     assert(scan.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"),
       s"filter not pushed: $scan")
     assert(!scan.contains("l_shipdate"), s"unneeded columns read: $scan")
+  }
+
+  test("join_runtime_bloom: injected bloom prunes the fact side before the shuffle") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.SparkPlan
+    val df = RefParityQueries.queries("join_runtime_bloom")(spark, dir)
+    df.collect() // execute so AQE finalizes and metrics populate
+    // the fact-side scan must carry a bloom_filter_might_contain filter
+    // built from the URGENT orders' keys (InjectRuntimeFilter fired)
+    def filters(p: SparkPlan): Seq[FilterExec] = p match {
+      case a: AdaptiveSparkPlanExec => filters(a.executedPlan)
+      case qs: QueryStageExec => filters(qs.plan)
+      case f: FilterExec => f +: f.children.flatMap(filters)
+      case other => other.children.flatMap(filters)
+    }
+    val bloomFilters = filters(df.queryExecution.executedPlan)
+      .filter(_.condition.toString.contains("might_contain"))
+    assert(bloomFilters.nonEmpty, "no runtime bloom filter in the plan:\n" +
+      df.queryExecution.executedPlan)
+    // and it must actually PRUNE: only ~1/5 of orders are URGENT, so far
+    // fewer than all 6000 lineitem rows may survive into the join shuffle
+    val survived = bloomFilters.map(_.metrics("numOutputRows").value).min
+    assert(survived > 0 && survived < 3000,
+      s"bloom let $survived of 6000 fact rows through — not pruning")
+    // the pruning is result-invisible: equality with the plain join
+    val plain = spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(spark.read.parquet(s"$dir/orders.parquet")
+          .where(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        min(col("l_orderkey")).as("min_orderkey"))
+      .orderBy(col("l_returnflag"))
+      .collect().map(_.toSeq).toSeq
+    assert(df.collect().map(_.toSeq).toSeq == plain)
   }
 }
