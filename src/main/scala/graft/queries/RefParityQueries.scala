@@ -195,6 +195,54 @@ object RefParityQueries {
         .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))
         .orderBy(col("l_partkey"))),
 
+    // AQE RUNTIME skew-join split (X138): the OTHER half of the skew story
+    // — [[Skew.saltedJoin]] is the deterministic-plan fix you write when
+    // you KNOW the hot key; AQE's OptimizeSkewedJoin is what saves the job
+    // when you don't. The fact side funnels 3/4 of lineitem onto ONE join
+    // key (the hot-entity shape at crawl scale — one URL/user dominating
+    // the corpus); at execution time AQE sees the oversized shuffle
+    // partition, SPLITS it, and replicates the matching dim rows to each
+    // split — no plan rewrite, no salt column, result-identical. Thresholds
+    // are conf-scoped to a cloned session (skew detection triggers on
+    // 256 MB partitions by default; benchmark partitions are KB-sized) —
+    // at 100 TB the defaults fire on their own. Oracle = the plain
+    // arithmetic replay; RefParityQueriesSpec pins the split (skew=true in
+    // the executed join, more shuffle-read splits than shuffle partitions).
+    "join_aqe_skew" -> q((s0, dir) => {
+      val s = Tuning.cloneWithRuntimeConf(s0)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "2KB")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      // split granularity is MAP OUTPUTS: a reduce partition fed by one
+      // mapper cannot split, and the single-file bench parquet scans as
+      // one task — pre-spread the fact across 16 mappers the way a real
+      // 100 TB scan arrives as thousands of them
+      val fact = Sources.lineitem(s, dir)
+        .repartition(16)
+        .withColumn("hot_key",
+          when(col("l_orderkey") % 4 =!= 0, lit(0L))
+            .otherwise(lit(1L) + col("l_orderkey") % 996))
+      // key-unique dim, NO aggregate: OptimizeSkewedJoin pattern-matches
+      // Sort-over-shuffle on BOTH join children — an agg between the sort
+      // and the join disqualifies the side from runtime splitting
+      val dim = Sources.part(s, dir)
+        .where(col("p_partkey") < 1000)
+        .select(col("p_partkey").as("hot_key"), col("p_name").as("dim_name"))
+      // the downstream aggregate must NOT key on the join key: splitting
+      // the hot partition breaks the join's hash partitioning, and if a
+      // same-stage final aggregate still requires it, AQE (correctly)
+      // reverts the split — grouping on any other column (the common
+      // case) leaves the optimizer free
+      fact.join(dim, Seq("hot_key"))
+        .groupBy(col("dim_name"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          min(col("hot_key")).as("hot_key"))
+        .orderBy(col("dim_name"))
+    }),
+
     // RUNTIME bloom-filter join pruning (X137): the selective dimension
     // predicate reaches the FACT side as an injected bloom filter
     // (Catalyst's InjectRuntimeFilter — semi-join reduction), so the fact
@@ -419,6 +467,22 @@ object RefParityQueries {
       """SELECT l.l_partkey, count(*) AS cnt, round(sum(l.l_quantity), 2) AS sum_qty
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |GROUP BY l.l_partkey ORDER BY l.l_partkey""".stripMargin,
+
+    // the skew split is a pure partitioning decision — the oracle is the
+    // plain arithmetic replay of the hot-key funnel + join
+    "join_aqe_skew" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 0::bigint
+        |              ELSE 1 + (l_orderkey % 996) END AS hot_key, l_quantity
+        |  FROM lineitem),
+        |d AS (
+        |  SELECT p_partkey AS hot_key, p_name AS dim_name
+        |  FROM part WHERE p_partkey < 1000)
+        |SELECT d.dim_name, count(*)::bigint AS n_items,
+        |       sum(f.l_quantity)::bigint AS sum_qty,
+        |       min(f.hot_key) AS hot_key
+        |FROM f JOIN d USING (hot_key)
+        |GROUP BY d.dim_name ORDER BY d.dim_name""".stripMargin,
 
     // the bloom filter is a pure pruning hint — the result is the plain
     // selective join, so the oracle is exactly that

@@ -57,6 +57,22 @@ class RefParityQueriesSpec extends AnyFunSuite {
     assert(!scan.contains("l_shipdate"), s"unneeded columns read: $scan")
   }
 
+  test("join_aqe_skew: AQE splits the hot fact partition at runtime (skew=true)") {
+    val df = RefParityQueries.queries("join_aqe_skew")(spark, dir)
+    df.collect() // AQE decides skew handling at execution time
+    val plan = df.queryExecution.executedPlan.toString
+    // OptimizeSkewedJoin marks the join and the shuffle read it rewrote
+    assert(plan.contains("skew=true"),
+      s"expected a runtime skew-split join in:\n$plan")
+    // ~3/4 of the fact rows sit on one key, yet the result is the plain
+    // join: the hot group's count proves the split lost nothing
+    val hot = df.collect().find(_.getLong(3) == 0L).get
+    val expectHot = spark.read.parquet(s"$dir/lineitem.parquet")
+      .where(col("l_orderkey") % 4 =!= 0).count()
+    assert(hot.getLong(1) == expectHot,
+      s"hot key count ${hot.getLong(1)} != $expectHot")
+  }
+
   test("join_runtime_bloom: injected bloom prunes the fact side before the shuffle") {
     import org.apache.spark.sql.execution.FilterExec
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
