@@ -66,6 +66,54 @@ object Curation {
           .otherwise(expr("n_contaminated * 10000 div n_grams")))
   }
 
+  /** K-ANONYMITY generalization ladder over two quasi-identifier columns —
+    * the release-hygiene pass a corpus with per-document metadata needs
+    * before the metadata ships alongside the text: a (q1, q2) combination
+    * seen on fewer than `k` documents identifies its authors too precisely.
+    * Three deterministic levels, decided per row:
+    *
+    *   - level 0 (exact): the row's (q1, q2) group has ≥ k rows — release
+    *     both values as-is;
+    *   - level 1 (generalized): too-small groups drop q2 → `"*"`; the
+    *     anonymity set of a generalized row is the rows generalized WITH
+    *     it (only they share the released (q1, "*") tuple), so the check
+    *     is Σ n₀ over the small groups per q1 — not the raw q1 count;
+    *   - level 2 (suppressed): still < k after generalizing — both values
+    *     redact to `"*"`; the suppressed rows of ALL q1 values form one
+    *     release group, so a corpus-wide Σ (1-row scalar) decides whether
+    *     even that tuple is safe; if it isn't, the rows are marked
+    *     `released = false` (drop them before shipping).
+    *
+    * Scale shape: two bounded aggregates (|q1×q2| and |q1| group tables —
+    * metadata-cardinality, not corpus-cardinality) broadcast back onto one
+    * narrow corpus scan; no corpus-sized shuffle at any k. Output:
+    * (idCol, q1_out, q2_out, anon_level, released). */
+  def kAnonymize(docs: DataFrame, idCol: String, q1: String, q2: String,
+                 k: Long): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val g0 = docs.groupBy(col(q1), col(q2))
+      .agg(count(lit(1)).as("__n0"))
+    val g1 = g0.where(col("__n0") < k)
+      .groupBy(col(q1)).agg(sum(col("__n0")).as("__n1"))
+    val suppressedTotal = g1.where(col("__n1") < k)
+      .agg(coalesce(sum(col("__n1")), lit(0L)).as("n")).select(col("n"))
+    docs
+      .join(broadcast(g0), Seq(q1, q2))
+      .join(broadcast(g1), Seq(q1), "left")
+      .withColumn("anon_level",
+        when(col("__n0") >= k, lit(0))
+          .when(coalesce(col("__n1"), lit(0L)) >= k, lit(1))
+          .otherwise(lit(2)))
+      .withColumn("released",
+        col("anon_level") < 2 || suppressedTotal.scalar() >= k)
+      .select(col(idCol),
+        when(col("anon_level") === 2, lit("*")).otherwise(col(q1))
+          .as(s"${q1}_out"),
+        when(col("anon_level") >= 1, lit("*")).otherwise(col(q2))
+          .as(s"${q2}_out"),
+        col("anon_level"), col("released"))
+  }
+
   /** Quantile-threshold quality gate: keep documents whose integer quality
     * score ([[TextOps.qualityBp]]) is at or above the corpus `q`-quantile
     * (exact linear interpolation — Spark `percentile` ≡ DuckDB

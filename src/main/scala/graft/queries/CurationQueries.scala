@@ -334,6 +334,19 @@ object CurationQueries {
           max(col("doc_id")).as("max_doc_id"))
         .orderBy(col("source"), col("bin_id"))),
 
+    // K-ANONYMITY generalization ladder (X139): before per-document
+    // metadata ships next to the text, every released (lang, source)
+    // tuple must be shared by ≥ k documents. Three deterministic levels
+    // per row — exact release, source generalized to '*', full
+    // suppression — with the generalized/suppressed anonymity sets
+    // counted over the rows that actually share the released tuple (not
+    // the raw column marginals). Two metadata-cardinality aggregates
+    // broadcast onto one narrow corpus scan; no corpus-sized shuffle.
+    "privacy_k_anonymity" -> q((s, dir) =>
+      Curation.kAnonymize(Sources.documents(s, dir), "doc_id",
+          q1 = "lang", q2 = "source", k = 6)
+        .orderBy(col("doc_id"))),
+
     // BUCKETED co-located fact-fact join (X136): orders and lineitem are
     // laid out ONCE as bucketed tables on their join key
     // (Layout.writeBucketed — 16 buckets, one file per bucket, per-bucket
@@ -822,6 +835,27 @@ object CurationQueries {
         |       sum(w)::bigint AS sum_chars,
         |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
         |FROM p GROUP BY source, bin_id ORDER BY source, bin_id""".stripMargin,
+
+    // same two-level ladder replayed relationally: per-(lang, source)
+    // counts, per-lang sums over the SMALL groups only (the true
+    // generalized anonymity set), corpus-wide suppressed total as a
+    // scalar — the released flag is pinned by the hash like every value
+    "privacy_k_anonymity" ->
+      raw"""WITH g0 AS (
+        |  SELECT lang, source, count(*) AS n0 FROM documents GROUP BY 1, 2),
+        |g1 AS (SELECT lang, sum(n0) AS n1 FROM g0 WHERE n0 < 6 GROUP BY 1),
+        |st AS (SELECT coalesce(sum(n1), 0) AS n FROM g1 WHERE n1 < 6),
+        |r AS (
+        |  SELECT d.doc_id, d.lang, d.source, g0.n0, coalesce(g1.n1, 0) AS n1
+        |  FROM documents d JOIN g0 USING (lang, source)
+        |  LEFT JOIN g1 USING (lang))
+        |SELECT doc_id,
+        |  CASE WHEN n0 >= 6 OR n1 >= 6 THEN lang ELSE '*' END AS lang_out,
+        |  CASE WHEN n0 >= 6 THEN source ELSE '*' END AS source_out,
+        |  (CASE WHEN n0 >= 6 THEN 0 WHEN n1 >= 6 THEN 1 ELSE 2 END)::int
+        |    AS anon_level,
+        |  (n0 >= 6 OR n1 >= 6 OR (SELECT n FROM st) >= 6) AS released
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // plain join over the SOURCE parquet — equality proves the bucketed
     // copies round-tripped content exactly (the layout is invisible to

@@ -290,4 +290,45 @@ class CurationSpec extends AnyFunSuite {
     // Σdelta/2 = TVD×10⁴
     assert(out.values.map(_._5).sum / 2 == 5000L)
   }
+
+  test("kAnonymize: hand-traced ladder — exact, generalized, suppressed-unsafe") {
+    import spark.implicits._
+    // k=2. (en,a)x2 → level 0. (en,b)x1 + (en,c)x1 → each group small, the
+    // generalized (en,*) set holds BOTH rows (2 ≥ k) → level 1. (fr,x)x1 →
+    // small, per-lang generalized sum 1 < k → level 2; the corpus-wide
+    // suppressed set is that 1 row < k → released=false.
+    val docs = Seq(
+      (1L, "en", "a"), (2L, "en", "a"),
+      (3L, "en", "b"), (4L, "en", "c"),
+      (5L, "fr", "x")
+    ).toDF("doc_id", "lang", "source")
+    val out = Curation.kAnonymize(docs, "doc_id", "lang", "source", k = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getInt(3), r.getBoolean(4))))
+      .toMap
+    assert(out(1L) == (("en", "a", 0, true)))
+    assert(out(2L) == (("en", "a", 0, true)))
+    assert(out(3L) == (("en", "*", 1, true)))
+    assert(out(4L) == (("en", "*", 1, true)))
+    assert(out(5L) == (("*", "*", 2, false)))
+  }
+
+  test("kAnonymize: the suppressed rows of ALL q1 values pool into one release group") {
+    import spark.implicits._
+    // two singleton langs: each alone is < k, but the pooled suppressed
+    // ('*','*') tuple covers 2 rows = k → released=true for both
+    val docs = Seq(
+      (1L, "en", "a"), (2L, "en", "a"),
+      (3L, "fr", "x"), (4L, "de", "y")
+    ).toDF("doc_id", "lang", "source")
+    val out = Curation.kAnonymize(docs, "doc_id", "lang", "source", k = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getInt(3), r.getBoolean(4))))
+      .toMap
+    assert(out(3L) == (("*", "*", 2, true)))
+    assert(out(4L) == (("*", "*", 2, true)))
+    assert(out(1L)._3 == 0 && out(1L)._4)
+  }
 }
