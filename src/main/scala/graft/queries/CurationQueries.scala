@@ -334,6 +334,27 @@ object CurationQueries {
           max(col("doc_id")).as("max_doc_id"))
         .orderBy(col("source"), col("bin_id"))),
 
+    // SCHEMA-EVOLUTION read (X140): a 100 TB corpus is written over months
+    // by pipeline versions with different schemas — here an old snapshot
+    // (doc_id, text, lang) and an evolved one (+ source, n_chars) live as
+    // separate parquet trees, and ONE mergeSchema read presents the union
+    // schema with the legacy rows null-padded. The registered query
+    // aggregates per lang over the merged frame (non-null counts split
+    // old/new rows), so the hash match proves the merged read loses no
+    // rows, no values, and pads exactly the missing columns. The footer
+    // merge cost is per-FILE metadata (not per-row); at scale you pin the
+    // union schema explicitly and the read plan is identical.
+    "corpus_schema_evolution" -> q((s, dir) => {
+      val base = evolutionDirs(s, dir)
+      s.read.option("mergeSchema", "true").parquet(s"$base/v1", s"$base/v2")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("source")).as("n_with_source"),
+          sum(when(col("source").isNull, 1L).otherwise(0L)).as("n_legacy"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // K-ANONYMITY generalization ladder (X139): before per-document
     // metadata ships next to the text, every released (lang, source)
     // tuple must be shared by ≥ k documents. Three deterministic levels
@@ -415,6 +436,27 @@ object CurationQueries {
         groupCol = "source", weightCol = "n_chars", idCol = "doc_id",
         targetWeight = 2000L, outDir = out, buckets = 8)
       out
+    })
+
+  /** Build-once-per-(process, corpus) two-schema snapshot pair for the
+    * mergeSchema read query: v1 = the legacy write (even doc_ids, three
+    * columns), v2 = the evolved write (odd doc_ids, five columns). */
+  private val evolutionBuilt =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def evolutionDirs(s: SparkSession, dir: String): String =
+    evolutionBuilt.getOrElseUpdate(dir, {
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_evolve_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_")).getPath
+      val d = Sources.documents(s, dir)
+      d.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .write.mode("overwrite").parquet(s"$base/v1")
+      d.where(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .write.mode("overwrite").parquet(s"$base/v2")
+      base
     })
 
   /** Build-once-per-(process, corpus) bucketed orders/lineitem tables for
@@ -835,6 +877,18 @@ object CurationQueries {
         |       sum(w)::bigint AS sum_chars,
         |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
         |FROM p GROUP BY source, bin_id ORDER BY source, bin_id""".stripMargin,
+
+    // replay the even/odd snapshot split directly over the source table:
+    // legacy rows are the even ids (source/n_chars unknown to v1)
+    "corpus_schema_evolution" ->
+      raw"""SELECT lang, count(*)::bigint AS n_docs,
+        |       sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END)::bigint
+        |         AS n_with_source,
+        |       sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::bigint
+        |         AS n_legacy,
+        |       coalesce(sum(CASE WHEN doc_id % 2 <> 0 THEN n_chars END), 0)::bigint
+        |         AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // same two-level ladder replayed relationally: per-(lang, source)
     // counts, per-lang sums over the SMALL groups only (the true
