@@ -137,6 +137,24 @@ object Layout {
     * Spark trust per-bucket sortedness). The table is registered EXTERNAL
     * (explicit `path`) so the catalog entry is metadata only and the data
     * lives where the caller says — re-creatable from any session. */
+  /** REBALANCE-hinted write — the AQE-native answer to write-side skew and
+    * small files at once: the `rebalance(byCol)` shuffle origin licenses
+    * the optimizer to BOTH split oversized partitions
+    * (`OptimizeSkewInRebalancePartitions` — a hot key's rows fan out over
+    * several advisory-sized tasks → several files) and coalesce tiny ones,
+    * so output file sizes track the advisory target regardless of how the
+    * key mass is distributed. Contrast [[compact]]: that PLANS bins from a
+    * weight column (deterministic, content-addressed); this lets the
+    * runtime do it from observed shuffle bytes — the right tool when you
+    * want even files, not stable bin identities. A plain
+    * `repartition(byCol)` control writes ONE file per key-partition
+    * however hot the key (the small-files/straggler disease this fixes).
+    * At 100 TB the default 64 MB advisory fires on its own; benchmark-
+    * scale demos scope a smaller advisory to a cloned session. */
+  def rebalanceWrite(df: DataFrame, byCol: String, outDir: String): Unit =
+    df.hint("rebalance", col(byCol))
+      .write.mode("overwrite").parquet(outDir)
+
   def writeBucketed(df: DataFrame, table: String, nBuckets: Int,
                     key: String, path: String): Unit = {
     require(nBuckets >= 1, "nBuckets >= 1")

@@ -334,6 +334,22 @@ object CurationQueries {
           max(col("doc_id")).as("max_doc_id"))
         .orderBy(col("source"), col("bin_id"))),
 
+    // REBALANCE-hinted write (X141): the corpus is rewritten once via
+    // Layout.rebalanceWrite (AQE splits the hot lang's shuffle partition
+    // into advisory-sized tasks and coalesces the small ones — even files
+    // from skewed keys, no planned bins) and the registered query reads
+    // the laid-out copy back and aggregates per lang, so the oracle hash
+    // checks the EXECUTED layout round-trips every row. LayoutSpec pins
+    // the physical property (hot key spans multiple bounded files; the
+    // repartition control crams it into one).
+    "layout_rebalance_write" -> q((s, dir) =>
+      s.read.parquet(rebalanceDir(s, dir))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"))
+        .orderBy(col("lang"))),
+
     // SCHEMA-EVOLUTION read (X140): a 100 TB corpus is written over months
     // by pipeline versions with different schemas — here an old snapshot
     // (doc_id, text, lang) and an evolved one (+ source, n_chars) live as
@@ -435,6 +451,28 @@ object CurationQueries {
       graft.operators.Layout.compact(Sources.documents(s, dir),
         groupCol = "source", weightCol = "n_chars", idCol = "doc_id",
         targetWeight = 2000L, outDir = out, buckets = 8)
+      out
+    })
+
+  /** Build-once-per-(process, corpus) rebalance-written corpus copy — the
+    * compactionDir convention; the clone scopes a benchmark-scale advisory
+    * so the skew split actually fires on KB-sized partitions. */
+  private val rebalanceBuilt =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def rebalanceDir(s: SparkSession, dir: String): String =
+    rebalanceBuilt.getOrElseUpdate(dir, {
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_rebalance_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_")).getPath
+      val c = Tuning.cloneWithRuntimeConf(s)
+      c.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      // pre-spread across 16 CHECKPOINTED mappers: split granularity is
+      // map outputs, the single-file bench parquet scans as one task, and
+      // a bare repartition would collapse into the rebalance exchange —
+      // a real 100 TB scan arrives as thousands of map tasks on its own
+      graft.operators.Layout.rebalanceWrite(
+        Sources.documents(c, dir).repartition(16).localCheckpoint(),
+        byCol = "lang", outDir = out)
       out
     })
 
@@ -877,6 +915,14 @@ object CurationQueries {
         |       sum(w)::bigint AS sum_chars,
         |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
         |FROM p GROUP BY source, bin_id ORDER BY source, bin_id""".stripMargin,
+
+    // the rebalance is a pure file-layout decision — the oracle is the
+    // plain per-lang aggregate over the source table
+    "layout_rebalance_write" ->
+      raw"""SELECT lang, count(*)::bigint AS n_docs,
+        |       sum(n_chars)::bigint AS sum_chars,
+        |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // replay the even/odd snapshot split directly over the source table:
     // legacy rows are the even ids (source/n_chars unknown to v1)

@@ -209,6 +209,51 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("rebalanceWrite: hot key spans multiple bounded files; repartition control crams it into one") {
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val base = java.nio.file.Files.createTempDirectory("graft_rebalance_spec")
+    val saved = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    try {
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      val rbPath = base.resolve("rb").toString
+      // split granularity is map outputs (the join_aqe_skew lesson), and
+      // an adjacent repartition COLLAPSES into the rebalance exchange —
+      // checkpoint the 16-way spread so the rebalance really reads from
+      // 16 mappers the way a multi-file 100 TB scan would
+      Layout.rebalanceWrite(docs.repartition(16).localCheckpoint(), "lang",
+        rbPath)
+      val ctlPath = base.resolve("ctl").toString
+      docs.repartition(col("lang")).write.parquet(ctlPath)
+
+      def filesPerLang(path: String) = spark.read.parquet(path)
+        .select(col("lang"), input_file_name().as("f"))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("f")).as("nf"), count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val rb = filesPerLang(rbPath)
+      val ctl = filesPerLang(ctlPath)
+      // control: every lang's rows live in exactly ONE file (the
+      // small-files/straggler disease a key-repartitioned write has)
+      assert(ctl.values.forall(_._1 == 1L), s"control not one-file-per-key: $ctl")
+      // rebalance: the hot lang (en, ~41% of rows) SPLIT across files
+      assert(rb("en")._1 > 1, s"hot key did not split: $rb")
+      // and no file is oversized: rows per file bounded well under the
+      // hot key's total (the advisory-sized split, not one fat file)
+      val maxFileRows = spark.read.parquet(rbPath)
+        .select(input_file_name().as("f"))
+        .groupBy(col("f")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).collect()(0).getLong(0)
+      assert(maxFileRows < rb("en")._2,
+        s"some file holds the whole hot key: $maxFileRows of ${rb("en")._2}")
+      // content round-trip
+      assert(spark.read.parquet(rbPath).count() == docs.count())
+    } finally {
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", saved)
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(base.toString)).deleteRecursively()
+    }
+  }
+
   test("writeBucketed: co-located join is exchange-free under the join; one file per bucket; content round-trip") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
