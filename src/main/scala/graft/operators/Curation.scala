@@ -87,19 +87,34 @@ object Curation {
     * Scale shape: two bounded aggregates (|q1×q2| and |q1| group tables —
     * metadata-cardinality, not corpus-cardinality) broadcast back onto one
     * narrow corpus scan; no corpus-sized shuffle at any k. Output:
-    * (idCol, q1_out, q2_out, anon_level, released). */
+    * (idCol, q1_out, q2_out, anon_level, released).
+    *
+    * NULL quasi-identifiers are legitimate release-tuple values: grouping
+    * and join-back key on an internal non-printable sentinel (U+0000,
+    * never emitted), so null-keyed documents COUNT toward and RECEIVE an
+    * anon_level like any other — a privacy op must account for every input
+    * row, never silently drop the null-keyed ones (round-13 advice). A
+    * level-0 null releases as null. `"*"` is the RESERVED generalization
+    * sentinel in the released columns: inputs containing a literal `"*"`
+    * still anonymize correctly (release sets only union, anonymity is not
+    * weakened), but consumers keying on the released tuple alone cannot
+    * distinguish a real `(q1,"*")` from a generalized row — documented
+    * contract, enforceable upstream with a filter if the corpus allows. */
   def kAnonymize(docs: DataFrame, idCol: String, q1: String, q2: String,
                  k: Long): DataFrame = {
     require(k >= 1, "k >= 1")
-    val g0 = docs.groupBy(col(q1), col(q2))
+    val keyed = docs.withColumn("__k1",
+        coalesce(col(q1).cast("string"), lit("\u0000")))
+      .withColumn("__k2", coalesce(col(q2).cast("string"), lit("\u0000")))
+    val g0 = keyed.groupBy(col("__k1"), col("__k2"))
       .agg(count(lit(1)).as("__n0"))
     val g1 = g0.where(col("__n0") < k)
-      .groupBy(col(q1)).agg(sum(col("__n0")).as("__n1"))
+      .groupBy(col("__k1")).agg(sum(col("__n0")).as("__n1"))
     val suppressedTotal = g1.where(col("__n1") < k)
       .agg(coalesce(sum(col("__n1")), lit(0L)).as("n")).select(col("n"))
-    docs
-      .join(broadcast(g0), Seq(q1, q2))
-      .join(broadcast(g1), Seq(q1), "left")
+    keyed
+      .join(broadcast(g0), Seq("__k1", "__k2"))
+      .join(broadcast(g1), Seq("__k1"), "left")
       .withColumn("anon_level",
         when(col("__n0") >= k, lit(0))
           .when(coalesce(col("__n1"), lit(0L)) >= k, lit(1))

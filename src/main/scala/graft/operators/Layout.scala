@@ -137,6 +137,20 @@ object Layout {
     * Spark trust per-bucket sortedness). The table is registered EXTERNAL
     * (explicit `path`) so the catalog entry is metadata only and the data
     * lives where the caller says — re-creatable from any session. */
+  def writeBucketed(df: DataFrame, table: String, nBuckets: Int,
+                    key: String, path: String): Unit = {
+    require(nBuckets >= 1, "nBuckets >= 1")
+    require(table.matches("[A-Za-z0-9_]+"),
+      s"table name must be a bare identifier, got '$table'")
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
+    df.repartition(nBuckets, col(key))
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, key).sortBy(key)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** REBALANCE-hinted write — the AQE-native answer to write-side skew and
     * small files at once: the `rebalance(byCol)` shuffle origin licenses
     * the optimizer to BOTH split oversized partitions
@@ -154,16 +168,4 @@ object Layout {
   def rebalanceWrite(df: DataFrame, byCol: String, outDir: String): Unit =
     df.hint("rebalance", col(byCol))
       .write.mode("overwrite").parquet(outDir)
-
-  def writeBucketed(df: DataFrame, table: String, nBuckets: Int,
-                    key: String, path: String): Unit = {
-    require(nBuckets >= 1, "nBuckets >= 1")
-    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
-    df.repartition(nBuckets, col(key))
-      .write.mode("overwrite")
-      .bucketBy(nBuckets, key).sortBy(key)
-      .option("path", path)
-      .format("parquet")
-      .saveAsTable(table)
-  }
 }

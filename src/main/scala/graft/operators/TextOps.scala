@@ -622,10 +622,18 @@ object TextOps {
     * non-overlapping fuse (`" a a a"` merging (a,a) → `" aa a"`).
     *
     * Scale: every iteration is |vocab|-sized (the corpus is touched ONCE by
-    * the word-count aggregate) — the same trick real BPE trainers use. Each
-    * round's argmax rides as a 1-row scalar subquery (no driver collect, no
-    * join node); each round's vocabulary is lazily pinned so round k+1's
-    * pair scan reuses round k's rewrite instead of replaying the chain. */
+    * the word-count aggregate) — the same trick real BPE trainers use. The
+    * CORPUS-sized work (tokenize + word count) runs at full parallelism;
+    * the vocabulary feeding the merge rounds is then COALESCED TO ONE
+    * PARTITION and EAGERLY pinned: a BPE vocab is bounded by the token
+    * inventory (~10⁵-10⁶ rows at ANY corpus size), so each round becomes a
+    * couple of single-task jobs instead of a 32-reducer shuffle per round —
+    * per-round cost is job overhead, the dominant term on a contended
+    * scheduler (round-13 driver bench: the lazy 32-partition form spent
+    * 15 s mostly scheduling KB-sized tasks). Eager pinning also makes each
+    * round REPLAY-PROOF: a lazy localCheckpoint can recompute through the
+    * whole rewrite chain under memory pressure. Each round's argmax rides
+    * as a 1-row scalar subquery (no driver collect, no join node). */
   def bpeTrain(docs: org.apache.spark.sql.DataFrame, idCol: String,
                textCol: String, nMerges: Int): org.apache.spark.sql.DataFrame = {
     require(nMerges >= 1, "nMerges >= 1")
@@ -634,14 +642,16 @@ object TextOps {
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
       .withColumn("syms",
         concat(lit(" "), array_join(split(col("w"), ""), " ")))
-      .localCheckpoint(eager = false)
+      .coalesce(1) // vocab-sized from here on: single-task rounds
+      .localCheckpoint(eager = true)
     val steps = (1 to nMerges).map { i =>
       val top = cur
         .select(col("wc"), col("syms").as("__syms_in"))
         .select(col("wc"), explode(symPairs(col("__syms_in"))).as("pair"))
         .groupBy(col("pair")).agg(sum(col("wc")).as("n_total"))
+        .coalesce(1)
         .orderBy(col("n_total").desc, col("pair").asc).limit(1)
-        .localCheckpoint(eager = false) // feeds the rewrite AND the output
+        .localCheckpoint(eager = true) // feeds the rewrite AND the output
       val pat = top.select(struct(
         concat(lit(" "), col("pair")).as("pat"),
         concat(lit(" "), regexp_replace(col("pair"), " ", "")).as("rep")).as("s"))
@@ -655,7 +665,7 @@ object TextOps {
           struct(lit(" ").as("pat"), lit(" ").as("rep"))))
         .withColumn("syms", expr("replace(syms, __s.pat, __s.rep)"))
         .drop("__s")
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = true)
       top.select(lit(i).as("step"), col("pair"), col("n_total"))
     }
     steps.reduce(_ unionByName _)

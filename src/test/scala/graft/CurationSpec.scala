@@ -331,4 +331,27 @@ class CurationSpec extends AnyFunSuite {
     assert(out(4L) == (("*", "*", 2, true)))
     assert(out(1L)._3 == 0 && out(1L)._4)
   }
+
+  test("kAnonymize: NULL quasi-identifiers form real groups — no row vanishes") {
+    import spark.implicits._
+    // k=2: the two (null, a) rows are a level-0 group of their own (a null
+    // q1 releases as null); the lone (en, null) row generalizes with
+    // (en, b) into the (en, *) set of size 2 → both level 1. Every input
+    // row must appear exactly once — a privacy release that silently drops
+    // null-keyed rows under-reports the corpus (round-13 advice).
+    val docs = Seq[(Long, String, String)](
+      (1L, null, "a"), (2L, null, "a"),
+      (3L, "en", null), (4L, "en", "b")
+    ).toDF("doc_id", "lang", "source")
+    val out = Curation.kAnonymize(docs, "doc_id", "lang", "source", k = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getInt(3), r.getBoolean(4))))
+      .toMap
+    assert(out.size == 4, s"rows dropped: ${out.keySet}")
+    assert(out(1L) == ((null, "a", 0, true)))
+    assert(out(2L) == ((null, "a", 0, true)))
+    assert(out(3L) == (("en", "*", 1, true)))
+    assert(out(4L) == (("en", "*", 1, true)))
+  }
 }

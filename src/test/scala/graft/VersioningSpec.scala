@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.operators.Versioning
 
 /** Snapshot-diff guarantees: exact added/removed/changed classification,
@@ -103,5 +104,24 @@ class VersioningSpec extends AnyFunSuite {
       Seq((1L, "a")).toDF("doc_id", "text"), "doc_id", "text").collect()
     assert(gone.length == 1 && gone(0).getString(1) == "removed" &&
       gone(0).isNullAt(4), "removed transport rows carry no payload")
+  }
+
+  test("mergeUpsert: all four MERGE branches in one call") {
+    import spark.implicits._
+    // target: ids 1-4. source: update 1, delete 2 (matched), insert 5,
+    // delete 9 (unmatched → MERGE no-op, must NOT appear). id 3,4 untouched.
+    val target = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+      (4L, "d", 40L)).toDF("doc_id", "lang", "n")
+    val source = Seq(
+      (1L, "a2", 11L, false), // matched update
+      (2L, "b", 20L, true),   // matched delete
+      (5L, "e", 50L, false),  // unmatched insert
+      (9L, "z", 90L, true)    // unmatched delete → no-op
+    ).toDF("doc_id", "lang", "n", "is_delete")
+    val out = Versioning.mergeUpsert(target, source, "doc_id",
+        Seq("lang", "n"), col("is_delete"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set((1L, "a2", 11L), (3L, "c", 30L), (4L, "d", 40L),
+      (5L, "e", 50L)))
   }
 }
