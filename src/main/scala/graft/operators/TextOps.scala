@@ -714,10 +714,19 @@ object TextOps {
 
   /** ENCODE against a supplied merge table — the stored-artifact path
     * ([[writeBpeMerges]] output or any (step, pair) DataFrame in training
-    * order). Encoding itself never touches the training corpus: the
-    * `nMerges` (pattern, replacement) pairs ride as 1-row scalar
-    * subqueries off the merge table, and the document scan is one narrow
-    * map. Missing steps (a degenerate corpus trained fewer than `nMerges`
+    * order). The merge table is TOKENIZER METADATA — `nMerges` rows at any
+    * corpus size — so it is read driver-side once (the bounded
+    * index-metadata collect discipline of [[graft.operators.Similarity]])
+    * and the pairs ship into [[graft.functions.BpeEncodeIds]], ONE native
+    * codegen expression fusing the whole per-document pipeline: char
+    * split, greedy-leftmost merge folds in training order, token split,
+    * md5-48 hashing-trick ids. The document scan stays one narrow map —
+    * no join, no shuffle — and now also stays inside whole-stage codegen
+    * (the previous scalar-subquery + HOF-lambda fold evaluated its lambdas
+    * interpreted per word occurrence: measured ~3× the encode wall at
+    * sf0.1). The composable Column form survives as
+    * [[bpeEncodeColumnsHof]], the executable spec TextOpsSpec pins ≡.
+    * Missing steps (a degenerate corpus trained fewer than `nMerges`
     * merges) fall back to a no-op replace instead of nulling the fold
     * (round-10 advice). Only `idBuckets` = 2²⁰ is oracle-checked (the
     * generated SQL hardcodes the registry's bucket count); other values
@@ -726,12 +735,43 @@ object TextOps {
                           textCol: String,
                           merges: org.apache.spark.sql.DataFrame, nMerges: Int,
                           idBuckets: Long = 1L << 20): org.apache.spark.sql.DataFrame = {
+    val byStep = merges.where(col("step") <= nMerges)
+      .select(col("step").cast("int"), col("pair"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val anchored = (1 to nMerges).map(i => byStep.get(i) match {
+      case Some(pair) => (" " + pair, " " + pair.replace(" ", ""))
+      case None => (" ", " ") // no-op fallback, as the scalar form
+    })
+    import org.apache.spark.sql.graft.ColumnBridge
+    val tk = tokens(col(textCol))
+    val enc = ColumnBridge.column(graft.functions.BpeEncodeIds(
+      ColumnBridge.expression(tk), anchored.map(_._1), anchored.map(_._2),
+      idBuckets))
+    docs.select(col(idCol), size(tk).cast("long").as("n_words"),
+        enc.as("__e"))
+      .select(col(idCol), col("n_words"),
+        col("__e.n_tokens").as("n_tokens"),
+        col("__e.token_ids").as("token_ids"))
+  }
+
+  /** The composable Column form of [[bpeEncodeWithMerges]] — HOF lambda
+    * fold over scalar-subquery merge structs — kept as the EXECUTABLE SPEC
+    * for [[graft.functions.BpeEncodeIds]] (the [[Dedup.md5Hash48Hex]]
+    * convention): TextOpsSpec pins the two bit-identical on the corpus,
+    * including unicode, empty-text and fewer-merges-than-requested edges.
+    * Not on any registered query's hot path. */
+  def bpeEncodeColumnsHof(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                          textCol: String,
+                          merges: org.apache.spark.sql.DataFrame, nMerges: Int,
+                          idBuckets: Long = 1L << 20): org.apache.spark.sql.DataFrame = {
     val mergeCols = (1 to nMerges).map { i =>
       coalesce(
         merges.where(col("step") === i)
           .select(struct(
             concat(lit(" "), col("pair")).as("pat"),
-            concat(lit(" "), regexp_replace(col("pair"), " ", "")).as("rep"))
+            concat(lit(" "), regexp_replace(col("pair"), " ", ""))
+              .as("rep"))
             .as("m"))
           .scalar(),
         struct(lit(" ").as("pat"), lit(" ").as("rep"))).as(s"__m$i")

@@ -364,6 +364,29 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(3L) === ((1L, 1L, tokId("a").toString)))
   }
 
+  test("bpeEncodeWithMerges (native) ≡ bpeEncodeColumnsHof (executable spec) on edge-heavy docs") {
+    import SparkTestSession.spark.implicits._
+    val merges = Seq((1, "a a"), (2, "aa b")).toDF("step", "pair")
+    val docs = Seq(
+      (1L, "aaa aab b"),
+      (2L, ""),                       // empty doc
+      (3L, "a"),
+      (4L, "héllo wörld émojis 🎶🎶"), // unicode incl. surrogate pairs
+      (5L, "  padded   runs  "),      // whitespace runs through tokens()
+      (6L, "aaaaaaab aab aaab")
+    ).toDF("doc_id", "text")
+    def run(f: (org.apache.spark.sql.DataFrame, String, String,
+                org.apache.spark.sql.DataFrame, Int,
+                Long) => org.apache.spark.sql.DataFrame) =
+      f(docs, "doc_id", "text", merges, 2, 1L << 20)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+    val native = run(TextOps.bpeEncodeWithMerges)
+    val hof = run(TextOps.bpeEncodeColumnsHof)
+    assert(native === hof)
+  }
+
   test("bpeEncode ≡ store → load → bpeEncodeWithMerges (the tokenizer-artifact law)") {
     import SparkTestSession.spark.implicits._
     val docs = (Seq.fill(3)("aaab") ++ Seq.fill(2)("ab")).zipWithIndex
