@@ -69,6 +69,70 @@ case class BpeEncodeIds(child: Expression, pats: Seq[String],
   override def prettyName: String = "bpe_encode_ids"
 }
 
+/** Token-id sequence → text as ONE native codegen expression — the decode
+  * direction of [[BpeEncodeIds]] ([[graft.operators.TextOps.bpeDecode]]).
+  * The composable form (kept as `TextOps.bpeDecodeColumnsHof`, the
+  * executable spec) stages the vocabulary as a scalar-subquery MAP column
+  * and runs `array_join(transform(split(ids), i => element_at(m, i)))` —
+  * interpreted per id, with a map probe through the Column tree each time.
+  * Here the id→symbol table (|alphabet| + nMerges entries — tokenizer
+  * metadata, bounded at any corpus size) rides as a reference-object
+  * HashMap and the loop splices into whole-stage codegen. Lookup misses
+  * contribute nothing, exactly `array_join`'s null-skipping. */
+case class BpeDecodeSyms(child: Expression, ids: Seq[String],
+                         syms: Seq[String])
+    extends UnaryExpression {
+  require(ids.length == syms.length, "ids/syms must align")
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_decode_syms requires a string id sequence, got $other")
+  }
+
+  @transient private lazy val table: java.util.HashMap[UTF8String, UTF8String] = {
+    val m = new java.util.HashMap[UTF8String, UTF8String](ids.size * 2)
+    ids.iterator.zip(syms.iterator).foreach { case (k, v) =>
+      m.put(UTF8String.fromString(k), UTF8String.fromString(v))
+    }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BpeDecodeSyms.compute(input.asInstanceOf[UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // raw type: janino's generics support is too limited (CountInSet's note)
+    val t = ctx.addReferenceObj("bpeVocab", table, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeDecodeSyms.compute($c, $t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeDecodeSyms =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_decode_syms"
+}
+
+object BpeDecodeSyms {
+  private val Space = UTF8String.fromString(" ")
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(idSeq: UTF8String,
+              table: java.util.HashMap[UTF8String, UTF8String]): UTF8String = {
+    val parts = idSeq.split(Space, -1)
+    val out = new Array[UTF8String](parts.length)
+    var n = 0
+    var i = 0
+    while (i < parts.length) {
+      val sym = table.get(parts(i))
+      if (sym != null) { out(n) = sym; n += 1 } // miss ≡ array_join null-skip
+      i += 1
+    }
+    UTF8String.concat(java.util.Arrays.copyOf(out, n): _*)
+  }
+}
+
 object BpeEncodeIds {
   private val Space = UTF8String.fromString(" ")
   private val EmptyPat = UTF8String.fromString("")

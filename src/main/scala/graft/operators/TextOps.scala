@@ -838,17 +838,39 @@ object TextOps {
   /** DECODE token-id sequences back to text with a stored vocabulary —
     * the inspection/debug direction every training pipeline needs once
     * token ids exist (spot-checking shard contents, attributing loss
-    * spikes to documents). The vocab rides as ONE scalar-subquery map
-    * (|alphabet| + nMerges entries — a broadcast-sized literal, no join,
-    * no shuffle), staged as an attribute BEFORE the per-id lambda (the
-    * classifierScore staging caveat), so decoding is one narrow map over
-    * the encoded frame: split ids, look each up, concatenate. Word
-    * boundaries are not part of the id stream (the encoder flattens), so
-    * the decode target is the whitespace-normalized concatenation
-    * `concat(tokens(text))` — exactly what a round-trip check compares.
-    * Appends `decoded` to `encoded`; empty id strings decode to "". */
+    * spikes to documents). The id→symbol table is TOKENIZER METADATA
+    * (|alphabet| + nMerges rows at any corpus size), so it is read
+    * driver-side once and rides into [[graft.functions.BpeDecodeSyms]] —
+    * one whole-stage-codegen loop per row: split ids, hash-probe, concat.
+    * Decoding stays one narrow map over the encoded frame — no join, no
+    * shuffle. The scalar-subquery MAP form survives as
+    * [[bpeDecodeColumnsHof]], the executable spec TextOpsSpec pins ≡.
+    * Word boundaries are not part of the id stream (the encoder
+    * flattens), so the decode target is the whitespace-normalized
+    * concatenation `concat(tokens(text))` — exactly what a round-trip
+    * check compares. Appends `decoded` to `encoded`; empty id strings and
+    * unknown ids decode to "" (array_join null-skip semantics). */
   def bpeDecode(encoded: org.apache.spark.sql.DataFrame, idsCol: String,
                 vocab: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val rows = vocab.select(col("token_id").cast("string"), col("sym"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    import org.apache.spark.sql.graft.ColumnBridge
+    encoded.withColumn("decoded", ColumnBridge.column(
+      graft.functions.BpeDecodeSyms(
+        ColumnBridge.expression(col(idsCol)),
+        rows.map(_._1).toSeq, rows.map(_._2).toSeq)))
+  }
+
+  /** The composable Column form of [[bpeDecode]] — the vocab as ONE
+    * scalar-subquery map staged before the per-id lambda (the
+    * classifierScore staging caveat) — kept as the EXECUTABLE SPEC for
+    * [[graft.functions.BpeDecodeSyms]]: TextOpsSpec pins the two
+    * bit-identical, including empty id strings and unknown-id skipping.
+    * Not on any registered query's hot path. */
+  def bpeDecodeColumnsHof(encoded: org.apache.spark.sql.DataFrame,
+                          idsCol: String,
+                          vocab: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val vmap = vocab.select(
       map_from_entries(collect_list(struct(

@@ -387,6 +387,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(native === hof)
   }
 
+  test("bpeDecode (native) ≡ bpeDecodeColumnsHof (executable spec) incl. empty and unknown ids") {
+    import SparkTestSession.spark.implicits._
+    val vocab = Seq((7L, "ab"), (9L, "c")).toDF("token_id", "sym")
+    val enc = Seq(
+      (1L, "7 9 7"),
+      (2L, ""),          // empty id string → ""
+      (3L, "7 12345 9")  // unknown id skipped, not nulled
+    ).toDF("doc_id", "token_ids")
+    def run(f: (org.apache.spark.sql.DataFrame, String,
+                org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame) =
+      f(enc, "token_ids", vocab).collect()
+        .map(r => r.getLong(0) -> r.getAs[String]("decoded")).toMap
+    val native = run(TextOps.bpeDecode)
+    val hof = run(TextOps.bpeDecodeColumnsHof)
+    assert(native === hof)
+    assert(native(1L) == "abcab" && native(2L) == "" && native(3L) == "abc")
+  }
+
   test("bpeEncode ≡ store → load → bpeEncodeWithMerges (the tokenizer-artifact law)") {
     import SparkTestSession.spark.implicits._
     val docs = (Seq.fill(3)("aaab") ++ Seq.fill(2)("ab")).zipWithIndex
