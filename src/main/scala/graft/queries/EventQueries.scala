@@ -62,7 +62,47 @@ object EventQueries {
       out
     })
 
+  /** Memoized 3-dimension z-ordered copy of events (X143): user bucket ×
+    * hour bucket × id bucket interleaved at 6 bits each (18-bit z), range-
+    * partitioned into 64 per-z-run files — the multi-column OPTIMIZE
+    * ZORDER layout. Write-once-per-(process, sf) like [[zorderBuilt]]. */
+  private val zorder3Built =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def zorder3Dir(s: SparkSession, dir: String): String =
+    zorder3Built.getOrElseUpdate(dir, {
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_zorder3_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_")).getPath
+      val df = Sources.events(s, dir)
+        .select(col("event_id"),
+          pmod(col("user_id"), lit(64L)).as("a"),
+          pmod(expr("unix_micros(ts) div 3600000000"), lit(64L)).as("b"),
+          pmod(col("event_id"), lit(64L)).as("c"))
+        .withColumn("z", graft.operators.Layout.zValueN(
+          Seq(col("a"), col("b"), col("c")), bits = 6))
+      graft.operators.Layout.zOrderBy(df, col("z"), numFiles = 64)
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // MULTI-DIMENSION z-order skipping (X143): predicates on TWO of the
+    // three interleaved columns over the 3-D Morton layout — the
+    // lakehouse's OPTIMIZE ZORDER BY (colA, colB, colC) read path, where
+    // a query filtering ANY subset of the listed columns prunes files
+    // because every dimension's per-file min/max stays tight. The RESULT
+    // is layout-invariant (the oracle replays the filtered aggregate over
+    // the source table); LayoutSpec pins the 3-D interleave arithmetic
+    // and the per-file dimension-run tightness.
+    "layout_zorder3_pruned_scan" -> q((s, dir) =>
+      s.read.parquet(zorder3Dir(s, dir))
+        .where(col("a") < 16 && col("c") < 16)
+        .groupBy(col("a"), col("c"))
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("min_event_id"),
+          max(col("event_id")).as("max_event_id"))
+        .orderBy(col("a"), col("c"))),
 
     // Tumbling 1-hour event-time windows per event_type: the batch form of
     // the streaming windowed aggregation (same window() expression).
@@ -1044,6 +1084,15 @@ object EventQueries {
       """SELECT a, count(*)::bigint AS n,
         |       min(event_id) AS min_event_id, max(event_id) AS max_event_id
         |FROM (SELECT event_id, user_id % 256 AS a FROM events)
-        |WHERE a < 32 GROUP BY a ORDER BY a""".stripMargin
+        |WHERE a < 32 GROUP BY a ORDER BY a""".stripMargin,
+
+    // Layout-invariant result of the 3-D pruned scan — same rule as above:
+    // the Morton rewrite is physical only, the oracle never sees z.
+    "layout_zorder3_pruned_scan" ->
+      """SELECT a, c, count(*)::bigint AS n,
+        |       min(event_id) AS min_event_id, max(event_id) AS max_event_id
+        |FROM (SELECT event_id, user_id % 64 AS a, event_id % 64 AS c
+        |      FROM events)
+        |WHERE a < 16 AND c < 16 GROUP BY a, c ORDER BY a, c""".stripMargin
   )
 }

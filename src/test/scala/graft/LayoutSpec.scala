@@ -21,6 +21,41 @@ class LayoutSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(1L, 2L, 39L, 65535L, 0L), rows.toSeq.toString)
   }
 
+  test("zValueN: 3-dim interleave vectors; N=2 degenerates to zValue2; aligned 8^k buckets bound all three ranges") {
+    import spark.implicits._
+    val rows = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L), (3L, 5L, 6L))
+      .toDF("a", "b", "c")
+      .select(Layout.zValueN(Seq(col("a"), col("b"), col("c")), 6).as("z"))
+      .collect().map(_.getLong(0))
+    // unit vectors land on bits 0/1/2; a=3(011) b=5(101) c=6(110) →
+    // bit0: a=1,b=1,c=0 → 1+2; bit1: a=1,b=0,c=1 → 8+32; bit2: a=0,b=1,c=1
+    // → 128+256 → z = 427
+    assert(rows.toSeq == Seq(1L, 2L, 4L, 427L), rows.toSeq.toString)
+    // N=2 delegation: identical to the hand-pinned zValue2 vectors
+    val two = Seq((3L, 5L)).toDF("a", "b")
+      .select(Layout.zValueN(Seq(col("a"), col("b")), 8).as("z"))
+      .collect().head.getLong(0)
+    assert(two == 39L)
+    // aligned 8^k z-buckets bound EVERY dimension's range by 2^k — the
+    // tight-stats property that makes a predicate on ANY of the three
+    // columns prune files (corpus-wide, exact)
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(pmod(col("user_id"), lit(64L)).as("a"),
+        pmod(expr("unix_micros(cast(ts AS timestamp)) div 3600000000"),
+          lit(64L)).as("b"),
+        pmod(col("event_id"), lit(64L)).as("c"))
+      .withColumn("z", Layout.zValueN(Seq(col("a"), col("b"), col("c")), 6))
+    val k = 3
+    val bad = e.groupBy(expr(s"z div ${1L << (3 * k)}").as("bucket"))
+      .agg((max(col("a")) - min(col("a"))).as("ra"),
+        (max(col("b")) - min(col("b"))).as("rb"),
+        (max(col("c")) - min(col("c"))).as("rc"))
+      .where(col("ra") >= (1L << k) || col("rb") >= (1L << k) ||
+        col("rc") >= (1L << k))
+      .count()
+    assert(bad == 0L, s"$bad aligned buckets exceeded the 2^$k range bound")
+  }
+
   test("aligned 4^k buckets bound both dimension ranges by 2^k (exact, corpus-wide)") {
     val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .select(pmod(col("user_id"), lit(256L)).as("a"),
