@@ -52,6 +52,43 @@ object Layout {
     }.reduce(_ + _)
   }
 
+  /** Per-FILE column statistics table — the lakehouse data-skipping INDEX
+    * (Delta/Iceberg collect exactly this into their transaction/manifest
+    * metadata): one row per physical file with min/max/count for each
+    * listed column, computed by one scan grouped on `input_file_name()`.
+    * |files|-sized output (metadata, not corpus), so it collects/joins
+    * cheaply at any corpus size; refresh is incremental by construction
+    * (stats of new files append — old files are immutable).
+    *
+    * Output: (file, n, min_<c>, max_<c> per column). */
+  def fileStats(df: DataFrame, statCols: Seq[String]): DataFrame = {
+    require(statCols.nonEmpty, "at least one stat column")
+    val aggs = statCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    df.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n"), aggs: _*)
+  }
+
+  /** STATS-PRUNED READ — the read path over [[fileStats]]: keep only files
+    * whose [min, max] envelope can intersect the predicate (`keep` over
+    * the stats row decides), read THAT file list, and re-apply the exact
+    * predicate as the residual filter (stats prune conservatively; the
+    * residual keeps semantics exact — the same contract as parquet
+    * row-group skipping, one level up). The file list is a bounded
+    * driver-side collect of the metadata table — |files| strings, the
+    * index-metadata discipline — and an oracle comparing against the
+    * unpruned scan proves the planner dropped no qualifying file. Empty
+    * selections return the empty frame with the source schema. */
+  def statsPrunedRead(spark: org.apache.spark.sql.SparkSession,
+                      path: String, statCols: Seq[String],
+                      keep: Column): DataFrame = {
+    val full = spark.read.parquet(path)
+    val files = fileStats(full, statCols)
+      .where(keep).select(col("file")).collect().map(_.getString(0))
+    if (files.isEmpty) full.where(lit(false))
+    else spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
   /** Range-partition by z and sort within partitions — the layout write
     * shape: each output file covers a contiguous z run, so per-file min/max
     * stats are tight in BOTH interleaved dimensions. `numFiles` range

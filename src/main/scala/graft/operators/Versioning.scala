@@ -64,6 +64,38 @@ object Versioning {
     kept.select(col(idCol), col(textCol)).union(upserts)
   }
 
+  /** BUCKETED CONTENT-CHECKSUM SUMMARY — the anti-entropy primitive
+    * (DynamoDB/Cassandra merkle exchange, rsync's block audit) for corpus
+    * replication: instead of diffing two 100 TB snapshots row-by-row
+    * ([[snapshotDiff]] — one full-outer join over everything), each side
+    * independently reduces to a `buckets`-row summary (bucket id from the
+    * engine-portable md5-48 of the id, per-bucket row count + ONE checksum
+    * over the bucket's sorted row fingerprints), and comparing summaries
+    * costs |buckets|. Matching checksums prove bucket equality; only
+    * DIVERGENT buckets need the row-level diff, re-scoped to ~corpus/
+    * buckets rows each — the two-level audit that makes continuous
+    * replication verification affordable.
+    *
+    * Determinism: the bucket checksum is md5 over the LEXICOGRAPHICALLY
+    * SORTED member fingerprints (sort inside the aggregate's array —
+    * partition-order-independent, and DuckDB replays it as
+    * `md5(string_agg(fp, '' ORDER BY fp))`). One hash-partitioned
+    * aggregate, no join, no window. Output: (bucket, n, checksum). */
+  def merkleSummary(snap: DataFrame, idCol: String, payloadCol: String,
+                    buckets: Int): DataFrame = {
+    require(buckets >= 1, "buckets >= 1")
+    snap
+      .select(
+        pmod(graft.functions.Md5Hash48.md5hash48(
+          col(idCol).cast("string").cast("binary")), lit(buckets.toLong))
+          .as("bucket"),
+        md5(col(payloadCol).cast("binary")).as("fp"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        md5(array_join(array_sort(collect_list(col("fp"))), "")
+          .cast("binary")).as("checksum"))
+  }
+
   /** MERGE-style keyed upsert in ONE call — the ANSI `MERGE INTO` contract
     * packaged as a single documented op (round-13 judge item) instead of a
     * hand-rolled [[applyDelta]] composition:

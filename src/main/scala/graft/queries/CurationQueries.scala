@@ -125,6 +125,38 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BUCKETED MERKLE ANTI-ENTROPY AUDIT (X145): two snapshot replicas —
+    // one with every 17th doc rewritten and every 23rd missing — reduce
+    // INDEPENDENTLY to 64-row checksum summaries ([[Versioning.
+    // merkleSummary]]: bucket = md5-48 of the id, per-bucket count + md5
+    // over the sorted member fingerprints), and the audit compares
+    // summaries, not rows. At 100 TB this is the replication-verification
+    // shape: |buckets| comparisons localize divergence, and ONLY the
+    // flagged buckets pay a row-level diff (re-scoped to corpus/buckets
+    // rows). The oracle recomputes both summaries from first principles —
+    // the hash match pins the checksum algebra (sorted-fingerprint md5),
+    // not just the counts.
+    "corpus_merkle_audit" -> q((s, dir) => {
+      val d = Sources.documents(s, dir)
+      val oldSnap = d.select(col("doc_id"), col("text"))
+      val newSnap = d.where(col("doc_id") % 23 =!= 7)
+        .withColumn("text", when(col("doc_id") % 17 === 3,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .select(col("doc_id"), col("text"))
+      val o = Versioning.merkleSummary(oldSnap, "doc_id", "text", 64)
+        .select(col("bucket"), col("n").as("n_old"),
+          col("checksum").as("cs_old"))
+      val n = Versioning.merkleSummary(newSnap, "doc_id", "text", 64)
+        .select(col("bucket"), col("n").as("n_new"),
+          col("checksum").as("cs_new"))
+      o.join(n, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("n_old"), lit(0L)).as("n_old"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          (col("cs_old") === col("cs_new")).cast("int").as("same"))
+        .orderBy(col("bucket"))
+    }),
+
     // MERGE-style keyed upsert in ONE call (X142): insert + update +
     // matched-delete + the unmatched-delete NO-OP, all four ANSI MERGE
     // branches through one [[Versioning.mergeUpsert]] invocation — the
@@ -790,6 +822,31 @@ object CurationQueries {
         |       md5(CASE WHEN doc_id % 11 = 3 THEN text || ' v2'
         |                ELSE text END) AS fp_md5
         |FROM documents WHERE doc_id % 5 <> 4 ORDER BY doc_id""".stripMargin,
+
+    // Both summaries recomputed from first principles: bucket = md5-48 of
+    // the decimal id string mod 64, checksum = md5 over the bucket's
+    // fingerprints sorted lexicographically.
+    "corpus_merkle_audit" ->
+      s"""WITH o AS (
+        |  SELECT ${DedupQueries.hexFold48("doc_id::VARCHAR")} % 64 AS bucket,
+        |         md5(text) AS fp
+        |  FROM documents),
+        |n AS (
+        |  SELECT ${DedupQueries.hexFold48("doc_id::VARCHAR")} % 64 AS bucket,
+        |         md5(CASE WHEN doc_id % 17 = 3 THEN text || ' v2'
+        |                  ELSE text END) AS fp
+        |  FROM documents WHERE doc_id % 23 <> 7),
+        |os AS (SELECT bucket, count(*)::bigint AS n_old,
+        |              md5(string_agg(fp, '' ORDER BY fp)) AS cs
+        |       FROM o GROUP BY bucket),
+        |ns AS (SELECT bucket, count(*)::bigint AS n_new,
+        |              md5(string_agg(fp, '' ORDER BY fp)) AS cs
+        |       FROM n GROUP BY bucket)
+        |SELECT coalesce(os.bucket, ns.bucket) AS bucket,
+        |       coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new,
+        |       (os.cs = ns.cs)::int AS same
+        |FROM os FULL JOIN ns ON os.bucket = ns.bucket
+        |ORDER BY bucket""".stripMargin,
 
     // The four MERGE branches replayed as plain set arithmetic: touched
     // target ids drop, surviving source rows append, delete-flagged rows

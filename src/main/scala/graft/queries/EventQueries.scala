@@ -587,6 +587,26 @@ object EventQueries {
           max(col("event_id")).as("max_event_id"))
         .orderBy(col("a"))),
 
+    // FILE-STATS SKIPPED SCAN (X144): the lakehouse data-skipping INDEX
+    // driven end-to-end — per-file min/max stats (Layout.fileStats, one
+    // grouped scan on input_file_name) plan a file-list read that keeps
+    // only envelopes intersecting the predicate, residual filter on top
+    // (Layout.statsPrunedRead). THE read path Delta/Iceberg metadata
+    // serves at 100 TB: the stats table is |files|-sized metadata, the
+    // driver collect is bounded, and the ORACLE is the completeness proof
+    // — a planner that drops one qualifying file hash-mismatches the
+    // unpruned replay. Runs over the 3-D z-ordered layout, where the
+    // stats are tight by construction (X143).
+    "layout_stats_skipped_scan" -> q((s, dir) =>
+      graft.operators.Layout.statsPrunedRead(s, zorder3Dir(s, dir),
+          Seq("a"), keep = col("min_a") < 16)
+        .where(col("a") < 16)
+        .groupBy(col("a"))
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("min_event_id"),
+          max(col("event_id")).as("max_event_id"))
+        .orderBy(col("a"))),
+
     // Markov transition matrix over per-user event traces (X84): edge
     // (prev event_type → event_type) per user in (ts, event_id) order,
     // row-normalized to integer basis points — the session-flow analytics
@@ -1085,6 +1105,15 @@ object EventQueries {
         |       min(event_id) AS min_event_id, max(event_id) AS max_event_id
         |FROM (SELECT event_id, user_id % 256 AS a FROM events)
         |WHERE a < 32 GROUP BY a ORDER BY a""".stripMargin,
+
+    // The UNPRUNED replay — equality proves the stats planner kept every
+    // qualifying file (completeness) while the residual filter kept
+    // semantics exact (soundness).
+    "layout_stats_skipped_scan" ->
+      """SELECT a, count(*)::bigint AS n,
+        |       min(event_id) AS min_event_id, max(event_id) AS max_event_id
+        |FROM (SELECT event_id, user_id % 64 AS a FROM events)
+        |WHERE a < 16 GROUP BY a ORDER BY a""".stripMargin,
 
     // Layout-invariant result of the 3-D pruned scan — same rule as above:
     // the Morton rewrite is physical only, the oracle never sees z.

@@ -56,6 +56,33 @@ class LayoutSpec extends AnyFunSuite {
     assert(bad == 0L, s"$bad aligned buckets exceeded the 2^$k range bound")
   }
 
+  test("fileStats + statsPrunedRead: the planner READS FEWER FILES and loses no qualifying row") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stats_spec").toString
+    try {
+      // 8 files, each holding one contiguous k range → tight per-file stats
+      (0 until 64).map(i => (i.toLong, i.toLong / 8)).toDF("id", "k")
+        .repartitionByRange(8, col("k")).sortWithinPartitions(col("k"))
+        .write.mode("overwrite").parquet(tmp)
+      val stats = Layout.fileStats(spark.read.parquet(tmp), Seq("k"))
+      assert(stats.count() == 8)
+      val pruned = Layout.statsPrunedRead(spark, tmp, Seq("k"),
+        keep = col("min_k") < 2)
+      assert(pruned.inputFiles.length < 8,
+        s"no files pruned: ${pruned.inputFiles.length}")
+      val got = pruned.where(col("k") < 2).select(col("id"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == (0L until 16L), s"rows lost/gained: $got")
+      // empty selection keeps the schema, returns nothing
+      val none = Layout.statsPrunedRead(spark, tmp, Seq("k"),
+        keep = col("min_k") > 100)
+      assert(none.count() == 0 && none.columns.toSeq == Seq("id", "k"))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
   test("aligned 4^k buckets bound both dimension ranges by 2^k (exact, corpus-wide)") {
     val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .select(pmod(col("user_id"), lit(256L)).as("a"),

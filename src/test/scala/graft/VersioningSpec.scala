@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, when}
 import graft.operators.Versioning
 
 /** Snapshot-diff guarantees: exact added/removed/changed classification,
@@ -104,6 +104,26 @@ class VersioningSpec extends AnyFunSuite {
       Seq((1L, "a")).toDF("doc_id", "text"), "doc_id", "text").collect()
     assert(gone.length == 1 && gone(0).getString(1) == "removed" &&
       gone(0).isNullAt(4), "removed transport rows carry no payload")
+  }
+
+  test("merkleSummary: identical replicas agree everywhere; a one-row change diverges exactly one bucket") {
+    import spark.implicits._
+    val snap = (1L to 200L).map(i => (i, s"text-$i")).toDF("doc_id", "text")
+    def cs(df: org.apache.spark.sql.DataFrame) =
+      Versioning.merkleSummary(df, "doc_id", "text", 16)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+        .toMap
+    val a = cs(snap)
+    assert(a == cs(snap), "summary must be deterministic across runs")
+    // checksum is partition-order-independent (sorted inside the agg)
+    assert(a == cs(snap.repartition(7)), "summary must not depend on partitioning")
+    val mutated = snap.withColumn("text",
+      when(col("doc_id") === 42L, lit("tampered")).otherwise(col("text")))
+    val b = cs(mutated)
+    val diverged = a.keySet.filter(k => a(k) != b(k))
+    assert(diverged.size == 1, s"expected one divergent bucket, got $diverged")
+    assert(a(diverged.head)._1 == b(diverged.head)._1,
+      "counts match on a content-only divergence")
   }
 
   test("mergeUpsert: all four MERGE branches in one call") {
