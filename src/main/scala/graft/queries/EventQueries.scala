@@ -347,6 +347,64 @@ object EventQueries {
       s.read.parquet(out).drop("__batch_id").orderBy(col("event_id"))
     }),
 
+    // STREAMING CDC APPLY (X146): a two-generation delta feed — gen0
+    // seeds the table (every doc as an insert), gen1 carries updates,
+    // matched deletes and fresh inserts — processed as TWO micro-batches
+    // (maxFilesPerTrigger=1, mtime-ordered files) through
+    // [[StreamingOps.cdcApply]]: one mergeUpsert per batch, committed as
+    // versioned snapshots (read newest complete version < batch id, write
+    // v=<id> — the exactly-once contract on a plain-file store; replayed
+    // batches rewrite their own version idempotently, spec-pinned). The
+    // oracle replays both generations' MERGE arithmetic over the source
+    // table, so the hash proves batch SEQUENCING (gen1 folded over gen0's
+    // result) plus branch routing, through the real streaming runtime.
+    "stream_cdc_apply" -> q((s, dir) => {
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_cdc_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      if (base.exists()) rm(base)
+      val srcDir = new java.io.File(base, "src"); srcDir.mkdirs()
+      val d = Sources.documents(s, dir)
+      val gen0 = d.select(col("doc_id"), col("lang"), col("n_chars"),
+        lit(false).as("is_delete"))
+      val gen1 = d.where(col("doc_id") % 4 === 1 && col("doc_id") % 9 =!= 2)
+        .select(col("doc_id"), concat(lit("u-"), col("lang")).as("lang"),
+          (col("n_chars") + 10).as("n_chars"), lit(false).as("is_delete"))
+        .unionByName(d.where(col("doc_id") % 9 === 2)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            lit(true).as("is_delete")))
+        .unionByName(d.where(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"),
+            lit("cdc").as("lang"), lit(0L).as("n_chars"),
+            lit(false).as("is_delete")))
+      // one parquet FILE per generation, mtime-ordered so the file source
+      // feeds gen0 before gen1
+      Seq(("gen0", gen0, 1000000000000L), ("gen1", gen1, 1000000060000L))
+        .foreach { case (name, df, mtime) =>
+          val stage = new java.io.File(base, s"stage_$name")
+          df.coalesce(1).write.mode("overwrite").parquet(stage.getPath)
+          val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+          val tgt = new java.io.File(srcDir, s"$name.parquet")
+          java.nio.file.Files.move(part.toPath, tgt.toPath)
+          tgt.setLastModified(mtime); ()
+        }
+      val tableDir = new java.io.File(base, "table").getPath
+      val ckpt = new java.io.File(base, "ckpt").getPath
+      val deltas = s.readStream
+        .schema("doc_id BIGINT, lang STRING, n_chars BIGINT, is_delete BOOLEAN")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.getPath)
+      val sq = graft.streaming.StreamingOps.cdcApply(deltas, "doc_id",
+        Seq("lang", "n_chars"), "is_delete", tableDir, ckpt)
+      try sq.awaitTermination() finally if (sq.isActive) sq.stop()
+      graft.streaming.StreamingOps.readCdcTable(s, tableDir)
+        .orderBy(col("doc_id"))
+    }),
+
     // JSON property extraction from the props column (get_json_object).
     "events_json_agg" -> q((s, dir) =>
       Sources.events(s, dir)
@@ -738,6 +796,26 @@ object EventQueries {
     "stream_sink_parquet_roundtrip" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |WHERE event_id % 100 = 0 ORDER BY event_id""".stripMargin,
+
+    // Both MERGE generations replayed in order: gen0 is the source table
+    // itself (inserted into empty), gen1's arithmetic folds over it.
+    "stream_cdc_apply" ->
+      """WITH g1 AS (
+        |  SELECT doc_id, 'u-' || lang AS lang, n_chars + 10 AS n_chars,
+        |         false AS del
+        |  FROM documents WHERE doc_id % 4 = 1 AND doc_id % 9 <> 2
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars, true FROM documents
+        |  WHERE doc_id % 9 = 2
+        |  UNION ALL
+        |  SELECT doc_id + 5000000 AS doc_id, 'cdc' AS lang,
+        |         0::BIGINT AS n_chars, false AS del
+        |  FROM documents WHERE doc_id % 6 = 0)
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM g1)
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars FROM g1 WHERE NOT del
+        |ORDER BY doc_id""".stripMargin,
 
     "stream_events_new_arrivals" ->
       """WITH h AS (

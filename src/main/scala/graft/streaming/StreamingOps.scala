@@ -315,6 +315,79 @@ object StreamingOps {
       .mode("overwrite")
       .parquet(outDir)
 
+  /** STREAMING CDC APPLY — a delta feed folded into a keyed table, one
+    * [[graft.operators.Versioning.mergeUpsert]] per micro-batch, committed
+    * as VERSIONED SNAPSHOTS: batch `id` reads the newest COMPLETE version
+    * strictly below `id` (`v=<k>` with a `_SUCCESS` marker) and writes
+    * `v=<id>` — never mutating a version in place. That versioning IS the
+    * exactly-once story on a plain-file store: a replayed batch (crash
+    * between sink write and checkpoint commit) re-reads the SAME
+    * predecessor — its own half-written `v=<id>` is above the cutoff — and
+    * idempotently rewrites `v=<id>`; readers take the newest complete
+    * version and never observe a torn table. (The same shape a lakehouse
+    * MERGE commit log provides; full-snapshot-per-batch is the plain-
+    * parquet cost of it — the delta-log alternative is
+    * [[graft.operators.Versioning.replayDeltas]], X123.)
+    *
+    * `deltas` rows carry the id, every payload column, and a boolean
+    * `deleteCol`; one row per id per micro-batch (the MERGE precondition).
+    * Batch work is delta-sized plus one table scan — the [[graft.operators.
+    * Versioning.mergeUpsert]] anti-join shape. */
+  def cdcApply(deltas: DataFrame, idCol: String, payloadCols: Seq[String],
+               deleteCol: String, tableDir: String, checkpoint: String,
+               availableNow: Boolean = true)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = deltas.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        applyCdcBatch(batch, id, idCol, payloadCols, deleteCol, tableDir)
+      }
+    (if (availableNow)
+      w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else w).start()
+  }
+
+  /** The per-batch body of [[cdcApply]], exposed so replay idempotency is
+    * directly testable (the [[writeBatch]] convention). */
+  def applyCdcBatch(batch: Dataset[org.apache.spark.sql.Row], id: Long,
+                    idCol: String, payloadCols: Seq[String],
+                    deleteCol: String, tableDir: String): Unit = {
+    val s = batch.sparkSession
+    val outCols = (idCol +: payloadCols).map(col)
+    val target = latestCdcVersion(tableDir, below = id) match {
+      case Some(v) => s.read.parquet(s"$tableDir/v=$v")
+      case None => batch.select(outCols: _*).where(lit(false)) // empty, typed
+    }
+    graft.operators.Versioning
+      .mergeUpsert(target, batch, idCol, payloadCols, col(deleteCol))
+      .write.mode("overwrite").parquet(s"$tableDir/v=$id")
+  }
+
+  /** Newest COMPLETE snapshot version strictly below `below` — a `v=<k>`
+    * child with a `_SUCCESS` marker. Bounded directory listing (one entry
+    * per committed batch; compact on a cadence like any snapshot store). */
+  def latestCdcVersion(tableDir: String, below: Long = Long.MaxValue)
+  : Option[Long] = {
+    val d = new java.io.File(tableDir)
+    if (!d.isDirectory) None
+    else Option(d.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
+        new java.io.File(f, "_SUCCESS").isFile)
+      .flatMap(f => scala.util.Try(f.getName.stripPrefix("v=").toLong).toOption)
+      .filter(_ < below)
+      .sorted.lastOption
+  }
+
+  /** Read the current CDC table state ([[cdcApply]]'s newest committed
+    * snapshot). */
+  def readCdcTable(s: org.apache.spark.sql.SparkSession,
+                   tableDir: String): DataFrame =
+    latestCdcVersion(tableDir) match {
+      case Some(v) => s.read.parquet(s"$tableDir/v=$v")
+      case None => throw new IllegalStateException(
+        s"no committed CDC snapshot under $tableDir")
+    }
+
   /** Input/output rows of the custom stateful op below. */
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)

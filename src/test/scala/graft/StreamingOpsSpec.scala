@@ -449,4 +449,35 @@ class StreamingOpsSpec extends AnyFunSuite {
     // batch1 emits (2, 3.0); batch2 resumes state → (3, 7.0)
     assert(perBatch == Set((2L, 3.0), (3L, 7.0)))
   }
+
+  test("cdcApply batches: versioned commits, replay idempotency, torn-version invisibility") {
+    import SparkTestSession.spark.implicits._
+    val spark = SparkTestSession.spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_spec").toString
+    def state(): Set[(Long, String)] =
+      StreamingOps.readCdcTable(spark, tmp)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    try {
+      val b0 = Seq((1L, "a", false), (2L, "b", false))
+        .toDF("id", "v", "del")
+      StreamingOps.applyCdcBatch(b0, 0L, "id", Seq("v"), "del", tmp)
+      assert(state() == Set((1L, "a"), (2L, "b")))
+      val b1 = Seq((1L, "a2", false), (2L, "b", true), (3L, "c", false))
+        .toDF("id", "v", "del")
+      StreamingOps.applyCdcBatch(b1, 1L, "id", Seq("v"), "del", tmp)
+      assert(state() == Set((1L, "a2"), (3L, "c")))
+      // REPLAY batch 1 (crash between sink write and checkpoint commit):
+      // must re-read v=0 — its own v=1 is above the cutoff — and rewrite
+      // v=1 to the identical state
+      StreamingOps.applyCdcBatch(b1, 1L, "id", Seq("v"), "del", tmp)
+      assert(state() == Set((1L, "a2"), (3L, "c")))
+      // a torn (no _SUCCESS) higher version is invisible to readers
+      val torn = new java.io.File(tmp, "v=2"); torn.mkdirs()
+      assert(StreamingOps.latestCdcVersion(tmp).contains(1L))
+      assert(state() == Set((1L, "a2"), (3L, "c")))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
 }
