@@ -121,4 +121,82 @@ object Sketch {
       .withColumn("n_total", summary.select(col("n_total")).scalar())
       .where(col("n_exact") * 1000 >= col("n_total") * supportPerMille)
   }
+
+  /** HDR-style INTEGER log-bucket id for a positive BIGINT value — the
+    * mergeable quantile-sketch basis (HdrHistogram's bucketing, the shape
+    * behind latency/size percentile observability at fleet scale): values
+    * below 2^b map to themselves (exact); above, the bucket keeps the
+    * magnitude (MSB index) plus the next `b` mantissa bits, so the bucket
+    * lower bound is within relative error 2^-b of every member. ALL
+    * arithmetic is integer/string (`length(bin(v))` is the MSB index —
+    * DuckDB's `bin` is identical), so the sketch is bit-reproducible
+    * cross-engine — no float log2 boundary flips. */
+  def hdrBucket(v: Column, b: Int): Column = {
+    require(b >= 1 && b <= 20, "b in [1, 20]")
+    val msb = (length(bin(v)) - 1).cast("long")
+    when(msb < b, v).otherwise(
+      (msb - b) * (1L << b) +
+        (v.cast("long") / pow(lit(2.0), (msb - b).cast("double"))
+          .cast("long")).cast("long"))
+  }
+
+  /** Lower bound of an [[hdrBucket]] bucket — the quantile estimate the
+    * sketch reports. Exact inverse of the bucketing for the bucket's
+    * smallest member. */
+  def hdrLowerBound(bucket: Column, b: Int): Column =
+    when(bucket < (1L << b), bucket).otherwise(
+      (bucket % (1L << b) + (1L << b)) *
+        pow(lit(2.0), (floor(bucket / (1L << b)) - 1).cast("double"))
+          .cast("long"))
+
+  /** MERGEABLE QUANTILE SKETCH over a positive integer measure: one
+    * hash aggregate reduces any data split to ≤ (64-b)·2^b (bucket, n)
+    * rows; partial sketches from different splits merge by bucket-wise
+    * summation (the HLL/CMS mergeability property, here for ORDER
+    * statistics); quantiles read off the merged histogram's cumulative
+    * counts with relative error ≤ 2^-b. THE 100 TB alternative to exact
+    * `percentile` (whose single buffer holds every value) and to
+    * `approx_percentile` (whose sketch bytes are engine-specific and so
+    * untestable cross-engine): this sketch's every cell is reproducible
+    * arithmetic.
+    *
+    * Output: one row per (groupCols..., bucket) with the bucket count —
+    * store it, merge it, or pass to [[hdrQuantiles]]. */
+  def hdrHistogram(items: DataFrame, valueCol: String, b: Int,
+                   groupCols: Seq[String] = Nil): DataFrame = {
+    val g = groupCols.map(col) :+ hdrBucket(col(valueCol), b).as("bucket")
+    items.where(col(valueCol) >= 1L)
+      .groupBy(g: _*).agg(count(lit(1)).as("n"))
+  }
+
+  /** Quantile estimates from an [[hdrHistogram]] (optionally per group):
+    * for each requested per-mille rank, the lower bound of the first
+    * bucket whose cumulative count reaches ceil(q‰ · N). The histogram is
+    * |buckets|-sized, so the rank window runs over hundreds of rows per
+    * group — never corpus-sized. Output: (groupCols..., q_permille,
+    * estimate, n_total). */
+  def hdrQuantiles(hist: DataFrame, b: Int, qPermille: Seq[Int],
+                   groupCols: Seq[String] = Nil): DataFrame = {
+    require(qPermille.nonEmpty && qPermille.forall(q => q >= 1 && q <= 1000),
+      "ranks in [1, 1000]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("bucket"))
+    val cum = hist
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("n_total",
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*)))
+      // |buckets|-sized; pinned so each rank probe reads the materialized
+      // histogram instead of replaying the corpus aggregate per quantile
+      .localCheckpoint(eager = false)
+    val qs = qPermille.map { q =>
+      cum.where(col("cum") * 1000L >= col("n_total") * q)
+        .groupBy((groupCols.map(col) :+ col("n_total")): _*)
+        .agg(min(col("bucket")).as("bucket"))
+        .select((groupCols.map(col) :+ lit(q).as("q_permille") :+
+          hdrLowerBound(col("bucket"), b).as("estimate") :+
+          col("n_total")): _*)
+    }
+    qs.reduce(_ unionByName _)
+  }
 }

@@ -591,6 +591,35 @@ object EventQueries {
           "user_key", counters = 128, supportPerMille = 8)
         .orderBy(col("user_key"))),
 
+    // MERGEABLE QUANTILE SKETCH (X147): HDR-style integer log-bucket
+    // histograms of price cents per return flag, quantiles read off the
+    // cumulative counts with relative error ≤ 2^-5 — and the "ALL" rows
+    // are computed by MERGING the per-flag partial sketches (bucket-wise
+    // summation over the |buckets|-row histogram table), never re-reading
+    // the corpus: the order-statistics analogue of the HLL/CMS merge
+    // property, which is what makes percentile observability affordable
+    // at fleet scale. All bucket arithmetic is integer/string
+    // (length(bin(v))), so the whole approximate pipeline hash-matches
+    // DuckDB — unlike approx_percentile, whose sketch is engine-private.
+    "sketch_hdr_quantiles" -> q((s, dir) => {
+      val b = 5
+      val cents = Sources.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          (col("l_extendedprice").cast("decimal(12,2)") * 100)
+            .cast("long").as("cents"))
+      val perFlag = graft.operators.Sketch
+        .hdrHistogram(cents, "cents", b, groupCols = Seq("l_returnflag"))
+        .localCheckpoint(eager = false) // feeds per-flag ranks AND the merge
+      val merged = perFlag.groupBy(col("bucket"))
+        .agg(sum(col("n")).as("n"))
+        .select(lit("ALL").as("l_returnflag"), col("bucket"), col("n"))
+      graft.operators.Sketch
+        .hdrQuantiles(perFlag, b, Seq(500, 900, 990), Seq("l_returnflag"))
+        .unionByName(graft.operators.Sketch
+          .hdrQuantiles(merged, b, Seq(500, 900, 990), Seq("l_returnflag")))
+        .orderBy(col("l_returnflag"), col("q_permille"))
+    }),
+
     // Per-group Tukey-fence outlier screen (X63): rows outside
     // [q1 − 1.5·IQR, q3 + 1.5·IQR] of their event_type's exact quartiles.
     // Fence table is |groups| rows → broadcast; corpus side is one narrow
@@ -796,6 +825,46 @@ object EventQueries {
     "stream_sink_parquet_roundtrip" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |WHERE event_id % 100 = 0 ORDER BY event_id""".stripMargin,
+
+    // The full sketch replayed: integer bucket ids from length(bin(v)),
+    // per-flag histograms, the ALL merge as bucket-wise summation, rank
+    // selection over cumulative counts, lower-bound reconstruction.
+    "sketch_hdr_quantiles" ->
+      """WITH v AS (
+        |  SELECT l_returnflag,
+        |         (l_extendedprice::DECIMAL(12,2) * 100)::BIGINT AS cents
+        |  FROM lineitem),
+        |hb AS (
+        |  SELECT l_returnflag,
+        |         CASE WHEN length(bin(cents)) - 1 < 5 THEN cents
+        |              ELSE (length(bin(cents)) - 1 - 5) * 32
+        |                   + cents // cast(pow(2, length(bin(cents)) - 1 - 5)
+        |                           AS BIGINT) END AS bucket
+        |  FROM v WHERE cents >= 1),
+        |h AS (SELECT l_returnflag, bucket, count(*)::BIGINT AS n
+        |      FROM hb GROUP BY 1, 2),
+        |hall AS (SELECT 'ALL' AS l_returnflag, bucket, sum(n)::BIGINT AS n
+        |         FROM h GROUP BY 2),
+        |hh AS (SELECT * FROM h UNION ALL SELECT * FROM hall),
+        |c AS (
+        |  SELECT l_returnflag, bucket, n,
+        |         sum(n) OVER (PARTITION BY l_returnflag ORDER BY bucket)
+        |           AS cum,
+        |         sum(n) OVER (PARTITION BY l_returnflag) AS n_total
+        |  FROM hh),
+        |q(q_permille) AS (VALUES (500), (900), (990)),
+        |sel AS (
+        |  SELECT c.l_returnflag, q.q_permille, min(c.bucket) AS bucket,
+        |         min(c.n_total)::BIGINT AS n_total
+        |  FROM c, q WHERE c.cum * 1000 >= c.n_total * q.q_permille
+        |  GROUP BY 1, 2)
+        |SELECT l_returnflag, q_permille::INT AS q_permille,
+        |       CASE WHEN bucket < 32 THEN bucket
+        |            ELSE (bucket % 32 + 32)
+        |                 * cast(pow(2, bucket // 32 - 1) AS BIGINT)
+        |       END AS estimate,
+        |       n_total
+        |FROM sel ORDER BY l_returnflag, q_permille""".stripMargin,
 
     // Both MERGE generations replayed in order: gen0 is the source table
     // itself (inserted into empty), gen1's arithmetic folds over it.

@@ -92,4 +92,48 @@ class SketchSpec extends AnyFunSuite {
     assert(out(0).getAs[Long]("cms_est") == 0L, "empty cells floor the min at 0")
     assert(out(0).getAs[Long]("tag") == 7L, "extra probe columns ride along")
   }
+
+  test("hdrBucket/hdrLowerBound: hand vectors, monotonicity, relative-error bound") {
+    import spark.implicits._
+    val b = 5
+    // small values exact; 2^b is the first coarse bucket; lower bound of
+    // any value's bucket is within factor (1 + 2^-b)
+    val vals = Seq(1L, 31L, 32L, 33L, 63L, 64L, 100L, 1000L, 123456L,
+      (1L << 40) + 12345L)
+    val rows = vals.toDF("v")
+      .select(col("v"), Sketch.hdrBucket(col("v"), b).as("bucket"))
+      .select(col("v"), col("bucket"),
+        Sketch.hdrLowerBound(col("bucket"), b).as("lo"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (v, _, lo) =>
+      assert(lo <= v, s"lower bound $lo above member $v")
+      assert(v.toDouble < lo.toDouble * (1.0 + math.pow(2.0, -b)) + 1,
+        s"relative error too large: v=$v lo=$lo")
+    }
+    // exact below 2^b
+    assert(rows.filter(_._1 < 32).forall(r => r._2 == r._1 && r._3 == r._1))
+    // bucket ids monotone in v
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq)
+  }
+
+  test("hdrHistogram merge law: summed partial sketches ≡ the global sketch; quantiles within 2^-b of exact") {
+    import spark.implicits._
+    val b = 5
+    val data = (1 to 5000).map(i => (s"g${i % 3}", (i.toLong * i) % 100000L + 1L))
+      .toDF("g", "v")
+    val global = Sketch.hdrHistogram(data, "v", b)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mergedFromPartials = Sketch.hdrHistogram(data, "v", b, Seq("g"))
+      .groupBy(col("bucket")).agg(sum(col("n")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mergedFromPartials == global, "bucket-wise sum of partials must equal the global sketch")
+    // p50 estimate within relative 2^-b of the exact median
+    val est = Sketch.hdrQuantiles(
+        Sketch.hdrHistogram(data, "v", b), b, Seq(500))
+      .collect().head.getAs[Long]("estimate")
+    val exact = data.stat.approxQuantile("v", Array(0.5), 0.0).head
+    assert(est <= exact + 1, s"lower bound $est above exact median $exact")
+    assert(exact <= est * (1.0 + math.pow(2.0, -b)) * 1.01,
+      s"estimate $est too far below exact $exact")
+  }
 }
