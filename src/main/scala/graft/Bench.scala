@@ -47,7 +47,7 @@ object Bench {
     * iowait: /proc/stat iowait delta in per-CPU seconds (diagnostic only —
     * the query's own reads/spills land here). cpu: process CPU seconds. */
   final case class Rep(wall: Double, gc: Double, steal: Double,
-                       iowait: Double, cpu: Double)
+                       iowait: Double, cpu: Double, otherCpu: Double)
 
   private[graft] def jstr(s: String): String =
     "\"" + s.flatMap {
@@ -58,7 +58,7 @@ object Bench {
   private[graft] def jd(v: Double): String =
     if (v.isNaN || v.isInfinite) "null" else v.toString
   private[graft] def repJson(r: Rep): String =
-    s"""{"wall":${jd(r.wall)},"gc":${jd(r.gc)},"steal":${jd(r.steal)},"iowait":${jd(r.iowait)},"cpu":${jd(r.cpu)}}"""
+    s"""{"wall":${jd(r.wall)},"gc":${jd(r.gc)},"steal":${jd(r.steal)},"iowait":${jd(r.iowait)},"cpu":${jd(r.cpu)},"other_cpu":${jd(r.otherCpu)}}"""
   private[graft] def repsJson(reps: collection.Seq[(String, Seq[Rep])]): String =
     reps.map { case (k, ts) =>
       jstr(k) + ":" + ts.map(repJson).mkString("[", ",", "]")
@@ -130,7 +130,7 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty }
 
-  private[graft] def hostCounters(): Option[(Long, Long, Int)] =
+  private[graft] def hostCounters(): Option[(Long, Long, Int, Long)] =
     try {
       val src = scala.io.Source.fromFile("/proc/stat")
       try {
@@ -141,8 +141,15 @@ object Bench {
         else {
           val iowait = if (f.length > 5) f(5).toLong else 0L
           val steal = if (f.length > 8) f(8).toLong else 0L
+          // busy = user + nice + system: total CPU burned on the HOST —
+          // minus our own process CPU it exposes co-located load, the
+          // round-13/14 "driver machine" factor (wall and cpu inflate
+          // together with zero gc/steal when another JVM competes for
+          // cores; see BASELINE.md round-14 post-mortem)
+          val busy = (1 to 3).map(i =>
+            if (f.length > i) f(i).toLong else 0L).sum
           val n = lines.count(_.matches("cpu\\d+\\s.*"))
-          Some((steal, iowait, math.max(n, 1)))
+          Some((steal, iowait, math.max(n, 1), busy))
         }
       } finally src.close()
     } catch { case _: Throwable => None }
@@ -244,14 +251,18 @@ object Bench {
           val wall = (System.nanoTime() - t0) / 1e9
           // Both /proc/stat reads must succeed for a host delta; a one-sided
           // read would fabricate a huge (or negative) delta.
-          val (st, io) = (h0, hostCounters()) match {
-            case (Some((s0, i0, _)), Some((s1, i1, n))) =>
+          val procCpu = cpuSeconds() - c0
+          val (st, io, other) = (h0, hostCounters()) match {
+            case (Some((s0, i0, _, b0)), Some((s1, i1, n, b1))) =>
               (math.max(s1 - s0, 0L).toDouble / 100.0 / n,
-                math.max(i1 - i0, 0L).toDouble / 100.0 / n)
-            case _ => (0.0, 0.0)
+                math.max(i1 - i0, 0L).toDouble / 100.0 / n,
+                // host busy seconds minus ours: CPU other processes burned
+                // during this rep — the co-located-contention signal
+                math.max((b1 - b0).toDouble / 100.0 - procCpu, 0.0))
+            case _ => (0.0, 0.0, 0.0)
           }
           Some(Rep(wall, gc = (gcMillis() - gc0) / 1e3, steal = st,
-            iowait = io, cpu = cpuSeconds() - c0))
+            iowait = io, cpu = procCpu, otherCpu = other))
         } catch { case e: Throwable =>
           errors.getOrElseUpdate(name,
             s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")

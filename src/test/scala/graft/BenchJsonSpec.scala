@@ -11,19 +11,21 @@ import com.fasterxml.jackson.databind.ObjectMapper
 class BenchJsonSpec extends AnyFunSuite {
   private val mapper = new ObjectMapper()
 
-  test("repJson emits a strict-JSON object with all five counters") {
+  test("repJson emits a strict-JSON object with all six counters") {
     val node = mapper.readTree(
-      Bench.repJson(Bench.Rep(1.187529307, 0.046, 3.125e-4, 0.0021875, 8.82)))
+      Bench.repJson(Bench.Rep(1.187529307, 0.046, 3.125e-4, 0.0021875, 8.82,
+        0.37)))
     assert(node.get("wall").asDouble() === 1.187529307)
     assert(node.get("gc").asDouble() === 0.046)
     assert(node.get("steal").asDouble() === 3.125e-4)
     assert(node.get("iowait").asDouble() === 0.0021875)
     assert(node.get("cpu").asDouble() === 8.82)
+    assert(node.get("other_cpu").asDouble() === 0.37)
   }
 
   test("repsJson over many queries/reps parses and preserves structure") {
     val reps = Seq(
-      "q\"weird\nname" -> Seq(Bench.Rep(0.1, 0, 0, 0, 0.2), Bench.Rep(0.3, 0.01, 1e-4, 0, 0.4)),
+      "q\"weird\nname" -> Seq(Bench.Rep(0.1, 0, 0, 0, 0.2, 0), Bench.Rep(0.3, 0.01, 1e-4, 0, 0.4, 0)),
       "empty_query" -> Seq.empty[Bench.Rep])
     val node = mapper.readTree(Bench.repsJson(reps))
     assert(node.get("q\"weird\nname").size() === 2)
@@ -40,8 +42,8 @@ class BenchJsonSpec extends AnyFunSuite {
 
   test("hostCounters reads /proc/stat on Linux with a plausible CPU count") {
     assume(new java.io.File("/proc/stat").canRead)
-    val Some((steal, iowait, n)) = Bench.hostCounters(): @unchecked
-    assert(steal >= 0L && iowait >= 0L)
+    val Some((steal, iowait, n, busy)) = Bench.hostCounters(): @unchecked
+    assert(steal >= 0L && iowait >= 0L && busy >= 0L)
     assert(n >= 1 && n <= 4096)
   }
 
@@ -124,7 +126,7 @@ class BenchJsonSpec extends AnyFunSuite {
   test("regression gate: >2x with clean counters flags; host-explained and sub-floor do not") {
     val prev = Map("a" -> 1.0, "b" -> 1.0, "c" -> 0.1, "d" -> 1.0)
     def rep(wall: Double, gc: Double = 0.0, steal: Double = 0.0) =
-      Bench.Rep(wall, gc, steal, 0.0, wall)
+      Bench.Rep(wall, gc, steal, 0.0, wall, 0.0)
     val reps = Map(
       "a" -> Seq(rep(3.0), rep(3.1), rep(2.9)),            // clean 3x — flag
       "b" -> Seq(rep(3.0, gc = 1.5), rep(3.1, gc = 1.4), rep(2.9, gc = 1.6)), // GC-explained
