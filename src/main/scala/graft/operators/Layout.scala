@@ -89,6 +89,61 @@ object Layout {
     else spark.read.parquet(files.toIndexedSeq: _*)
   }
 
+  /** INCREMENTAL maintenance of the [[fileStats]] index — the lakehouse
+    * stats-collection contract: data files are immutable, so refreshing
+    * the index after an append/compaction scans ONLY files the stored
+    * index has not seen (set difference of bounded file listings — never
+    * a corpus re-scan), appending their stats rows. Returns the number of
+    * newly scanned files so callers (and the spec) can PROVE the
+    * incremental property. Stale rows for files later deleted by
+    * compaction are handled at read time ([[readFileStats]] keeps live
+    * files only); vacuum them on a cadence like any snapshot store. */
+  def updateFileStats(spark: org.apache.spark.sql.SparkSession,
+                      statsDir: String, dataDir: String,
+                      statCols: Seq[String]): Int = {
+    def norm(u: String): String = new java.net.URI(u).getPath
+    val current = spark.read.parquet(dataDir).inputFiles.map(norm).toSet
+    val known: Set[String] =
+      if (new java.io.File(statsDir).isDirectory)
+        spark.read.parquet(statsDir).select(col("file"))
+          .collect().map(r => norm(r.getString(0))).toSet
+      else Set.empty
+    val fresh = (current -- known).toSeq.sorted
+    if (fresh.nonEmpty)
+      fileStats(spark.read.parquet(fresh: _*), statCols)
+        .write.mode("append").parquet(statsDir)
+    fresh.size
+  }
+
+  /** The STORED stats index restricted to files still live in `dataDir`
+    * (compaction deletes files; their stats rows become stale, not wrong).
+    * The live-file list is |files|-sized — it joins, never `isin`s. */
+  def readFileStats(spark: org.apache.spark.sql.SparkSession,
+                    statsDir: String, dataDir: String): DataFrame = {
+    def norm(u: String): String = new java.net.URI(u).getPath
+    import spark.implicits._
+    val live = spark.read.parquet(dataDir).inputFiles.map(norm).toSeq
+      .toDF("__live")
+    val stats = spark.read.parquet(statsDir)
+    stats.join(live, norm0(stats("file")) === col("__live"), "left_semi")
+  }
+
+  /** Column-side twin of the URI normalization above ("file:///x" and
+    * "file:/x" are the same path). */
+  private def norm0(c: Column): Column =
+    regexp_replace(c, "^[a-z]+:/+", "/")
+
+  /** [[statsPrunedRead]] over the STORED index — the production read path
+    * where stats come from [[updateFileStats]]'s table, not a fresh scan. */
+  def statsPrunedReadStored(spark: org.apache.spark.sql.SparkSession,
+                            statsDir: String, dataDir: String,
+                            keep: Column): DataFrame = {
+    val files = readFileStats(spark, statsDir, dataDir)
+      .where(keep).select(col("file")).collect().map(_.getString(0))
+    if (files.isEmpty) spark.read.parquet(dataDir).where(lit(false))
+    else spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
   /** Range-partition by z and sort within partitions — the layout write
     * shape: each output file covers a contiguous z run, so per-file min/max
     * stats are tight in BOTH interleaved dimensions. `numFiles` range

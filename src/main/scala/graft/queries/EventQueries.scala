@@ -85,7 +85,55 @@ object EventQueries {
       out
     })
 
+  /** Memoized two-generation layout + INCREMENTALLY maintained stats index
+    * (X148): generation A written and indexed, generation B appended and
+    * indexed by a second [[graft.operators.Layout.updateFileStats]] call
+    * that scans ONLY the new files (returned counts pinned in LayoutSpec).
+    * Both generations range-partition on the bucket column so the stored
+    * stats actually prune. */
+  private val statsIncBuilt =
+    scala.collection.concurrent.TrieMap[String, (String, String)]()
+  private def statsIncDirs(s: SparkSession, dir: String): (String, String) =
+    statsIncBuilt.getOrElseUpdate(dir, {
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_statsinc_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      val data = new java.io.File(base, "data").getPath
+      val stats = new java.io.File(base, "stats").getPath
+      val ev = Sources.events(s, dir).select(col("event_id"),
+        pmod(col("user_id"), lit(64L)).as("a"))
+      def gen(pred: org.apache.spark.sql.Column, mode: String): Unit =
+        ev.where(pred).repartitionByRange(4, col("a"))
+          .sortWithinPartitions(col("a"))
+          .write.mode(mode).parquet(data)
+      gen(col("event_id") % 3 === 0, "overwrite")
+      graft.operators.Layout.updateFileStats(s, stats, data, Seq("a"))
+      gen(col("event_id") % 3 =!= 0, "append")
+      graft.operators.Layout.updateFileStats(s, stats, data, Seq("a"))
+      (data, stats)
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // INCREMENTAL stats-index maintenance driven end-to-end (X148): the
+    // read rides the STORED index built across two generations — the
+    // second update scanned only the appended files (data files are
+    // immutable, so stats refresh is a file-set difference, never a
+    // corpus re-scan). The oracle replays the filtered aggregate over
+    // both generations' rows, so the hash proves the incrementally-built
+    // index is COMPLETE: a missed generation-B file (or a stale plan
+    // keeping only generation A) mismatches immediately.
+    "layout_stats_incremental" -> q((s, dir) => {
+      val (data, stats) = statsIncDirs(s, dir)
+      graft.operators.Layout
+        .statsPrunedReadStored(s, stats, data, keep = col("min_a") < 8)
+        .where(col("a") < 8)
+        .groupBy(col("a"))
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("min_event_id"),
+          max(col("event_id")).as("max_event_id"))
+        .orderBy(col("a"))
+    }),
 
     // MULTI-DIMENSION z-order skipping (X143): predicates on TWO of the
     // three interleaved columns over the 3-D Morton layout — the
@@ -1252,6 +1300,13 @@ object EventQueries {
         |       min(event_id) AS min_event_id, max(event_id) AS max_event_id
         |FROM (SELECT event_id, user_id % 256 AS a FROM events)
         |WHERE a < 32 GROUP BY a ORDER BY a""".stripMargin,
+
+    // Unpruned replay over BOTH generations (gen A ∪ gen B = all events).
+    "layout_stats_incremental" ->
+      """SELECT a, count(*)::bigint AS n,
+        |       min(event_id) AS min_event_id, max(event_id) AS max_event_id
+        |FROM (SELECT event_id, user_id % 64 AS a FROM events)
+        |WHERE a < 8 GROUP BY a ORDER BY a""".stripMargin,
 
     // The UNPRUNED replay — equality proves the stats planner kept every
     // qualifying file (completeness) while the residual filter kept

@@ -83,6 +83,39 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("updateFileStats: second update scans ONLY new files; third is a no-op; reads drop stale rows") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_statsinc_spec")
+    val data = base.resolve("data").toString
+    val stats = base.resolve("stats").toString
+    try {
+      (0L until 32L).map(i => (i, i / 8)).toDF("id", "k")
+        .repartitionByRange(4, col("k")).write.mode("overwrite").parquet(data)
+      val n1 = Layout.updateFileStats(spark, stats, data, Seq("k"))
+      assert(n1 == 4, s"initial build must scan all 4 files, scanned $n1")
+      (32L until 48L).map(i => (i, 4L + (i - 32) / 8)).toDF("id", "k")
+        .repartitionByRange(2, col("k")).write.mode("append").parquet(data)
+      val n2 = Layout.updateFileStats(spark, stats, data, Seq("k"))
+      assert(n2 == 2, s"incremental update must scan only the 2 new files, scanned $n2")
+      val n3 = Layout.updateFileStats(spark, stats, data, Seq("k"))
+      assert(n3 == 0, "no new files → no scan")
+      assert(spark.read.parquet(stats).count() == 6)
+      // stats-pruned read over the stored index sees BOTH generations
+      val ids = Layout.statsPrunedReadStored(spark, stats, data,
+          keep = col("min_k") >= 4)
+        .where(col("k") >= 4).select(col("id"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == (32L until 48L), s"stored-index read wrong: $ids")
+      // deleting a data file leaves a stale stats row that reads ignore
+      val victim = spark.read.parquet(data).inputFiles.head
+      new java.io.File(new java.net.URI(victim).getPath).delete()
+      assert(Layout.readFileStats(spark, stats, data).count() == 5)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(base.toString)).deleteRecursively()
+    }
+  }
+
   test("aligned 4^k buckets bound both dimension ranges by 2^k (exact, corpus-wide)") {
     val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .select(pmod(col("user_id"), lit(256L)).as("a"),
