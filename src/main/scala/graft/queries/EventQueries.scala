@@ -262,6 +262,28 @@ object EventQueries {
         .orderBy(col("r"), col("pos"))
     }),
 
+    // STREAMING QUANTILE-SKETCH MAINTENANCE (X147 through the runtime,
+    // the X105 discipline applied to order statistics): the HDR log-bucket
+    // histogram built by a streaming aggregate (readStream → hdrBucket
+    // groupBy → memory sink, Complete mode). Bucket counts are mergeable,
+    // so the streamed histogram equals the batch build bucket-for-bucket
+    // at ANY micro-batch split — which is exactly why this sketch can
+    // back a continuously-maintained latency/size percentile monitor at
+    // fleet scale. The oracle replays the integer bucket arithmetic, so
+    // the driver hash-checks the streamed sketch cell-for-cell.
+    "stream_hdr_histogram" -> q((s, dir) => {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "l_extendedprice DOUBLE")
+      graft.streaming.StreamingOps.runToMemorySink(s, dir,
+        "lineitem.parquet", schema,
+        src => graft.operators.Sketch.hdrHistogram(
+          src.select((col("l_extendedprice").cast("decimal(12,2)") * 100)
+            .cast("long").as("cents")),
+          "cents", b = 5),
+        shufflePartitions = Some(streamBenchPartitions))
+        .orderBy(col("bucket"))
+    }),
+
     // Stream-stream INTERVAL JOIN through the runtime — the streaming twin
     // of events_errors_near_purchase's band join: purchases matched to
     // errors by the same user within the preceding 30 minutes, watermarks
@@ -873,6 +895,20 @@ object EventQueries {
     "stream_sink_parquet_roundtrip" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |WHERE event_id % 100 = 0 ORDER BY event_id""".stripMargin,
+
+    // The streamed histogram replayed: identical bucket arithmetic to the
+    // batch sketch oracle below, counts only.
+    "stream_hdr_histogram" ->
+      """WITH v AS (
+        |  SELECT (l_extendedprice::DECIMAL(12,2) * 100)::BIGINT AS cents
+        |  FROM lineitem)
+        |SELECT CASE WHEN length(bin(cents)) - 1 < 5 THEN cents
+        |            ELSE (length(bin(cents)) - 1 - 5) * 32
+        |                 + cents // cast(pow(2, length(bin(cents)) - 1 - 5)
+        |                         AS BIGINT) END AS bucket,
+        |       count(*)::BIGINT AS n
+        |FROM v WHERE cents >= 1
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // The full sketch replayed: integer bucket ids from length(bin(v)),
     // per-flag histograms, the ALL merge as bucket-wise summation, rank
