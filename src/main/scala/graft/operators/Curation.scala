@@ -90,11 +90,15 @@ object Curation {
     * (idCol, q1_out, q2_out, anon_level, released).
     *
     * NULL quasi-identifiers are legitimate release-tuple values: grouping
-    * and join-back key on an internal non-printable sentinel (U+0000,
-    * never emitted), so null-keyed documents COUNT toward and RECEIVE an
-    * anon_level like any other — a privacy op must account for every input
-    * row, never silently drop the null-keyed ones (round-13 advice). A
-    * level-0 null releases as null. `"*"` is the RESERVED generalization
+    * and join-back key on the PAIR (isnull(q), coalesce(q, "")) — null is a
+    * distinct key that no data value can collide with — so null-keyed
+    * documents COUNT toward and RECEIVE an anon_level like any other; a
+    * privacy op must account for every input row, never silently drop the
+    * null-keyed ones (round-13 advice). A string sentinel would be wrong
+    * here (round-14 advice): a corpus containing the old U+0000 sentinel as a REAL value
+    * would merge with the null group, and two singleton release tuples
+    * could pass as one size-k group — overstating k-anonymity. A level-0
+    * null releases as null. `"*"` is the RESERVED generalization
     * sentinel in the released columns: inputs containing a literal `"*"`
     * still anonymize correctly (release sets only union, anonymity is not
     * weakened), but consumers keying on the released tuple alone cannot
@@ -103,18 +107,21 @@ object Curation {
   def kAnonymize(docs: DataFrame, idCol: String, q1: String, q2: String,
                  k: Long): DataFrame = {
     require(k >= 1, "k >= 1")
-    val keyed = docs.withColumn("__k1",
-        coalesce(col(q1).cast("string"), lit("\u0000")))
-      .withColumn("__k2", coalesce(col(q2).cast("string"), lit("\u0000")))
-    val g0 = keyed.groupBy(col("__k1"), col("__k2"))
+    val keyed = docs
+      .withColumn("__k1n", isnull(col(q1)))
+      .withColumn("__k1", coalesce(col(q1).cast("string"), lit("")))
+      .withColumn("__k2n", isnull(col(q2)))
+      .withColumn("__k2", coalesce(col(q2).cast("string"), lit("")))
+    val g0 = keyed
+      .groupBy(col("__k1n"), col("__k1"), col("__k2n"), col("__k2"))
       .agg(count(lit(1)).as("__n0"))
     val g1 = g0.where(col("__n0") < k)
-      .groupBy(col("__k1")).agg(sum(col("__n0")).as("__n1"))
+      .groupBy(col("__k1n"), col("__k1")).agg(sum(col("__n0")).as("__n1"))
     val suppressedTotal = g1.where(col("__n1") < k)
       .agg(coalesce(sum(col("__n1")), lit(0L)).as("n")).select(col("n"))
     keyed
-      .join(broadcast(g0), Seq("__k1", "__k2"))
-      .join(broadcast(g1), Seq("__k1"), "left")
+      .join(broadcast(g0), Seq("__k1n", "__k1", "__k2n", "__k2"))
+      .join(broadcast(g1), Seq("__k1n", "__k1"), "left")
       .withColumn("anon_level",
         when(col("__n0") >= k, lit(0))
           .when(coalesce(col("__n1"), lit(0L)) >= k, lit(1))

@@ -134,14 +134,30 @@ object Layout {
     regexp_replace(c, "^[a-z]+:/+", "/")
 
   /** [[statsPrunedRead]] over the STORED index — the production read path
-    * where stats come from [[updateFileStats]]'s table, not a fresh scan. */
+    * where stats come from [[updateFileStats]]'s table, not a fresh scan.
+    *
+    * COMPLETENESS GUARD (round-14 advice): [[readFileStats]] only filters
+    * STALE index rows (files compaction deleted); it cannot detect MISSING
+    * coverage — a live data file with no stats row (a skipped/failed
+    * [[updateFileStats]]) would silently vanish from every pruned read.
+    * Both lists are |files|-sized driver metadata, so the guard is a cheap
+    * set difference: any live-but-unindexed file is read UNPRUNED (stats
+    * prune conservatively; a file without stats can never be skipped) and
+    * unioned in, keeping results exact while the index catches up. */
   def statsPrunedReadStored(spark: org.apache.spark.sql.SparkSession,
                             statsDir: String, dataDir: String,
                             keep: Column): DataFrame = {
-    val files = readFileStats(spark, statsDir, dataDir)
-      .where(keep).select(col("file")).collect().map(_.getString(0))
+    def norm(u: String): String = new java.net.URI(u).getPath
+    val stats = readFileStats(spark, statsDir, dataDir)
+      .select(col("file"), keep.as("__keep")).collect()
+    val indexed = stats.map(r => norm(r.getString(0))).toSet
+    val kept = stats.filter(r => !r.isNullAt(1) && r.getBoolean(1))
+      .map(_.getString(0))
+    val unindexed = spark.read.parquet(dataDir).inputFiles
+      .filter(f => !indexed.contains(norm(f)))
+    val files = (kept ++ unindexed).toIndexedSeq
     if (files.isEmpty) spark.read.parquet(dataDir).where(lit(false))
-    else spark.read.parquet(files.toIndexedSeq: _*)
+    else spark.read.parquet(files: _*)
   }
 
   /** Range-partition by z and sort within partitions — the layout write

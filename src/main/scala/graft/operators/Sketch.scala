@@ -134,20 +134,28 @@ object Sketch {
   def hdrBucket(v: Column, b: Int): Column = {
     require(b >= 1 && b <= 20, "b in [1, 20]")
     val msb = (length(bin(v)) - 1).cast("long")
+    // The mantissa step is v >> (msb-b): a true integer shift, never a
+    // float division. Spark's `/` promotes integrals to double, whose
+    // rounding can flip the bucket by one for values ≥ 2^53 and diverge
+    // from the oracle's integer `//` (round-14 advice); shiftright is
+    // (BIGINT, INT) → BIGINT, exact at any input. The shift amount is a
+    // column, so it goes through call_function (the Scala shorthand only
+    // takes literal shift counts).
     when(msb < b, v).otherwise(
       (msb - b) * (1L << b) +
-        (v.cast("long") / pow(lit(2.0), (msb - b).cast("double"))
-          .cast("long")).cast("long"))
+        call_function("shiftright", v.cast("long"), (msb - b).cast("int")))
   }
 
   /** Lower bound of an [[hdrBucket]] bucket — the quantile estimate the
     * sketch reports. Exact inverse of the bucketing for the bucket's
-    * smallest member. */
+    * smallest member. Same integer discipline as the bucketing: the
+    * magnitude reconstruction is an integer shiftleft, not a double pow —
+    * exact for every representable bucket, not just exponents ≤ 53. */
   def hdrLowerBound(bucket: Column, b: Int): Column =
     when(bucket < (1L << b), bucket).otherwise(
-      (bucket % (1L << b) + (1L << b)) *
-        pow(lit(2.0), (floor(bucket / (1L << b)) - 1).cast("double"))
-          .cast("long"))
+      call_function("shiftleft",
+        bucket % (1L << b) + (1L << b),
+        (shiftright(bucket.cast("long"), b) - 1).cast("int")))
 
   /** MERGEABLE QUANTILE SKETCH over a positive integer measure: one
     * hash aggregate reduces any data split to ≤ (64-b)·2^b (bucket, n)

@@ -124,8 +124,14 @@ object Versioning {
     val kept = target.join(touched, target(idCol) === col("__merge_id"),
       "left_anti")
     val outCols = (idCol +: payloadCols).map(col)
+    // NULL delete flags must mean NOT-deleted (round-14 advice): ANSI MERGE
+    // treats a NULL matched-condition as not satisfied, so the row UPDATEs.
+    // A bare `!deletePred` is NULL on NULL input and where() drops the row —
+    // but the anti-join above already removed its target twin, turning a
+    // three-valued unknown into a silent DELETE. coalesce pins NULL → false.
     kept.select(outCols: _*)
-      .unionByName(source.where(!deletePred).select(outCols: _*))
+      .unionByName(
+        source.where(!coalesce(deletePred, lit(false))).select(outCols: _*))
   }
 
   /** Replay an ORDERED CHAIN of payload-carrying deltas over a base

@@ -365,15 +365,29 @@ object StreamingOps {
 
   /** Newest COMPLETE snapshot version strictly below `below` — a `v=<k>`
     * child with a `_SUCCESS` marker. Bounded directory listing (one entry
-    * per committed batch; compact on a cadence like any snapshot store). */
-  def latestCdcVersion(tableDir: String, below: Long = Long.MaxValue)
+    * per committed batch; compact on a cadence like any snapshot store).
+    *
+    * Listing goes through the Hadoop FileSystem API — the SAME resolver the
+    * parquet writer uses — so an hdfs:// or s3a:// tableDir works (round-14
+    * advice: a java.io.File listing silently saw an empty predecessor on any
+    * non-local scheme and each batch would rewrite its own delta as the full
+    * snapshot). The conf defaults to the active session's, falling back to a
+    * bare Configuration (local-fs semantics) only when no session exists. */
+  def latestCdcVersion(tableDir: String, below: Long = Long.MaxValue,
+                       conf: org.apache.hadoop.conf.Configuration = null)
   : Option[Long] = {
-    val d = new java.io.File(tableDir)
-    if (!d.isDirectory) None
-    else Option(d.listFiles()).getOrElse(Array.empty).toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
-        new java.io.File(f, "_SUCCESS").isFile)
-      .flatMap(f => scala.util.Try(f.getName.stripPrefix("v=").toLong).toOption)
+    val c = Option(conf)
+      .orElse(org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sessionState.newHadoopConf()))
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val dir = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = dir.getFileSystem(c)
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .flatMap(st =>
+        scala.util.Try(st.getPath.getName.stripPrefix("v=").toLong).toOption)
       .filter(_ < below)
       .sorted.lastOption
   }

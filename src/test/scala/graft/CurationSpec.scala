@@ -354,4 +354,24 @@ class CurationSpec extends AnyFunSuite {
     assert(out(3L) == (("en", "*", 1, true)))
     assert(out(4L) == (("en", "*", 1, true)))
   }
+
+  test("kAnonymize: a data value can never merge with the NULL group (round-14 advice)") {
+    import spark.implicits._
+    // Two SINGLETON release tuples at k=2: (en, NULL) and (en, <U+0000>-the-data-value) —
+    // under the old U+0000 string sentinel these counted as ONE group of
+    // size 2 and released both values exactly (anon_level 0), overstating
+    // k-anonymity for two distinctly-identifiable rows. With (isnull, value)
+    // pair keys they are separate level-0-failing groups that generalize
+    // together into (en, *) — anonymity set of size 2, level 1.
+    val docs = Seq[(Long, String, String)](
+      (1L, "en", null), (2L, "en", 0.toChar.toString)
+    ).toDF("doc_id", "lang", "source")
+    val out = Curation.kAnonymize(docs, "doc_id", "lang", "source", k = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getInt(3), r.getBoolean(4))))
+      .toMap
+    assert(out(1L) == (("en", "*", 1, true)), s"got ${out(1L)}")
+    assert(out(2L) == (("en", "*", 1, true)), s"got ${out(2L)}")
+  }
 }

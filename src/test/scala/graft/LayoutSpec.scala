@@ -116,6 +116,37 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("statsPrunedReadStored: a live file the index MISSED is read unpruned, never silently dropped (round-14 advice)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_statsgap_spec")
+    val data = base.resolve("data").toString
+    val stats = base.resolve("stats").toString
+    try {
+      (0L until 16L).map(i => (i, i / 8)).toDF("id", "k")
+        .repartitionByRange(2, col("k")).write.mode("overwrite").parquet(data)
+      assert(Layout.updateFileStats(spark, stats, data, Seq("k")) == 2)
+      // a second append lands WITHOUT its stats refresh — the failure mode:
+      // files exist, index has no coverage row for them
+      (16L until 24L).map(i => (i, 9L)).toDF("id", "k")
+        .repartition(1).write.mode("append").parquet(data)
+      // keep = min_k >= 9 prunes BOTH indexed files; the unindexed file has
+      // no stats row so it can never be proven skippable — it must be read
+      val got = Layout.statsPrunedReadStored(spark, stats, data,
+          keep = col("min_k") >= 9L)
+        .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == (16L until 24L),
+        s"unindexed live file dropped or over-read: $got")
+      // and a keep that also selects an indexed file unions both
+      val both = Layout.statsPrunedReadStored(spark, stats, data,
+          keep = col("min_k") >= 1L)
+        .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+      assert(both == (8L until 24L), s"union of kept+unindexed wrong: $both")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(base.toString)).deleteRecursively()
+    }
+  }
+
   test("aligned 4^k buckets bound both dimension ranges by 2^k (exact, corpus-wide)") {
     val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .select(pmod(col("user_id"), lit(256L)).as("a"),

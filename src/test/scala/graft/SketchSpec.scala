@@ -116,6 +116,38 @@ class SketchSpec extends AnyFunSuite {
     assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq)
   }
 
+  test("hdrBucket: integer-exact at full BIGINT range — no double-division bucket flips (round-14 advice)") {
+    import spark.implicits._
+    val b = 5
+    // v = 2^62 - 1: the true mantissa is v >> 56 = 63, but the double
+    // quotient v / 2^56 = 64 - 2^-56 rounds to exactly 64.0 (double spacing
+    // near 64 is 2^-46), so the old `/`-then-cast arithmetic flipped the
+    // bucket up by one and diverged from the oracle's integer `//`.
+    // Reference model: pure JVM integer shifts.
+    def model(v: Long): Long = {
+      val msb = 63 - java.lang.Long.numberOfLeadingZeros(v)
+      if (msb < b) v else (msb - b).toLong * (1L << b) + (v >> (msb - b))
+    }
+    val vals = Seq((1L << 62) - 1L, (1L << 62), Long.MaxValue,
+      (1L << 53) + 1L, (1L << 53) - 1L, (1L << 40) + 12345L, 123456L)
+    val got = vals.toDF("v")
+      .select(col("v"), Sketch.hdrBucket(col("v"), b).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vals.foreach { v =>
+      assert(got(v) == model(v), s"v=$v: got ${got(v)}, integer model ${model(v)}")
+    }
+    // the lower bound reconstruction is likewise shift-exact: it must
+    // bound every member from below even past the 2^53 double mantissa
+    val lo = vals.toDF("v")
+      .select(col("v"),
+        Sketch.hdrLowerBound(Sketch.hdrBucket(col("v"), b), b).as("lo"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vals.foreach { v =>
+      assert(lo(v) <= v && lo(v) > v - (v >> (b - 1)),
+        s"v=$v: lower bound ${lo(v)} out of band")
+    }
+  }
+
   test("hdrHistogram merge law: summed partial sketches ≡ the global sketch; quantiles within 2^-b of exact") {
     import spark.implicits._
     val b = 5

@@ -475,6 +475,20 @@ class StreamingOpsSpec extends AnyFunSuite {
       val torn = new java.io.File(tmp, "v=2"); torn.mkdirs()
       assert(StreamingOps.latestCdcVersion(tmp).contains(1L))
       assert(state() == Set((1L, "a2"), (3L, "c")))
+      // scheme-qualified tableDir (round-14 advice): the listing goes
+      // through the Hadoop FileSystem resolver the parquet writer uses, so
+      // a "file:"-prefixed path — and by the same mechanism hdfs://-or-
+      // s3a:// — sees the committed versions; the old java.io.File listing
+      // saw an empty predecessor on any non-local scheme and each batch
+      // would rewrite its delta as the full snapshot.
+      assert(StreamingOps.latestCdcVersion(s"file:$tmp").contains(1L),
+        "scheme-qualified tableDir must resolve through Hadoop FS")
+      val b2 = Seq((4L, "d", false)).toDF("id", "v", "del")
+      StreamingOps.applyCdcBatch(b2, 2L, "id", Seq("v"), "del", s"file:$tmp")
+      assert(StreamingOps.readCdcTable(spark, s"file:$tmp")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+        Set((1L, "a2"), (3L, "c"), (4L, "d")),
+        "batch over a scheme-qualified dir must fold over the predecessor")
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(tmp)).deleteRecursively()

@@ -144,4 +144,24 @@ class VersioningSpec extends AnyFunSuite {
     assert(out == Set((1L, "a2", 11L), (3L, "c", 30L), (4L, "d", 40L),
       (5L, "e", 50L)))
   }
+
+  test("mergeUpsert: a NULL delete flag means UPDATE, never a silent DELETE (round-14 advice)") {
+    import spark.implicits._
+    // ANSI MERGE evaluates WHEN MATCHED AND <cond> under three-valued
+    // logic: a NULL condition is NOT satisfied, so the row falls through
+    // to the unconditional UPDATE branch. A bare `where(!pred)` drops the
+    // NULL row after the anti-join already removed its target twin —
+    // that composition silently deleted it.
+    val target = Seq((1L, "a", 10L), (2L, "b", 20L))
+      .toDF("doc_id", "lang", "n")
+    val source = Seq(
+      (1L, "a2", 11L, Option.empty[Boolean]), // matched, NULL flag → UPDATE
+      (3L, "c3", 30L, Option.empty[Boolean])  // unmatched, NULL flag → INSERT
+    ).toDF("doc_id", "lang", "n", "is_delete")
+    val out = Versioning.mergeUpsert(target, source, "doc_id",
+        Seq("lang", "n"), col("is_delete"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set((1L, "a2", 11L), (2L, "b", 20L), (3L, "c3", 30L)),
+      s"NULL delete flag mishandled: $out")
+  }
 }
