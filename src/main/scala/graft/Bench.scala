@@ -45,9 +45,31 @@ object Bench {
     * world cost — ours). steal: /proc/stat steal delta in per-CPU seconds
     * (external interference — not ours; the ONLY stall-guard evidence).
     * iowait: /proc/stat iowait delta in per-CPU seconds (diagnostic only —
-    * the query's own reads/spills land here). cpu: process CPU seconds. */
+    * the query's own reads/spills land here). cpu: process CPU seconds.
+    *
+    * Round-15 forensic counters (the round-14 verdict's 8 driver-machine
+    * regressions showed 4-9x CPU-second inflation with gc=steal=iowait=
+    * other_cpu≈0 — these discriminate the remaining hypotheses):
+    *   - readBytes: /proc/self/io read_bytes delta — ACTUAL storage reads
+    *     charged to this process; page-cache hits don't count, so a
+    *     cold-parquet first-touch shows up here and nowhere else;
+    *   - majflt: /proc/self/stat major-fault delta — mmap'd pages faulted
+    *     from disk (the parquet reader path the io counter can miss);
+    *   - jit: HotSpot total compilation time delta (CompilationMXBean,
+    *     seconds) — a JIT-recompile storm inflates CPU with clean GC;
+    *   - codegenN: whole-stage-codegen compilation COUNT delta
+    *     (CodegenMetrics) — nonzero during timed reps means the Janino
+    *     class cache evicted this query's generated code (the round-8
+    *     failure mode returning at a larger registry);
+    *   - mhz: CPU frequency sampled AFTER the rep (cpu0 scaling_cur_freq,
+    *     falling back to /proc/cpuinfo mean) — a thermal/governor downclock
+    *     inflates both wall and CPU seconds with every other counter clean,
+    *     which is exactly the unexplained signature. */
   final case class Rep(wall: Double, gc: Double, steal: Double,
-                       iowait: Double, cpu: Double, otherCpu: Double)
+                       iowait: Double, cpu: Double, otherCpu: Double,
+                       readBytes: Long = -1L, majflt: Long = -1L,
+                       jit: Double = -1.0, codegenN: Long = -1L,
+                       mhz: Double = -1.0)
 
   private[graft] def jstr(s: String): String =
     "\"" + s.flatMap {
@@ -58,7 +80,7 @@ object Bench {
   private[graft] def jd(v: Double): String =
     if (v.isNaN || v.isInfinite) "null" else v.toString
   private[graft] def repJson(r: Rep): String =
-    s"""{"wall":${jd(r.wall)},"gc":${jd(r.gc)},"steal":${jd(r.steal)},"iowait":${jd(r.iowait)},"cpu":${jd(r.cpu)},"other_cpu":${jd(r.otherCpu)}}"""
+    s"""{"wall":${jd(r.wall)},"gc":${jd(r.gc)},"steal":${jd(r.steal)},"iowait":${jd(r.iowait)},"cpu":${jd(r.cpu)},"other_cpu":${jd(r.otherCpu)},"read_bytes":${r.readBytes},"majflt":${r.majflt},"jit":${jd(r.jit)},"codegen_n":${r.codegenN},"mhz":${jd(r.mhz)}}"""
   private[graft] def repsJson(reps: collection.Seq[(String, Seq[Rep])]): String =
     reps.map { case (k, ts) =>
       jstr(k) + ":" + ts.map(repJson).mkString("[", ",", "]")
@@ -129,6 +151,63 @@ object Bench {
         b.result()
       }
     } catch { case _: Throwable => Map.empty }
+
+  /** (read_bytes, majflt) for THIS process; (-1,-1) when /proc is absent.
+    * read_bytes counts storage-layer reads (page-cache hits excluded);
+    * majflt counts disk-backed page faults — together they answer "did this
+    * rep actually touch disk" for the cold-parquet hypothesis. */
+  private[graft] def procIo(): (Long, Long) =
+    try {
+      val io = scala.io.Source.fromFile("/proc/self/io")
+      val rb = try io.getLines()
+          .collectFirst { case l if l.startsWith("read_bytes:") =>
+            l.split(":\\s*")(1).trim.toLong }.getOrElse(-1L)
+        finally io.close()
+      val st = scala.io.Source.fromFile("/proc/self/stat")
+      val mf = try {
+        val line = st.getLines().next()
+        // fields after the parenthesized comm (which can embed spaces):
+        // state=1 ... majflt is the 10th post-comm field
+        val rest = line.substring(line.lastIndexOf(')') + 2).split(" ")
+        rest(9).toLong
+      } finally st.close()
+      (rb, mf)
+    } catch { case _: Throwable => (-1L, -1L) }
+
+  /** Current CPU frequency in MHz — cpu0's cpufreq view when the kernel
+    * exposes it, else the /proc/cpuinfo mean; -1 when neither exists. */
+  private[graft] def cpuMhz(): Double =
+    try {
+      val f = new java.io.File(
+        "/sys/devices/system/cpu/cpu0/cpufreq/scaling_cur_freq")
+      if (f.isFile) {
+        val s = scala.io.Source.fromFile(f)
+        try s.getLines().next().trim.toDouble / 1000.0 finally s.close()
+      } else {
+        val s = scala.io.Source.fromFile("/proc/cpuinfo")
+        try {
+          val ms = s.getLines().filter(_.startsWith("cpu MHz"))
+            .map(_.split(":")(1).trim.toDouble).toVector
+          if (ms.isEmpty) -1.0 else ms.sum / ms.size
+        } finally s.close()
+      }
+    } catch { case _: Throwable => -1.0 }
+
+  /** HotSpot total JIT compilation milliseconds (monotonic). */
+  private[graft] def jitMillis(): Long =
+    try {
+      val c = java.lang.management.ManagementFactory.getCompilationMXBean
+      if (c != null && c.isCompilationTimeMonitoringSupported)
+        c.getTotalCompilationTime
+      else -1L
+    } catch { case _: Throwable => -1L }
+
+  /** Whole-stage-codegen compilations so far (Janino class-cache misses
+    * land here; steady-state timed reps should add ZERO). */
+  private[graft] def codegenCount(): Long =
+    try org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME.getCount
+    catch { case _: Throwable => -1L }
 
   private[graft] def hostCounters(): Option[(Long, Long, Int, Long)] =
     try {
@@ -245,6 +324,7 @@ object Bench {
       System.gc()
       val reps = (1 to Reps).flatMap { _ =>
         val gc0 = gcMillis(); val h0 = hostCounters(); val c0 = cpuSeconds()
+        val io0 = procIo(); val j0 = jitMillis(); val cg0 = codegenCount()
         val t0 = System.nanoTime()
         try {
           runOnce(fn, sfDir)
@@ -261,8 +341,15 @@ object Bench {
                 math.max((b1 - b0).toDouble / 100.0 - procCpu, 0.0))
             case _ => (0.0, 0.0, 0.0)
           }
+          val io1 = procIo(); val j1 = jitMillis(); val cg1 = codegenCount()
+          def delta(a: Long, b: Long): Long = if (a < 0 || b < 0) -1L else b - a
           Some(Rep(wall, gc = (gcMillis() - gc0) / 1e3, steal = st,
-            iowait = io, cpu = procCpu, otherCpu = other))
+            iowait = io, cpu = procCpu, otherCpu = other,
+            readBytes = delta(io0._1, io1._1),
+            majflt = delta(io0._2, io1._2),
+            jit = if (j0 < 0 || j1 < 0) -1.0 else (j1 - j0) / 1e3,
+            codegenN = delta(cg0, cg1),
+            mhz = cpuMhz()))
         } catch { case e: Throwable =>
           errors.getOrElseUpdate(name,
             s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")

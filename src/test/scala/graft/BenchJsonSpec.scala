@@ -11,16 +11,36 @@ import com.fasterxml.jackson.databind.ObjectMapper
 class BenchJsonSpec extends AnyFunSuite {
   private val mapper = new ObjectMapper()
 
-  test("repJson emits a strict-JSON object with all six counters") {
+  test("repJson emits a strict-JSON object with all eleven counters") {
     val node = mapper.readTree(
       Bench.repJson(Bench.Rep(1.187529307, 0.046, 3.125e-4, 0.0021875, 8.82,
-        0.37)))
+        0.37, readBytes = 1048576L, majflt = 3L, jit = 0.125,
+        codegenN = 2L, mhz = 3201.5)))
     assert(node.get("wall").asDouble() === 1.187529307)
     assert(node.get("gc").asDouble() === 0.046)
     assert(node.get("steal").asDouble() === 3.125e-4)
     assert(node.get("iowait").asDouble() === 0.0021875)
     assert(node.get("cpu").asDouble() === 8.82)
     assert(node.get("other_cpu").asDouble() === 0.37)
+    assert(node.get("read_bytes").asLong() === 1048576L)
+    assert(node.get("majflt").asLong() === 3L)
+    assert(node.get("jit").asDouble() === 0.125)
+    assert(node.get("codegen_n").asLong() === 2L)
+    assert(node.get("mhz").asDouble() === 3201.5)
+  }
+
+  test("forensic counter readers return plausible values on this host") {
+    assume(new java.io.File("/proc/self/io").canRead)
+    val (rb, mf) = Bench.procIo()
+    assert(rb >= 0L, s"read_bytes $rb")
+    assert(mf >= 0L, s"majflt $mf")
+    // jit is monotonic and this JVM has compiled SOMETHING by now
+    assert(Bench.jitMillis() > 0L)
+    // mhz: either unavailable (-1) or a sane clock
+    val mhz = Bench.cpuMhz()
+    assert(mhz == -1.0 || (mhz > 100 && mhz < 10000), s"mhz $mhz")
+    // codegen counter is readable (may be 0 if no SQL ran yet in this JVM)
+    assert(Bench.codegenCount() >= 0L)
   }
 
   test("repsJson over many queries/reps parses and preserves structure") {
