@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan pins for the round-15 additions (the Round8/9/14PlansSpec
+  * discipline): scale claims that are PLAN properties get asserted on the
+  * executed plan string so refactors fail the suite, not the bench. */
+class Round15PlansSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def executed(name: String): org.apache.spark.sql.DataFrame = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect() // AQE finalizes at execution
+    df
+  }
+  private def plan(name: String): String =
+    executed(name).queryExecution.executedPlan.toString
+
+  test("sim_semantic_screen_indexed plan: probes the STORED index — cell equi-join over the index scan, never an NLJ") {
+    val p = plan("sim_semantic_screen_indexed")
+    // the corpus side must come from the stored index artifact, not a
+    // re-derived in-memory frame
+    assert(p.contains("graft_ivf_") && p.contains("corpus"),
+      s"corpus side must scan the stored IVF index:\n$p")
+    // candidate generation is an equi-join on the probed cell id — the
+    // whole point vs the brute-force broadcast NLJ baseline
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"indexed screen must not degenerate to the NLJ baseline:\n$p")
+    assert(p.contains("cell"),
+      s"join keys must include the probed cell id:\n$p")
+  }
+
+  test("sim_semantic_screen_indexed ≡ the brute-force screen restricted to the same arrivals (recall is cell-bounded, precision exact)") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.engine.Sources.embeddings(spark, dir)
+    val arrivals = emb.where(col("vec_id") % 5 === 4)
+    val indexed = executed("sim_semantic_screen_indexed")
+      .select(col("a_id"), col("c_id"), col("cosine"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force over the same (arrival, corpus) universe; drop self pairs
+    val brute = graft.operators.Similarity.semanticScreen(
+        emb, arrivals, "vec_id", "embedding",
+        graft.queries.SimilarityQueries.CosineThreshold)
+      .where(col("vec_id") =!= col("eval_id"))
+      .select(col("eval_id").as("a_id"), col("vec_id").as("c_id"),
+        col("cosine"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // PRECISION: everything the index emits, brute force confirms
+    assert(indexed.subsetOf(brute),
+      s"indexed screen emitted pairs brute force rejects: ${indexed -- brute}")
+    // RECALL on this corpus: nProbe=4 of 16 cells must catch the large
+    // majority of true hits (approximate by design; the recall floor keeps
+    // the query honest without pinning an exact approximate set)
+    assert(brute.isEmpty || indexed.size >= (brute.size * 7) / 10,
+      s"recall too low: ${indexed.size}/${brute.size}")
+  }
+}
