@@ -19,6 +19,47 @@ object CurationQueries {
     * 11th doc plays the held-out eval set. */
   private val BenchMod = 11
 
+  /** Build-once-per-(process, corpus) SNAPSHOT TABLE for the atomic-commit
+    * protocol query (the ivfIndexDir build-artifact convention): three real
+    * commits — two appends and a MERGE — followed by TWO planted failures
+    * (an orphan data directory from a "crashed" commit, and a torn manifest
+    * missing its _SUCCESS). The registered read below passes its oracle
+    * ONLY if the protocol's invisibility guarantees hold: the orphan's rows
+    * must not surface and the torn snapshot must not be current — the
+    * correctness gate itself exercises the crash story every round. */
+  private val snapshotTableBuilt =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private[graft] def snapshotTableDir(s: SparkSession, dir: String): String =
+    snapshotTableBuilt.getOrElseUpdate(dir, {
+      val t = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_snaptab_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_")).getPath
+      val d = Sources.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      // commit 0 + 1: the corpus arrives in two appends
+      graft.operators.Snapshot.commitAppend(s, t,
+        d.where(col("doc_id") % 3 =!= 0))
+      graft.operators.Snapshot.commitAppend(s, t,
+        d.where(col("doc_id") % 3 === 0))
+      // commit 2: MERGE — every 5th doc updates (payload rewrite), every
+      // 10th deletes
+      graft.operators.Snapshot.commitMerge(s, t,
+        d.where(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), concat(lit("m-"), col("lang")).as("lang"),
+            (col("n_chars") + 1000L).as("n_chars"),
+            (col("doc_id") % 10 === 0).as("del")),
+        "doc_id", Seq("lang", "n_chars"), col("del"))
+      // planted failure 1: a crashed commit's data files, never published
+      d.limit(5).withColumn("lang", lit("ORPHAN"))
+        .write.mode("overwrite").parquet(s"$t/data/c=99999")
+      // planted failure 2: a torn manifest (all task files, no _SUCCESS)
+      graft.operators.Snapshot.commitAppend(s, t,
+        d.limit(3).withColumn("lang", lit("TORN")))
+      assert(new java.io.File(s"$t/manifests/snap=3/_SUCCESS").delete(),
+        "torn-manifest plant failed")
+      t
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Train/eval n-gram decontamination: distinct 5-gram overlap of every
@@ -187,6 +228,17 @@ object CurationQueries {
           "doc_id", Seq("lang", "n_chars"), col("is_delete"))
         .orderBy(col("doc_id"))
     }),
+
+    // ATOMIC SNAPSHOT-COMMIT read (X149, round-15 judge item): the current
+    // snapshot of a table built by two appends + one MERGE through the
+    // manifest/_SUCCESS commit protocol, with a planted ORPHAN data dir and
+    // a planted TORN manifest that must both stay invisible — the oracle
+    // replays the three commits' arithmetic over the source table, so a
+    // hash match proves the reader resolved exactly the committed manifest
+    // (Round15PlansSpec additionally pins the scan's file set ≡ manifest).
+    "corpus_snapshot_read" -> q((s, dir) =>
+      graft.operators.Snapshot.read(s, snapshotTableDir(s, dir))
+        .orderBy(col("doc_id"))),
 
     // Log-structured delta-chain replay (X123): base + TWO ordered deltas
     // reconstructed in ONE id-keyed shuffle (union + per-id max-version
@@ -1046,6 +1098,20 @@ object CurationQueries {
         |       coalesce(sum(CASE WHEN doc_id % 2 <> 0 THEN n_chars END), 0)::bigint
         |         AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the three commits replayed relationally: append ∪ append = the full
+    // corpus; the MERGE rewrites every 5th payload and deletes every 10th.
+    // Neither planted failure (ORPHAN rows, TORN snapshot) appears here —
+    // if either leaked into the Spark read, the hash breaks.
+    "corpus_snapshot_read" ->
+      raw"""SELECT doc_id,
+        |       CASE WHEN doc_id % 5 = 0 THEN 'm-' || lang ELSE lang END
+        |         AS lang,
+        |       CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000 ELSE n_chars END
+        |         AS n_chars
+        |FROM documents
+        |WHERE doc_id % 10 <> 0
+        |ORDER BY doc_id""".stripMargin,
 
     // same two-level ladder replayed relationally: per-(lang, source)
     // counts, per-lang sums over the SMALL groups only (the true

@@ -55,4 +55,25 @@ class Round15PlansSpec extends AnyFunSuite {
     assert(brute.isEmpty || indexed.size >= (brute.size * 7) / 10,
       s"recall too low: ${indexed.size}/${brute.size}")
   }
+
+  test("corpus_snapshot_read plan: the scan's file set IS the committed manifest — nothing more, nothing less") {
+    import org.apache.spark.sql.functions._
+    def norm(u: String): String = new java.net.URI(u).getPath
+    val df = SparkEntry.queries("corpus_snapshot_read")(spark, dir)
+    val t = graft.queries.CurationQueries.snapshotTableDir(spark, dir)
+    val cur = graft.operators.Snapshot.currentSnapshotId(spark, t).get
+    val manifest = graft.operators.Snapshot.readManifest(spark, t, cur)
+      .select(col("file")).collect().map(r => norm(r.getString(0))).toSet
+    val scanned = df.inputFiles.map(norm)
+      .filterNot(_.contains("/manifests/")).toSet
+    assert(scanned == manifest,
+      s"scan ≠ manifest:\n only-scan: ${scanned -- manifest}\n only-manifest: ${manifest -- scanned}")
+    // the planted failures exist on disk but never in the scan
+    assert(new java.io.File(s"$t/data/c=99999").isDirectory &&
+      new java.io.File(s"$t/manifests/snap=3").isDirectory,
+      "the adversarial plants must exist for this pin to mean anything")
+    assert(!scanned.exists(_.contains("c=99999")),
+      "orphan data files leaked into the read")
+    assert(cur == 2L, s"torn snapshot 3 must not be current, got $cur")
+  }
 }
