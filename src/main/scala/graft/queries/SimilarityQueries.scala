@@ -510,13 +510,19 @@ object SimilarityQueries {
     // survivors. This is the at-scale form of sim_semantic_screen: the
     // brute-force broadcast NLJ above scores |corpus|·|eval| cosines, the
     // indexed form Σ|probed cells| — and keeping BOTH registered makes the
-    // bench carry the baseline and the scale path side by side. Shares the
-    // streaming twin's embedded-centroid oracle (equality proves batch ≡
-    // streamed ≡ direct replay); Round15PlansSpec pins the plan to index
-    // scans with no NLJ.
+    // bench carry the baseline and the scale path side by side. Arrivals
+    // are ONE BOUNDED INGEST BATCH (every 5th of the first 2000 ids —
+    // covers the whole arrival set at the correctness scales): the gate's
+    // contract is batch-vs-index, so per-invocation work stays
+    // |batch|·|corpus|/nCells — linear in the corpus — at any scale, where
+    // corpus-sized "arrivals" would quietly turn the gate corpus×corpus
+    // (the 10× scale run measured exactly that before the bound). Shares
+    // the streaming twin's embedded-centroid oracle with the batch bound
+    // applied; Round15PlansSpec pins the plan to index scans with no NLJ.
     "sim_semantic_screen_indexed" -> q((s, dir) =>
       Similarity.semanticScreenIndexed(s, ivfIndexDir(s, dir),
-        Sources.embeddings(s, dir).where(col("vec_id") % 5 === 4),
+        Sources.embeddings(s, dir)
+          .where(col("vec_id") % 5 === 4 && col("vec_id") < 2000),
         "vec_id", "embedding", CosineThreshold, nProbe = 4)
         .orderBy(col("a_id"), col("c_id"))),
 
@@ -677,7 +683,8 @@ object SimilarityQueries {
     * probe (nProbe=4 of 16 cells) + cell-restricted cosine screen over the
     * every-5th arrival set; aliases q (arrivals) / c (corpus) reuse
     * [[cosExpr]]. */
-  private def screenIndexedOracle: Option[String] = {
+  private def screenIndexedOracle(
+      arrivalWhere: String = "vec_id % 5 = 4"): Option[String] = {
     val cached = centroidCache.readOnlySnapshot().toSeq
     if (cached.size != 1) None else Some {
       val distList = centDistList(cached.head._2)
@@ -692,7 +699,7 @@ object SimilarityQueries {
         |arrivals AS (
         |  SELECT vec_id, embedding,
         |         unnest(list_transform(ds[1:4], s -> s.cell)) AS cell
-        |  FROM dists WHERE vec_id % 5 = 4)
+        |  FROM dists WHERE $arrivalWhere)
         |SELECT q.vec_id AS a_id, c.vec_id AS c_id, $cosExpr AS cosine
         |FROM arrivals q JOIN corpus c
         |  ON c.cell = q.cell AND c.vec_id <> q.vec_id
@@ -1208,10 +1215,13 @@ object SimilarityQueries {
     ivfOracle().map("sim_topk_ivf_indexed" -> _) ++
     ivfOracle().map("sim_topk_ivf_incremental" -> _) ++
     ivfOracle("vec_id % 10 <> 0").map("sim_topk_ivf_deleted" -> _) ++
-    screenIndexedOracle.map("stream_semantic_screen_indexed" -> _) ++
-    // the batch registration runs the IDENTICAL frame without the
-    // streaming runtime — one oracle serves both
-    screenIndexedOracle.map("sim_semantic_screen_indexed" -> _) ++ pqOracles ++
+    screenIndexedOracle().map("stream_semantic_screen_indexed" -> _) ++
+    // the batch registration runs the identical frame without the
+    // streaming runtime over ONE BOUNDED INGEST BATCH (vec_id < 2000 —
+    // covers every arrival at the correctness scales, keeps the gate's
+    // per-invocation work batch-sized at any corpus size)
+    screenIndexedOracle("vec_id % 5 = 4 AND vec_id < 2000")
+      .map("sim_semantic_screen_indexed" -> _) ++ pqOracles ++
     ivfPqOracle.map("sim_topk_ivfpq" -> _) ++
     ivfPqOracle.map("sim_topk_ivfpq_indexed" -> _) ++
     ivfPqOracle.map("sim_topk_ivfpq_incremental" -> _) ++
