@@ -136,6 +136,38 @@ object Curation {
         col("anon_level"), col("released"))
   }
 
+  /** L-DIVERSITY audit — the homogeneity-attack check k-anonymity alone
+    * misses: a released quasi-identifier tuple shared by ≥ k rows still
+    * leaks the sensitive attribute when every row in the class carries the
+    * SAME sensitive value. One row per equivalence class (q1, q2) with its
+    * size, the number of DISTINCT sensitive values it contains, the largest
+    * single sensitive value's share in integer basis points, and the
+    * distinct-l-diversity verdict (`n_sensitive >= l`).
+    *
+    * NULL handling: classes key on the raw columns (GROUP BY treats NULLs
+    * as one group identically in Spark and DuckDB — no sentinel, the
+    * round-14 kAnonymize lesson), and a NULL sensitive value COUNTS as one
+    * distinct value ("sensitive attribute missing" is itself a disclosure
+    * class) — hence the two-level aggregate instead of countDistinct, which
+    * would silently skip NULLs in both engines.
+    *
+    * Scale shape: two hash aggregates, both partitioned on the class key;
+    * the first reduces the corpus to |classes × sensitive-values| rows
+    * map-side, the second to |classes|. Metadata-cardinality output; no
+    * corpus-sized shuffle, no window. */
+  def lDiversityAudit(docs: DataFrame, q1: Column, q2: Column,
+                      sensitive: Column, l: Int): DataFrame = {
+    require(l >= 1, "l >= 1")
+    docs.select(q1.as("__q1"), q2.as("__q2"), sensitive.as("__s"))
+      .groupBy(col("__q1"), col("__q2"), col("__s"))
+      .agg(count(lit(1)).as("__ns"))
+      .groupBy(col("__q1"), col("__q2"))
+      .agg(sum(col("__ns")).as("n"),
+        count(lit(1)).as("n_sensitive"),
+        expr("max(__ns) * 10000 div sum(__ns)").as("max_share_bp"))
+      .withColumn("l_diverse", col("n_sensitive") >= l)
+  }
+
   /** Quantile-threshold quality gate: keep documents whose integer quality
     * score ([[TextOps.qualityBp]]) is at or above the corpus `q`-quantile
     * (exact linear interpolation — Spark `percentile` ≡ DuckDB

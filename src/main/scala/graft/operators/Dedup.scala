@@ -1343,6 +1343,91 @@ object Dedup {
       .where(col("n_tokens") >= minTokens)
   }
 
+  /** DUPLICATED-REGION EXCISION — the REWRITE step of substring-level
+    * corpus dedup (Lee et al. remove the duplicated text, not just detect
+    * it): every document is re-emitted with its removable duplicated
+    * regions cut out, where an occurrence of a cross-document duplicated
+    * span is REMOVABLE iff its document is not the span hash's canonical
+    * holder (min doc id) — so each duplicated passage survives in exactly
+    * the earliest document that carries it, and is excised everywhere
+    * else. Regions are the interval union of a doc's removable occurrences
+    * ([[duplicateRegions]]' island algebra, restricted to non-canonical
+    * rows).
+    *
+    * One-pass contract, stated honestly: (a) excision can join previously
+    * non-adjacent text, which may CREATE new duplicated substrings only a
+    * second pass would see (the standard ExactSubstr iteration property);
+    * (b) a canonical occurrence is never excised BY ITS OWN hash, but a
+    * different hash's removable region may overlap it — cross-hash
+    * overlaps resolve toward removal (the aggressive side, the right
+    * default for training-data hygiene).
+    *
+    * Plan shape: the stride-1 span explode (spanTokens× amplification, the
+    * [[duplicateRegions]] trade), one span_hash aggregate carrying
+    * (n_docs, min_doc), one co-partitioned join back, the per-doc island
+    * window, then ONE join of the bounded per-doc region lists back onto
+    * the token table and a row-local HOF rewrite — the regions list is
+    * collect_list'd per doc but is islands-sized (≤ tokens/spanTokens
+    * entries), never corpus-sized. Nothing quadratic anywhere.
+    *
+    * Output: (id, n_tokens, kept_tokens, excised_tokens, n_regions,
+    * clean_md5) — clean_md5 is the md5 of the space-joined surviving
+    * tokens, so a result hash pins the REWRITTEN BYTES, not just the
+    * arithmetic. */
+  def exciseDuplicateRegions(docs: DataFrame, idCol: String, textCol: String,
+                             spanTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(spanTokens > 0, "spanTokens must be positive")
+    val toksDf = docs.select(col(idCol).as("id"),
+        TextOps.tokens(col(textCol)).as("tk"))
+      .localCheckpoint(eager = false) // feeds the span explode AND the rewrite
+    val spans = toksDf
+      .withColumn("nSpans", (size(col("tk")) - spanTokens + 1).cast("int"))
+      .where(col("nSpans") > 0)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), col("nSpans") - 1),
+        i => md5(concat_ws(" ",
+          slice(col("tk"), i + 1, lit(spanTokens))).cast("binary"))))
+        .as(Seq("pos", "span_hash")))
+      .localCheckpoint(eager = false) // feeds the dup aggregate AND the join
+    val dup = spans.groupBy(col("span_hash"))
+      .agg(countDistinct(col("id")).as("n_docs"), min(col("id")).as("min_doc"))
+      .where(col("n_docs") >= minDocs)
+      .select(col("span_hash"), col("min_doc"))
+    // non-canonical occurrences only — the removable set
+    val flagged = spans.join(dup, "span_hash")
+      .where(col("id") =!= col("min_doc"))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        (col("pos") + spanTokens).cast("long").as("e"))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val regions = flagged
+      .withColumn("prev_max", max(col("e")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("st",
+        when(col("pos") > coalesce(col("prev_max"), lit(-1L)), 1L)
+          .otherwise(0L))
+      .withColumn("g", sum(col("st")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("g"))
+      .agg(min(col("pos")).as("s"), max(col("e")).as("e"))
+    val regLists = regions.groupBy(col("id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("regs"),
+        count(lit(1)).as("n_regions"),
+        sum(col("e") - col("s")).as("excised_tokens"))
+    toksDf.join(regLists, Seq("id"), "left")
+      .withColumn("kept_tk",
+        when(col("regs").isNull, col("tk"))
+          .otherwise(filter(col("tk"), (t, i) =>
+            !exists(col("regs"), r =>
+              i.cast("long") >= r.getField("s") &&
+                i.cast("long") < r.getField("e")))))
+      .select(col("id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(col("kept_tk")).cast("long").as("kept_tokens"),
+        coalesce(col("excised_tokens"), lit(0L)).as("excised_tokens"),
+        coalesce(col("n_regions"), lit(0L)).as("n_regions"),
+        md5(concat_ws(" ", col("kept_tk")).cast("binary")).as("clean_md5"))
+  }
+
   /** Per-document duplicated-REGION coverage in basis points: how much of
     * each doc's token stream sits inside a [[duplicateRegions]] interval —
     * the doc-level "mostly duplicated" signal with token-exact boundaries

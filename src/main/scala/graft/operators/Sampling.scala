@@ -380,6 +380,51 @@ object Sampling {
     *      cumsum over |corpus|/buckets rows in parallel.
     * At larger scale raise `buckets`: stage 2 stays metadata-sized while
     * stage 3's per-partition sort shrinks proportionally. */
+  /** TARGETED SELECTION by hashed-feature coverage (DSIR-lite, integer-
+    * exact): score every candidate document by how much of its vocabulary
+    * overlaps a TARGET domain's most frequent features — the
+    * importance-resampling idea of Xie et al.'s DSIR (select pretraining
+    * data that looks like the target distribution), restated in exact
+    * integer arithmetic so the ranking is bit-reproducible cross-engine
+    * (the floating log-likelihood-ratio form would not hash-match DuckDB;
+    * this repo's libm lesson).
+    *
+    *   1. features: per-document DISTINCT unigram tokens, hashed to 48-bit
+    *      ids ([[Dedup.md5Hash48]] — the hashing trick bounds the feature
+    *      space at any corpus size);
+    *   2. the target profile: the `topFeatures` most document-frequent
+    *      feature ids among `targetPred` docs (ties broken by feature id —
+    *      deterministic), a BOUNDED set by construction;
+    *   3. every non-target doc scores `matched` (its distinct features in
+    *      the profile) out of `n_features`, as integer basis points.
+    *
+    * Scale shape: one (id, h)-distinct shuffle over the exploded token
+    * table; the target profile is a TakeOrdered over the feature aggregate
+    * (never a full sort) and BROADCASTS (topFeatures rows); scoring is one
+    * per-doc hash aggregate. Nothing is corpus×corpus; the profile is the
+    * only collected artifact and is bounded by `topFeatures`.
+    *
+    * Output: (id, n_features, matched, coverage_bp) for every candidate
+    * doc with ≥ 1 token; callers rank by (coverage_bp, id) and cut. */
+  def targetCoverageScores(df: DataFrame, idCol: String, textCol: String,
+                           targetPred: Column, topFeatures: Int): DataFrame = {
+    require(topFeatures > 0, "topFeatures > 0")
+    val toks = df.select(col(idCol).as("id"), targetPred.as("__tgt"),
+        explode(array_distinct(TextOps.tokens(col(textCol)))).as("w"))
+      .select(col("id"), col("__tgt"), Dedup.md5Hash48(col("w")).as("h"))
+      .distinct() // distinct features per doc (48-bit collisions merge)
+    val profile = toks.where(col("__tgt"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df_t"))
+      .orderBy(col("df_t").desc, col("h")).limit(topFeatures)
+      .select(col("h"), lit(1L).as("__m"))
+    toks.where(!col("__tgt"))
+      .join(broadcast(profile), Seq("h"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_features"),
+        sum(coalesce(col("__m"), lit(0L))).as("matched"))
+      .withColumn("coverage_bp", expr("matched * 10000 div n_features"))
+  }
+
   def budgetHead(df: DataFrame, textCol: String, weightCol: String,
                  idCol: String, budget: Long, buckets: Int = 64): DataFrame = {
     require(budget >= 0 && buckets > 0, "budget >= 0, buckets > 0")

@@ -207,4 +207,75 @@ object Sketch {
     }
     qs.reduce(_ unionByName _)
   }
+
+  // ── KMV / theta sketch (distinct counts + set intersections) ────────────
+
+  /** Size of the [[Dedup.md5Hash48]] hash space — KMV estimates divide it. */
+  val KmvSpace: Long = 1L << 48
+
+  /** K-MINIMUM-VALUES sketches per group (Bar-Yossef et al. 2002; the theta
+    * sketch's core): the k smallest DISTINCT 48-bit key hashes of each
+    * group, as one bounded typed aggregate ([[graft.functions.KmvAggregator]]
+    * — map-side combine ships ≤ k longs per group per mapper; no distinct
+    * pre-shuffle is needed because the buffer itself dedupes). The sketch
+    * supports DISTINCT-COUNT estimation ([[kmvDistinctEstimate]]) and —
+    * unlike HLL — SET INTERSECTION estimation ([[kmvIntersections]]),
+    * because the k-min values are a uniform hash SAMPLE of the set, not
+    * just a cardinality summary. Mergeable: sketches of disjoint splits
+    * merge by re-taking the k smallest of their union (the aggregator's
+    * merge — SketchSpec proves split-merge ≡ whole-corpus).
+    *
+    * Hash basis is the engine-portable md5-48 fold, so every sketch value
+    * — and therefore every estimate — is exactly reproducible in the
+    * DuckDB oracle. Output: (g, kmv array<long> ascending). */
+  def kmvSketches(items: DataFrame, groupCol: String, keyCol: String,
+                  k: Int): DataFrame = {
+    require(k >= 2, "k >= 2 (the estimator divides by the k-th value)")
+    items
+      .select(col(groupCol).as("g"), Dedup.md5Hash48(col(keyCol)).as("h"))
+      .groupBy(col("g"))
+      .agg(graft.functions.KmvAggregator.kmv(k)(col("h")).as("kmv"))
+  }
+
+  /** The sketch's inclusion threshold θ: the k-th smallest hash, or the
+    * full hash space when the group holds fewer than k distinct values
+    * (the sketch IS the whole set — estimates become exact). */
+  private def theta(kmv: Column, k: Int): Column =
+    when(size(kmv) < k, lit(KmvSpace)).otherwise(element_at(kmv, k))
+
+  /** Distinct-count estimate per sketch row: (k−1)·2^48 / θ (integer
+    * division — bit-reproducible), exact when the group has < k distinct
+    * values. Output adds (n_sketch, kmv_est). */
+  def kmvDistinctEstimate(sketches: DataFrame, k: Int): DataFrame =
+    sketches
+      .withColumn("n_sketch", size(col("kmv")).cast("long"))
+      .withColumn("kmv_est",
+        when(col("n_sketch") < k, col("n_sketch"))
+          .otherwise(expr(s"(${k - 1}L * $KmvSpace" + "L) div element_at(kmv, " + k + ")")))
+
+  /** PAIRWISE INTERSECTION estimates from one sketch table: for every
+    * group pair (g_a < g_b), θ = min(θ_a, θ_b); every hash < θ is in a
+    * sketch iff it is in that group's set (k-min keeps ALL values below
+    * its θ), so the common sketch values below θ are a uniform sample of
+    * the intersection with known inclusion threshold — estimate =
+    * n_common · 2^48 / θ. The HLL row (X47) cannot do this: cardinality
+    * summaries don't intersect; hash SAMPLES do (the theta-sketch
+    * insight).
+    *
+    * Scale shape: the pair join runs over |groups| sketch rows of k longs
+    * each — metadata cardinality (the corpus was reduced by the one
+    * aggregate in [[kmvSketches]]); array_intersect is per-pair O(k). */
+  def kmvIntersections(sketches: DataFrame, k: Int): DataFrame = {
+    val a = sketches.select(col("g").as("g_a"), col("kmv").as("kv_a"))
+    val b = sketches.select(col("g").as("g_b"), col("kmv").as("kv_b"))
+    a.join(b, col("g_a") < col("g_b"))
+      .withColumn("theta",
+        least(theta(col("kv_a"), k), theta(col("kv_b"), k)))
+      .withColumn("n_common",
+        size(filter(array_intersect(col("kv_a"), col("kv_b")),
+          v => v < col("theta"))).cast("long"))
+      .withColumn("kmv_common_est",
+        expr(s"(n_common * $KmvSpace" + "L) div theta"))
+      .select(col("g_a"), col("g_b"), col("n_common"), col("kmv_common_est"))
+  }
 }

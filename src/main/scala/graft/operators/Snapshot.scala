@@ -67,8 +67,11 @@ object Snapshot {
   /** Largest committed snapshot id (a `snap=<id>` manifest dir with
     * `_SUCCESS`), through the Hadoop FS resolver so scheme-qualified
     * tableDirs work — the [[graft.streaming.StreamingOps.latestCdcVersion]]
-    * listing, one entry per commit. */
-  def currentSnapshotId(spark: SparkSession, tableDir: String): Option[Long] = {
+    * listing, one entry per commit. `below` bounds the search to ids
+    * strictly under it — the replay-idempotence cutoff a streaming batch
+    * commit resolves its predecessor with ([[commitAppendAt]]). */
+  def currentSnapshotId(spark: SparkSession, tableDir: String,
+                        below: Long = Long.MaxValue): Option[Long] = {
     val (fs, _) = hadoopFs(spark, tableDir)
     val dir = new org.apache.hadoop.fs.Path(s"$tableDir/manifests")
     if (!fs.exists(dir)) None
@@ -77,6 +80,7 @@ object Snapshot {
         fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
       .flatMap(st =>
         scala.util.Try(st.getPath.getName.stripPrefix("snap=").toLong).toOption)
+      .filter(_ < below)
       .sorted.lastOption
   }
 
@@ -150,6 +154,26 @@ object Snapshot {
     val id = nextId(spark, tableDir)
     val newRows = writeDataFiles(spark, tableDir, id, df)
     val manifest = currentSnapshotId(spark, tableDir) match {
+      case Some(prev) => readManifest(spark, tableDir, prev).unionByName(newRows)
+      case None => newRows
+    }
+    publish(tableDir, id, manifest)
+  }
+
+  /** APPEND commit at a CALLER-CHOSEN snapshot id — the streaming binder's
+    * form ([[graft.streaming.StreamingOps.snapshotAppendStream]] passes the
+    * micro-batch id): the manifest unions the newest committed snapshot
+    * STRICTLY BELOW `id` with the new files, so a REPLAYED batch (crash
+    * between publish and checkpoint commit) resolves the same predecessor —
+    * its own earlier half-written or even published attempt at `id` is
+    * above the cutoff — and idempotently rewrites `snap=<id>` with
+    * identical content (the [[graft.streaming.StreamingOps.applyCdcBatch]]
+    * replay argument, inherited by the snapshot protocol). Single-writer
+    * contract: the stream owns the table; ids are its batch ids. */
+  def commitAppendAt(spark: SparkSession, tableDir: String, id: Long,
+                     df: DataFrame): Long = {
+    val newRows = writeDataFiles(spark, tableDir, id, df)
+    val manifest = currentSnapshotId(spark, tableDir, below = id) match {
       case Some(prev) => readManifest(spark, tableDir, prev).unionByName(newRows)
       case None => newRows
     }

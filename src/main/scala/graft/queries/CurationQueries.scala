@@ -499,6 +499,21 @@ object CurationQueries {
           q1 = "lang", q2 = "source", k = 6)
         .orderBy(col("doc_id"))),
 
+    // L-DIVERSITY audit (X151): the homogeneity check k-anonymity misses —
+    // per released (source, length-band) equivalence class, how many
+    // DISTINCT sensitive values (lang) it contains and the largest single
+    // value's share; classes below l=3 distinct values leak the sensitive
+    // attribute even when they pass the size-k bar. Two metadata-
+    // cardinality hash aggregates; NULL sensitive counts as its own
+    // disclosure class (two-level aggregate, not countDistinct).
+    "privacy_l_diversity" -> q((s, dir) =>
+      Curation.lDiversityAudit(Sources.documents(s, dir),
+          q1 = col("source"), q2 = expr("n_chars div 400"),
+          sensitive = col("lang"), l = 3)
+        .select(col("__q1").as("source"), col("__q2").as("len_band"),
+          col("n"), col("n_sensitive"), col("max_share_bp"), col("l_diverse"))
+        .orderBy(col("source"), col("len_band"))),
+
     // BUCKETED co-located fact-fact join (X136): orders and lineitem are
     // laid out ONCE as bucketed tables on their join key
     // (Layout.writeBucketed — 16 buckets, one file per bucket, per-bucket
@@ -1133,6 +1148,19 @@ object CurationQueries {
         |    AS anon_level,
         |  (n0 >= 6 OR n1 >= 6 OR (SELECT n FROM st) >= 6) AS released
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // same two-level aggregate: per-(class, sensitive) counts first so a
+    // NULL sensitive value is one distinct class (count(DISTINCT) would
+    // skip it in both engines), then the per-class rollup
+    "privacy_l_diversity" ->
+      raw"""WITH cls AS (
+        |  SELECT source, n_chars // 400 AS len_band, lang, count(*) AS ns
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT source, len_band::bigint AS len_band, sum(ns)::bigint AS n,
+        |       count(*)::bigint AS n_sensitive,
+        |       (max(ns) * 10000 // sum(ns))::bigint AS max_share_bp,
+        |       count(*) >= 3 AS l_diverse
+        |FROM cls GROUP BY 1, 2 ORDER BY source, len_band""".stripMargin,
 
     // plain join over the SOURCE parquet — equality proves the bucketed
     // copies round-tripped content exactly (the layout is invisible to

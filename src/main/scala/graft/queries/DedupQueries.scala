@@ -234,6 +234,22 @@ object DedupQueries {
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    // TARGETED SELECTION by hashed-feature coverage (X152, DSIR-lite):
+    // rank the candidate pool by distinct-unigram overlap with the target
+    // domain's (source = src0) 256 most document-frequent hashed features,
+    // keep the 100 best — importance resampling toward a target
+    // distribution in exact integer arithmetic (the floating
+    // log-likelihood form would never hash-match a second engine). The
+    // profile is bounded + broadcast; scoring is one per-doc aggregate.
+    "sample_target_coverage" -> q((s, dir) =>
+      graft.operators.Sampling.targetCoverageScores(
+        Sources.documents(s, dir), "doc_id", "text",
+        targetPred = col("source") === "src0", topFeatures = 256)
+        .select(col("id").as("doc_id"), col("n_features"), col("matched"),
+          col("coverage_bp"))
+        .orderBy(col("coverage_bp").desc, col("doc_id"))
+        .limit(100)),
+
     // Deterministic weight-budget head: the first ~60k chars' worth of the
     // corpus in content-hash order, via a two-level prefix sum (per-bucket
     // totals → metadata-sized running offsets → per-bucket parallel window)
@@ -710,6 +726,18 @@ object DedupQueries {
         "text", spanTokens = 8, minDocs = 2)
         .select(col("id").as("doc_id"), col("n_tokens"),
           col("covered_tokens"), col("n_regions"), col("coverage_bp"))
+        .orderBy(col("doc_id"))),
+
+    // REGION EXCISION (X154): the REWRITE step the detectors above feed —
+    // duplicated passages are cut from every doc except the span hash's
+    // canonical (min-id) holder, and clean_md5 hashes the REWRITTEN
+    // surviving tokens, so the oracle match pins the actual edited bytes
+    // of all 500 docs, not just removal arithmetic.
+    "dedup_regions_excise" -> q((s, dir) =>
+      Dedup.exciseDuplicateRegions(Sources.documents(s, dir), "doc_id",
+        "text", spanTokens = 8, minDocs = 2)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("kept_tokens"),
+          col("excised_tokens"), col("n_regions"), col("clean_md5"))
         .orderBy(col("doc_id")))
   )
 
@@ -1082,6 +1110,29 @@ object DedupQueries {
         |      100::HUGEINT * n_chars::HUGEINT * 1000000::HUGEINT
         |ORDER BY doc_id""".stripMargin,
 
+    // Same hashed-feature profile: distinct (doc, feature) pairs, target
+    // top-256 by (doc frequency DESC, feature id), integer-bp coverage —
+    // the whole DSIR-lite ranking replayed feature-for-feature.
+    "sample_target_coverage" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, source = 'src0' AS tgt,
+        |         unnest(list_distinct(CASE WHEN trim(text) = ''
+        |           THEN []::varchar[]
+        |           ELSE regexp_split_to_array(trim(text), '\\s+') END)) AS w
+        |  FROM documents),
+        |hh AS (SELECT DISTINCT doc_id, tgt, ${hexFold48("w")} AS h FROM tok),
+        |prof AS (SELECT h FROM hh WHERE tgt GROUP BY h
+        |         ORDER BY count(*) DESC, h LIMIT 256),
+        |sc AS (
+        |  SELECT doc_id, count(*) AS n_features,
+        |         sum(CASE WHEN p.h IS NOT NULL THEN 1 ELSE 0 END) AS matched
+        |  FROM hh LEFT JOIN prof p ON hh.h = p.h
+        |  WHERE NOT tgt GROUP BY doc_id)
+        |SELECT doc_id, n_features::bigint AS n_features,
+        |       matched::bigint AS matched,
+        |       (matched * 10000 // n_features)::bigint AS coverage_bp
+        |FROM sc ORDER BY coverage_bp DESC, doc_id LIMIT 100""".stripMargin,
+
     "sample_budget_head" ->
       s"""SELECT doc_id, n_chars FROM (
         |  SELECT doc_id, n_chars,
@@ -1405,6 +1456,49 @@ object DedupQueries {
         |            ELSE coalesce(c.covered_tokens, 0) * 10000 // t.n_tokens
         |       END::BIGINT AS coverage_bp
         |FROM toks t LEFT JOIN cov c ON c.id = t.id
+        |ORDER BY doc_id""".stripMargin,
+
+    // Same canonical-holder restriction (occurrences outside the hash's
+    // min doc), same island union, then the rewrite replayed token-for-
+    // token: positions outside every region survive, md5 over the
+    // space-rejoined remainder — a hash match proves both engines edited
+    // every document identically.
+    "dedup_regions_excise" ->
+      raw"""$strideSpanCte,
+        |dups AS (SELECT h, min(id) AS min_doc FROM sspans GROUP BY h
+        |         HAVING count(DISTINCT id) >= 2),
+        |f AS (SELECT s.id, s.pos, s.pos + 8 AS e
+        |      FROM sspans s JOIN dups d USING (h) WHERE s.id <> d.min_doc),
+        |w AS (SELECT id, pos, e,
+        |        CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY id
+        |               ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+        |               AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS st
+        |      FROM f),
+        |isl AS (SELECT id, pos, e,
+        |          sum(st) OVER (PARTITION BY id ORDER BY pos
+        |                        ROWS UNBOUNDED PRECEDING) AS g
+        |        FROM w),
+        |regions AS (SELECT id, min(pos) AS s, max(e) AS e
+        |            FROM isl GROUP BY id, g),
+        |rcnt AS (SELECT id, count(*) AS n_regions, sum(e - s) AS excised
+        |         FROM regions GROUP BY id),
+        |posi AS (SELECT id, tk, unnest(range(0, len(tk))) AS i FROM t),
+        |keep AS (SELECT p.id, p.i, p.tk[p.i + 1] AS w
+        |         FROM posi p
+        |         WHERE NOT EXISTS (SELECT 1 FROM regions r
+        |                           WHERE r.id = p.id AND p.i >= r.s
+        |                             AND p.i < r.e)),
+        |agg AS (SELECT id, count(*) AS kept_tokens,
+        |               md5(string_agg(w, ' ' ORDER BY i)) AS clean_md5
+        |        FROM keep GROUP BY id)
+        |SELECT m.id AS doc_id, len(m.tk)::bigint AS n_tokens,
+        |       coalesce(a.kept_tokens, 0)::bigint AS kept_tokens,
+        |       coalesce(r.excised, 0)::bigint AS excised_tokens,
+        |       coalesce(r.n_regions, 0)::bigint AS n_regions,
+        |       coalesce(a.clean_md5, md5('')) AS clean_md5
+        |FROM t m
+        |LEFT JOIN agg a ON a.id = m.id
+        |LEFT JOIN rcnt r ON r.id = m.id
         |ORDER BY doc_id""".stripMargin,
 
     // Span CTE shared by both span-dedup oracles: full 8-token chunks only

@@ -475,6 +475,64 @@ object EventQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // STREAMING SNAPSHOT COMMITS (X155): the stream side of the X149
+    // atomic-commit protocol — two micro-batches (maxFilesPerTrigger=1,
+    // mtime-ordered generations) each landing as one
+    // Snapshot.commitAppendAt(batchId), then a PLANTED orphan data dir and
+    // a PLANTED torn manifest (the corpus_snapshot_read discipline), then
+    // the manifest-resolved read. The oracle replays the union of the two
+    // generations over the source table: a hash match proves the stream's
+    // per-batch publishes composed atomically AND both planted failures
+    // stayed invisible — streaming appends with snapshot isolation, which
+    // plain streaming parquet sinks cannot promise.
+    "stream_snapshot_commits" -> q((s, dir) => {
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_snapstream_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      if (base.exists()) rm(base)
+      val srcDir = new java.io.File(base, "src"); srcDir.mkdirs()
+      val d = Sources.documents(s, dir)
+      val gen0 = d.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val gen1 = d.where(col("doc_id") % 3 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Seq(("gen0", gen0, 1000000000000L), ("gen1", gen1, 1000000060000L))
+        .foreach { case (name, df, mtime) =>
+          val stage = new java.io.File(base, s"stage_$name")
+          df.coalesce(1).write.mode("overwrite").parquet(stage.getPath)
+          val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+          val tgt = new java.io.File(srcDir, s"$name.parquet")
+          java.nio.file.Files.move(part.toPath, tgt.toPath)
+          tgt.setLastModified(mtime); ()
+        }
+      val tableDir = new java.io.File(base, "table").getPath
+      val ckpt = new java.io.File(base, "ckpt").getPath
+      val deltas = s.readStream
+        .schema("doc_id BIGINT, lang STRING, n_chars BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.getPath)
+      val sq = graft.streaming.StreamingOps.snapshotAppendStream(
+        deltas, tableDir, ckpt)
+      try sq.awaitTermination() finally if (sq.isActive) sq.stop()
+      // planted failure 1: a crashed commit's data files, never published
+      d.limit(5).select(col("doc_id"), lit("ORPHAN").as("lang"),
+          col("n_chars"))
+        .write.mode("overwrite").parquet(s"$tableDir/data/c=99999")
+      // planted failure 2: a torn manifest (all task files, no _SUCCESS)
+      graft.operators.Snapshot.commitAppendAt(s, tableDir, 99998L,
+        d.limit(3).select(col("doc_id"), lit("TORN").as("lang"),
+          col("n_chars")))
+      assert(new java.io.File(
+        s"$tableDir/manifests/snap=99998/_SUCCESS").delete(),
+        "torn-manifest plant failed")
+      graft.operators.Snapshot.read(s, tableDir)
+        .orderBy(col("doc_id"))
+    }),
+
     // JSON property extraction from the props column (get_json_object).
     "events_json_agg" -> q((s, dir) =>
       Sources.events(s, dir)
@@ -895,6 +953,13 @@ object EventQueries {
     "stream_sink_parquet_roundtrip" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |WHERE event_id % 100 = 0 ORDER BY event_id""".stripMargin,
+
+    // The two streamed generations' union — a hash match proves the
+    // per-batch snapshot publishes composed atomically and the planted
+    // orphan/torn-manifest rows never surfaced.
+    "stream_snapshot_commits" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 3 IN (0, 1) ORDER BY doc_id""".stripMargin,
 
     // The streamed histogram replayed: identical bucket arithmetic to the
     // batch sketch oracle below, counts only.

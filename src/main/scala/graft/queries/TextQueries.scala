@@ -118,6 +118,55 @@ object TextQueries {
         .orderBy(col("token"))
     }),
 
+    // KMV / THETA sketch distinct counts (X153): per-source k=64 minimum
+    // distinct token hashes via one BOUNDED typed aggregate (≤ k longs per
+    // group per mapper — the buffer dedupes, no distinct pre-shuffle),
+    // estimate (k−1)·2^48 div θ in exact integer arithmetic, emitted next
+    // to the exact distinct count so the estimator's error is visible in
+    // the result. The oracle replays sketch AND estimate value-for-value
+    // (row_number over the same md5-48 hashes).
+    "sketch_kmv_distinct" -> q((s, dir) => {
+      val toks = Sources.documents(s, dir)
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+      val exact = toks
+        .select(col("source").as("g"),
+          graft.operators.Dedup.md5Hash48(col("token")).as("h"))
+        .groupBy(col("g")).agg(countDistinct(col("h")).as("exact_distinct"))
+      Sketch.kmvDistinctEstimate(
+          Sketch.kmvSketches(toks, "source", "token", k = 64), k = 64)
+        .join(exact, "g")
+        .select(col("g").as("source"), col("n_sketch"), col("kmv_est"),
+          col("exact_distinct"))
+        .orderBy(col("source"))
+    }),
+
+    // KMV pairwise SET INTERSECTION (X153): the estimate HLL cannot give —
+    // per language pair, common token hashes below the pair's θ form a
+    // uniform intersection sample (k-min keeps every value below its
+    // threshold), estimate n_common·2^48 div θ; exact intersection counts
+    // ride along for error visibility. The pair join runs over 5 sketch
+    // rows of 64 longs — metadata cardinality after the one corpus
+    // aggregate.
+    "sketch_kmv_intersect" -> q((s, dir) => {
+      val toks = Sources.documents(s, dir)
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
+      val hh = toks
+        .select(col("lang"), graft.operators.Dedup.md5Hash48(col("token")).as("h"))
+        .distinct()
+      val exact = hh.as("a")
+        .join(hh.as("b"),
+          col("a.h") === col("b.h") && col("a.lang") < col("b.lang"))
+        .groupBy(col("a.lang").as("g_a"), col("b.lang").as("g_b"))
+        .agg(count(lit(1)).as("exact_common"))
+      Sketch.kmvIntersections(
+          Sketch.kmvSketches(toks, "lang", "token", k = 64), k = 64)
+        .join(exact, Seq("g_a", "g_b"), "left")
+        .select(col("g_a").as("lang_a"), col("g_b").as("lang_b"),
+          col("n_common"), col("kmv_common_est"),
+          coalesce(col("exact_common"), lit(0L)).as("exact_common"))
+        .orderBy(col("lang_a"), col("lang_b"))
+    }),
+
     // RAG-style overlapping chunking (X61): 32-token windows advancing by
     // 24 (8-token overlap), per-chunk md5 fingerprint — the
     // retrieval-corpus rewrite, a pure narrow map + generate (no shuffle).
@@ -507,6 +556,63 @@ object TextQueries {
         |  GROUP BY pe.token, pe.exact_n)
         |SELECT token, exact_n, cms_est, cms_est - exact_n AS overcount
         |FROM est ORDER BY token""".stripMargin
+    },
+
+    // Same k-min-distinct sketch via row_number over the same md5-48
+    // hashes; same (k−1)·2^48 // θ integer estimate; exact when < k.
+    "sketch_kmv_distinct" -> {
+      def fold(e: String) = DedupQueries.hexFold48(e)
+      raw"""WITH tok AS (SELECT source, unnest($toks) AS token FROM documents),
+        |hh AS (SELECT DISTINCT source, ${fold("token")} AS h FROM tok),
+        |r AS (SELECT source, h,
+        |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |      FROM hh),
+        |sk AS (SELECT source, count(*) AS nd,
+        |              sum(CASE WHEN rn <= 64 THEN 1 ELSE 0 END) AS n_sketch,
+        |              max(CASE WHEN rn = 64 THEN h END) AS kth
+        |       FROM r GROUP BY source)
+        |SELECT source, n_sketch::bigint AS n_sketch,
+        |       (CASE WHEN nd < 64 THEN nd
+        |             ELSE (63 * 281474976710656) // kth END)::bigint AS kmv_est,
+        |       nd::bigint AS exact_distinct
+        |FROM sk ORDER BY source""".stripMargin
+    },
+
+    // Same pairwise θ-sketch intersection: per-lang k-min lists, pair θ =
+    // least(θ_a, θ_b), common sketch values below θ, n·2^48 // θ.
+    "sketch_kmv_intersect" -> {
+      def fold(e: String) = DedupQueries.hexFold48(e)
+      raw"""WITH tok AS (SELECT lang, unnest($toks) AS token FROM documents),
+        |hh AS (SELECT DISTINCT lang, ${fold("token")} AS h FROM tok),
+        |r AS (SELECT lang, h,
+        |        row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+        |      FROM hh),
+        |th AS (SELECT lang, CASE WHEN count(*) < 64 THEN 281474976710656
+        |                         ELSE max(CASE WHEN rn = 64 THEN h END)
+        |                    END AS theta
+        |       FROM r GROUP BY lang),
+        |sk AS (SELECT lang, h FROM r WHERE rn <= 64),
+        |pairs AS (SELECT ta.lang AS lang_a, tb.lang AS lang_b,
+        |                 least(ta.theta, tb.theta) AS theta
+        |          FROM th ta JOIN th tb ON ta.lang < tb.lang),
+        |comm AS (SELECT p.lang_a, p.lang_b, count(*) AS n_common
+        |         FROM pairs p
+        |         JOIN sk sa ON sa.lang = p.lang_a
+        |         JOIN sk sb ON sb.lang = p.lang_b AND sb.h = sa.h
+        |         WHERE sa.h < p.theta GROUP BY 1, 2),
+        |ex AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+        |              count(*) AS exact_common
+        |       FROM hh a JOIN hh b ON a.h = b.h AND a.lang < b.lang
+        |       GROUP BY 1, 2)
+        |SELECT p.lang_a, p.lang_b,
+        |       coalesce(c.n_common, 0)::bigint AS n_common,
+        |       (coalesce(c.n_common, 0) * 281474976710656 // p.theta)::bigint
+        |         AS kmv_common_est,
+        |       coalesce(e.exact_common, 0)::bigint AS exact_common
+        |FROM pairs p
+        |LEFT JOIN comm c ON c.lang_a = p.lang_a AND c.lang_b = p.lang_b
+        |LEFT JOIN ex e ON e.lang_a = p.lang_a AND e.lang_b = p.lang_b
+        |ORDER BY p.lang_a, p.lang_b""".stripMargin
     },
 
     // Same chunk grid: starts 0,24,48,… with count 1+⌈(n−32)/24⌉ (integer

@@ -363,6 +363,34 @@ object StreamingOps {
       .write.mode("overwrite").parquet(s"$tableDir/v=$id")
   }
 
+  /** STREAMING SNAPSHOT-COMMIT APPEND — the stream side of the
+    * [[graft.operators.Snapshot]] atomic-commit protocol: every micro-batch
+    * lands as one `Snapshot.commitAppendAt(batchId)` — data files first,
+    * then the manifest whose `_SUCCESS` is the atomic publish. Readers
+    * ([[graft.operators.Snapshot.read]]) resolve the newest committed
+    * manifest and can NEVER observe a half-landed micro-batch (the torn
+    * manifest / orphan-data invisibility SnapshotSpec plants), which is
+    * what plain streaming parquet appends cannot promise. Exactly-once on
+    * replay: batch ids are the snapshot ids, and a replayed id re-resolves
+    * the same strictly-below predecessor and rewrites its own snapshot
+    * idempotently — the [[applyCdcBatch]] argument, now carried by the
+    * manifest protocol, with time travel and vacuum inherited for free.
+    * Single writer (the stream) owns the table; see the Snapshot
+    * concurrency contract. */
+  def snapshotAppendStream(deltas: DataFrame, tableDir: String,
+                           checkpoint: String, availableNow: Boolean = true)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = deltas.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.operators.Snapshot.commitAppendAt(
+          batch.sparkSession, tableDir, id, batch.toDF()); ()
+      }
+    (if (availableNow)
+      w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else w).start()
+  }
+
   /** Newest COMPLETE snapshot version strictly below `below` — a `v=<k>`
     * child with a `_SUCCESS` marker. Bounded directory listing (one entry
     * per committed batch; compact on a cadence like any snapshot store).

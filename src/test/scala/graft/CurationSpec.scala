@@ -374,4 +374,42 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1L) == (("en", "*", 1, true)), s"got ${out(1L)}")
     assert(out(2L) == (("en", "*", 1, true)), s"got ${out(2L)}")
   }
+
+  test("lDiversityAudit: homogeneous class fails, diverse class passes, shares exact") {
+    import spark.implicits._
+    // class (a, 1): three rows, one sensitive value → NOT 3-diverse,
+    // max share 100%; class (a, 2): three rows, three values → 3-diverse,
+    // max share 1/3 = 3333 bp (integer-floored)
+    val docs = Seq(
+      ("a", 1L, "x"), ("a", 1L, "x"), ("a", 1L, "x"),
+      ("a", 2L, "x"), ("a", 2L, "y"), ("a", 2L, "z")
+    ).toDF("q1", "q2", "s")
+    val out = Curation.lDiversityAudit(docs, col("q1"), col("q2"), col("s"), l = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    assert(out(("a", 1L)) == ((3L, 1L, 10000L, false)))
+    assert(out(("a", 2L)) == ((3L, 3L, 3333L, true)))
+  }
+
+  test("lDiversityAudit: NULL sensitive is its own disclosure class; NULL quasi is a real class") {
+    import spark.implicits._
+    // (a, 1) holds {null, x}: 2 distinct sensitive classes (countDistinct
+    // would report 1 — the two-level aggregate must not); the null-quasi
+    // class appears with its own row.
+    val docs = Seq[(String, java.lang.Long, String)](
+      ("a", 1L, null), ("a", 1L, "x"),
+      (null, null, "x"), (null, null, "x")
+    ).toDF("q1", "q2", "s")
+    val out = Curation.lDiversityAudit(docs, col("q1"), col("q2"), col("s"), l = 2)
+      .collect()
+    assert(out.length == 2, s"expected 2 classes, got ${out.length}")
+    val byKey = out.map(r => (Option(r.getString(0)), Option(r.get(1))) ->
+      ((r.getLong(2), r.getLong(3), r.getBoolean(5)))).toMap
+    assert(byKey((Some("a"), Some(1L))) == ((2L, 2L, true)),
+      "null sensitive must count as a distinct value")
+    assert(byKey((None, None)) == ((2L, 1L, false)),
+      "null-quasi class must be audited, and homogeneity flagged")
+  }
 }

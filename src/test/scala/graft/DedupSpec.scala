@@ -583,4 +583,43 @@ class DedupSpec extends AnyFunSuite {
         r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
     assert(re == out.toSet, "output must not depend on input partitioning")
   }
+
+  test("exciseDuplicateRegions: canonical holder keeps the passage, every other doc loses exactly it, full copies empty out") {
+    import SparkTestSession.spark.implicits._
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // shared 12-token passage embedded at different offsets behind
+    // doc-unique filler; doc 3 is an exact copy of doc 1
+    val shared = (0 until 12).map(i => s"s$i").mkString(" ")
+    val t1 = s"u1a u1b $shared u1c"
+    val t2 = s"v1 v2 v3 v4 $shared"
+    val docs = Seq((1L, t1), (2L, t2), (3L, t1), (9L, "lone doc no dups here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exciseDuplicateRegions(docs, "doc_id", "text",
+        spanTokens = 8, minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))))
+      .toMap
+    // doc 1 is min-id holder of EVERY span it shares → untouched
+    assert(out(1L) == ((15L, 15L, 0L, 0L, md5hex(t1))), s"got ${out(1L)}")
+    // doc 3 = exact copy of doc 1: every span canonical elsewhere → empty
+    assert(out(3L) == ((15L, 0L, 15L, 1L, md5hex(""))), s"got ${out(3L)}")
+    // doc 2 loses exactly the island its non-canonical spans cover: spans
+    // of the shared run start at tokens 4..8 (8-token spans inside
+    // "$shared" = positions 4..15) → region [4, 16) = 12 tokens
+    assert(out(2L) == ((16L, 4L, 12L, 1L, md5hex("v1 v2 v3 v4"))),
+      s"got ${out(2L)}")
+    // no cross-doc duplicated spans → byte-identical normalized text
+    assert(out(9L)._5 == md5hex("lone doc no dups here"))
+    // partition invariance
+    val re = Dedup.exciseDuplicateRegions(docs.repartition(5), "doc_id",
+        "text", spanTokens = 8, minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))))
+      .toMap
+    assert(re == out, "excision must not depend on input partitioning")
+  }
 }

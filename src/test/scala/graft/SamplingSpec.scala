@@ -298,4 +298,27 @@ class SamplingSpec extends AnyFunSuite {
     // partition-invariance
     assert(run(df.repartition(7)) == got)
   }
+
+  test("targetCoverageScores: overlap counted exactly, profile bounded, target excluded") {
+    import SparkTestSession.spark.implicits._
+    // target vocab (2 docs): {aa, bb, cc} with doc frequencies aa=2, bb=2,
+    // cc=1. topFeatures=2 keeps the 2 most frequent by (df desc, hash asc)
+    // — {aa, bb} (cc has df 1 < 2, so the tie-break never matters here).
+    val docs = Seq(
+      (1L, "aa bb cc", true), // target
+      (2L, "aa bb", true), // target
+      (10L, "aa bb zz", false), // 2 of 3 features in profile
+      (11L, "cc dd", false), // cc is NOT in the bounded profile
+      (12L, "xx yy", false) // disjoint
+    ).toDF("doc_id", "text", "tgt")
+    val out = Sampling.targetCoverageScores(docs, "doc_id", "text",
+        targetPred = col("tgt"), topFeatures = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(!out.contains(1L) && !out.contains(2L), "target docs must not score")
+    assert(out(10L) == ((3L, 2L, 6666L)))
+    assert(out(11L) == ((2L, 0L, 0L)), "features outside the bounded profile must not match")
+    assert(out(12L) == ((2L, 0L, 0L)))
+  }
 }

@@ -168,4 +168,53 @@ class SketchSpec extends AnyFunSuite {
     assert(exact <= est * (1.0 + math.pow(2.0, -b)) * 1.01,
       s"estimate $est too far below exact $exact")
   }
+
+  test("kmv: sketch is the k smallest distinct hashes; < k distinct → exact estimate") {
+    import spark.implicits._
+    val items = Seq("a", "a", "b", "c", "c", "c", "d").map(("g", _)).toDF("g", "w")
+    val sk = Sketch.kmvSketches(items, "g", "w", k = 64)
+    val row = Sketch.kmvDistinctEstimate(sk, k = 64).collect().head
+    val kmv = row.getAs[scala.collection.Seq[Long]]("kmv").toVector
+    assert(kmv.size == 4 && kmv == kmv.sorted && kmv.distinct == kmv,
+      "buffer must hold sorted distinct hashes")
+    assert(row.getAs[Long]("kmv_est") == 4L, "under-full sketch must be exact")
+  }
+
+  test("kmv: split-built sketches merge to the whole-corpus sketch (union rule)") {
+    val t = toks.localCheckpoint()
+    val whole = Sketch.kmvSketches(t.withColumn("g", lit("all")), "g", "token", k = 64)
+      .collect().head.getAs[scala.collection.Seq[Long]]("kmv").toVector
+    val parts = (0 until 3).map { i =>
+      Sketch.kmvSketches(
+        t.where(pmod(crc32(col("token")), lit(3)) === i)
+          .withColumn("g", lit("all")), "g", "token", k = 64)
+        .collect().head.getAs[scala.collection.Seq[Long]]("kmv").toVector
+    }
+    val merged = parts.flatten.distinct.sorted.take(64)
+    assert(merged == whole,
+      "k smallest of the per-split sketch union must equal the one-pass sketch")
+  }
+
+  test("kmv: distinct estimate within the theta-sketch error envelope on corpus tokens") {
+    val t = toks.localCheckpoint()
+    val sk = Sketch.kmvSketches(t.withColumn("g", lit("all")), "g", "token", k = 64)
+    val est = Sketch.kmvDistinctEstimate(sk, k = 64).collect().head.getAs[Long]("kmv_est")
+    val exact = t.select(col("token")).distinct().count()
+    // relative standard error ≈ 1/√(k−2) ≈ 12.7%; allow 4σ
+    assert(math.abs(est - exact).toDouble / exact < 0.51,
+      s"estimate $est vs exact $exact outside the 4-sigma envelope")
+  }
+
+  test("kmv: pairwise intersection exact when sketches hold the full sets") {
+    import spark.implicits._
+    // |A∩B| = 3 ({c,d,e}); both sets < k so θ = full space → exact
+    val items = (Seq("a", "b", "c", "d", "e").map(("A", _)) ++
+      Seq("c", "d", "e", "f").map(("B", _))).toDF("g", "w")
+    val sk = Sketch.kmvSketches(items, "g", "w", k = 64)
+    val row = Sketch.kmvIntersections(sk, k = 64).collect().head
+    assert(row.getAs[String]("g_a") == "A" && row.getAs[String]("g_b") == "B")
+    assert(row.getAs[Long]("n_common") == 3L)
+    assert(row.getAs[Long]("kmv_common_est") == 3L,
+      "full-set sketches must intersect exactly")
+  }
 }

@@ -129,4 +129,59 @@ class SnapshotSpec extends AnyFunSuite {
       intercept[Exception](Snapshot.readAt(spark, t, 0L).collect())
     } finally cleanup(t)
   }
+
+  test("commitAppendAt: a REPLAYED batch id resolves the same predecessor and rewrites itself idempotently") {
+    import spark.implicits._
+    val t = tmpTable()
+    try {
+      Snapshot.commitAppendAt(spark, t, 0L, Seq((1L, "a")).toDF("id", "v"))
+      Snapshot.commitAppendAt(spark, t, 1L, Seq((2L, "b")).toDF("id", "v"))
+      val before = rows(Snapshot.read(spark, t))
+      assert(before == Set((1L, "a"), (2L, "b")))
+      // replay batch 1 (crash between publish and checkpoint commit): the
+      // strictly-below cutoff must skip its own earlier snap=1 and re-fold
+      // over snap=0 — NOT double-append
+      Snapshot.commitAppendAt(spark, t, 1L, Seq((2L, "b")).toDF("id", "v"))
+      assert(Snapshot.currentSnapshotId(spark, t).contains(1L))
+      assert(rows(Snapshot.read(spark, t)) == before,
+        "a replayed batch must rewrite its snapshot, never append twice")
+    } finally cleanup(t)
+  }
+
+  test("snapshotAppendStream: per-micro-batch atomic publishes; torn/orphan plants invisible; batches time-travel") {
+    import spark.implicits._
+    val t = tmpTable()
+    val base = new java.io.File(t + "_stream"); base.mkdirs()
+    try {
+      val srcDir = new java.io.File(base, "src"); srcDir.mkdirs()
+      Seq(("g0", Seq((1L, "a"), (2L, "b")), 1000000000000L),
+          ("g1", Seq((3L, "c")), 1000000060000L))
+        .foreach { case (name, data, mtime) =>
+          val stage = new java.io.File(base, s"stage_$name")
+          data.toDF("id", "v").coalesce(1)
+            .write.mode("overwrite").parquet(stage.getPath)
+          val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+          val tgt = new java.io.File(srcDir, s"$name.parquet")
+          java.nio.file.Files.move(part.toPath, tgt.toPath)
+          tgt.setLastModified(mtime); ()
+        }
+      val deltas = spark.readStream.schema("id BIGINT, v STRING")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.getPath)
+      val sq = graft.streaming.StreamingOps.snapshotAppendStream(
+        deltas, t, new java.io.File(base, "ckpt").getPath)
+      try sq.awaitTermination() finally if (sq.isActive) sq.stop()
+      // each micro-batch is a first-class snapshot
+      assert(rows(Snapshot.readAt(spark, t, 0L)) == Set((1L, "a"), (2L, "b")))
+      assert(rows(Snapshot.read(spark, t)) ==
+        Set((1L, "a"), (2L, "b"), (3L, "c")))
+      // plants: orphan data + torn manifest stay invisible
+      Seq((9L, "ORPHAN")).toDF("id", "v")
+        .write.mode("overwrite").parquet(s"$t/data/c=777")
+      Snapshot.commitAppendAt(spark, t, 778L, Seq((8L, "TORN")).toDF("id", "v"))
+      assert(new java.io.File(s"$t/manifests/snap=778/_SUCCESS").delete())
+      assert(rows(Snapshot.read(spark, t)) ==
+        Set((1L, "a"), (2L, "b"), (3L, "c")),
+        "orphan/torn plants must not surface through the manifest read")
+    } finally { cleanup(t); cleanup(base.getPath) }
+  }
 }
