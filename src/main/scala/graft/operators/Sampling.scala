@@ -413,6 +413,9 @@ object Sampling {
         explode(array_distinct(TextOps.tokens(col(textCol)))).as("w"))
       .select(col("id"), col("__tgt"), Dedup.md5Hash48(col("w")).as("h"))
       .distinct() // distinct features per doc (48-bit collisions merge)
+      // feeds BOTH the profile aggregate and the scoring join — pin it so
+      // the corpus-sized explode+hash+distinct runs once, not twice
+      .localCheckpoint(eager = false)
     val profile = toks.where(col("__tgt"))
       .groupBy(col("h")).agg(count(lit(1)).as("df_t"))
       .orderBy(col("df_t").desc, col("h")).limit(topFeatures)

@@ -76,4 +76,49 @@ class Round15PlansSpec extends AnyFunSuite {
       "orphan data files leaked into the read")
     assert(cur == 2L, s"torn snapshot 3 must not be current, got $cur")
   }
+
+  test("sketch_kmv_distinct plan: the sketch aggregate combines map-side (bounded partial), never a collect-then-sort") {
+    val p = plan("sketch_kmv_distinct")
+    // the typed KMV aggregator must run as a two-phase object hash
+    // aggregate — partial buffers (≤ k longs each) are what cross the
+    // shuffle, the whole point of the bounded-buffer design
+    assert(p.contains("ObjectHashAggregate") &&
+      p.toLowerCase.contains("partial_kmvaggregator"),
+      s"KMV must partial-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+  }
+
+  test("sample_target_coverage plan: profile is TakeOrdered (never a global sort) and joins by broadcast") {
+    val p = plan("sample_target_coverage")
+    // the top-K feature profile must come from a bounded TakeOrdered, not
+    // a full Sort of the feature table
+    assert(p.contains("TakeOrderedAndProject"),
+      s"profile cut must be TakeOrdered:\n$p")
+    // the bounded profile broadcasts onto the candidate feature stream
+    assert(p.contains("BroadcastHashJoin"),
+      s"profile join must broadcast:\n$p")
+  }
+
+  test("stream_snapshot_commits: the stream-built table's read resolves ONLY the committed manifest; plants stay on disk, never in the scan") {
+    import org.apache.spark.sql.functions._
+    def norm(u: String): String = new java.net.URI(u).getPath
+    val df = SparkEntry.queries("stream_snapshot_commits")(spark, dir)
+    df.collect()
+    val t = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_snapstream_${ProcessHandle.current().pid()}_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")).getPath + "/table"
+    assert(new java.io.File(s"$t/data/c=99999").isDirectory &&
+      new java.io.File(s"$t/manifests/snap=99998").isDirectory,
+      "the adversarial plants must exist for this pin to mean anything")
+    val cur = graft.operators.Snapshot.currentSnapshotId(spark, t).get
+    assert(cur == 1L, s"current snapshot must be the last micro-batch, got $cur")
+    val manifest = graft.operators.Snapshot.readManifest(spark, t, cur)
+      .select(col("file")).collect().map(r => norm(r.getString(0))).toSet
+    val scanned = df.inputFiles.map(norm)
+      .filterNot(_.contains("/manifests/")).toSet
+    assert(scanned == manifest,
+      s"scan ≠ manifest:\n only-scan: ${scanned -- manifest}\n only-manifest: ${manifest -- scanned}")
+    assert(!scanned.exists(p => p.contains("c=99999") || p.contains("c=99998")),
+      "planted orphan/torn data leaked into the stream table read")
+  }
 }
