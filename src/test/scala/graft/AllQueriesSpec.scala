@@ -42,10 +42,15 @@ class AllQueriesSpec extends AnyFunSuite {
     // sim_ann_recall embeds the brute-force GROUND-TRUTH side (that is the
     // point of a recall harness) — the same bounded broadcast NLJ as
     // sim_topk_bruteforce; the IVF side under test stays equi.
+    // sketch_kmv_intersect enumerates GROUP PAIRS (g_a < g_b) over the
+    // sketch table — |groups| rows of k longs each, metadata cardinality
+    // AFTER the one corpus aggregate; the pair join is bounded by
+    // construction (5 langs → 10 pairs), the same class as the one-row
+    // scalar cross-joins above.
     val allowed = Set("sim_topk_bruteforce", "sim_topk_pq",
       "sim_semantic_screen", "sim_ann_recall",
       "text_quality_gate", "text_quality_gate_approx", "agg_hll_union",
-      "text_filter_cascade", "sample_mixture_lang")
+      "text_filter_cascade", "sample_mixture_lang", "sketch_kmv_intersect")
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       if (allowed(name)) None
       else {
