@@ -409,7 +409,12 @@ object Sampling {
   def targetCoverageScores(df: DataFrame, idCol: String, textCol: String,
                            targetPred: Column, topFeatures: Int): DataFrame = {
     require(topFeatures > 0, "topFeatures > 0")
-    val toks = df.select(col(idCol).as("id"), targetPred.as("__tgt"),
+    // A NULL predicate (e.g. `col("lang") === "en"` on a null lang) must
+    // mean "candidate", not "vanish": where(__tgt) and where(!__tgt) BOTH
+    // filter NULL, so without the coalesce such docs appeared in neither
+    // the target profile nor the scored output (round-15 advice).
+    val pred = coalesce(targetPred.cast("boolean"), lit(false))
+    val toks = df.select(col(idCol).as("id"), pred.as("__tgt"),
         explode(array_distinct(TextOps.tokens(col(textCol)))).as("w"))
       .select(col("id"), col("__tgt"), Dedup.md5Hash48(col("w")).as("h"))
       .distinct() // distinct features per doc (48-bit collisions merge)

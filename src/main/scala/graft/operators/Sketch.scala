@@ -227,31 +227,49 @@ object Sketch {
     *
     * Hash basis is the engine-portable md5-48 fold, so every sketch value
     * — and therefore every estimate — is exactly reproducible in the
-    * DuckDB oracle. Output: (g, kmv array<long> ascending). */
+    * DuckDB oracle. Output: (g, kmv array<long> ascending, kmv_k) — the
+    * sketch CARRIES its own k, so the estimators ([[kmvDistinctEstimate]],
+    * [[kmvIntersections]]) can never be handed a mismatched k (a silent
+    * wrong-θ hazard the round-15 advice flagged: element_at(kmv, k) with a
+    * foreign k is null or the wrong rank, and nothing errors). k is capped
+    * at 32767 so (k−1)·2^48 and n_common·2^48 both stay inside Long. */
   def kmvSketches(items: DataFrame, groupCol: String, keyCol: String,
                   k: Int): DataFrame = {
     require(k >= 2, "k >= 2 (the estimator divides by the k-th value)")
+    require(k <= 32767,
+      s"k=$k > 32767 overflows the (k-1)*2^48 estimator numerator")
     items
       .select(col(groupCol).as("g"), Dedup.md5Hash48(col(keyCol)).as("h"))
       .groupBy(col("g"))
       .agg(graft.functions.KmvAggregator.kmv(k)(col("h")).as("kmv"))
+      .withColumn("kmv_k", lit(k))
   }
+
+  private def requireCarriedK(sketches: DataFrame): Unit =
+    require(sketches.columns.contains("kmv_k"),
+      "not a kmvSketches output: the kmv_k column (the k the sketch was " +
+        "built with) is missing")
 
   /** The sketch's inclusion threshold θ: the k-th smallest hash, or the
     * full hash space when the group holds fewer than k distinct values
-    * (the sketch IS the whole set — estimates become exact). */
-  private def theta(kmv: Column, k: Int): Column =
-    when(size(kmv) < k, lit(KmvSpace)).otherwise(element_at(kmv, k))
+    * (the sketch IS the whole set — estimates become exact). k comes from
+    * the sketch row itself, never from a caller parameter. */
+  private def theta(kmv: Column, k: Column): Column =
+    when(size(kmv) < k, lit(KmvSpace)).otherwise(element_at(kmv, k.cast("int")))
 
   /** Distinct-count estimate per sketch row: (k−1)·2^48 / θ (integer
     * division — bit-reproducible), exact when the group has < k distinct
-    * values. Output adds (n_sketch, kmv_est). */
-  def kmvDistinctEstimate(sketches: DataFrame, k: Int): DataFrame =
+    * values. k is read from the sketch's own kmv_k column. Output adds
+    * (n_sketch, kmv_est). */
+  def kmvDistinctEstimate(sketches: DataFrame): DataFrame = {
+    requireCarriedK(sketches)
     sketches
       .withColumn("n_sketch", size(col("kmv")).cast("long"))
       .withColumn("kmv_est",
-        when(col("n_sketch") < k, col("n_sketch"))
-          .otherwise(expr(s"(${k - 1}L * $KmvSpace" + "L) div element_at(kmv, " + k + ")")))
+        when(col("n_sketch") < col("kmv_k"), col("n_sketch"))
+          .otherwise(expr(s"((kmv_k - 1L) * ${KmvSpace}L) div " +
+            "element_at(kmv, cast(kmv_k as int))")))
+  }
 
   /** PAIRWISE INTERSECTION estimates from one sketch table: for every
     * group pair (g_a < g_b), θ = min(θ_a, θ_b); every hash < θ is in a
@@ -264,13 +282,18 @@ object Sketch {
     *
     * Scale shape: the pair join runs over |groups| sketch rows of k longs
     * each — metadata cardinality (the corpus was reduced by the one
-    * aggregate in [[kmvSketches]]); array_intersect is per-pair O(k). */
-  def kmvIntersections(sketches: DataFrame, k: Int): DataFrame = {
-    val a = sketches.select(col("g").as("g_a"), col("kmv").as("kv_a"))
-    val b = sketches.select(col("g").as("g_b"), col("kmv").as("kv_b"))
+    * aggregate in [[kmvSketches]]); array_intersect is per-pair O(k).
+    * Each side's θ uses ITS OWN carried k, so sketches built at different
+    * resolutions intersect correctly (θ = min of the two thresholds). */
+  def kmvIntersections(sketches: DataFrame): DataFrame = {
+    requireCarriedK(sketches)
+    val a = sketches.select(col("g").as("g_a"), col("kmv").as("kv_a"),
+      col("kmv_k").as("k_a"))
+    val b = sketches.select(col("g").as("g_b"), col("kmv").as("kv_b"),
+      col("kmv_k").as("k_b"))
     a.join(b, col("g_a") < col("g_b"))
       .withColumn("theta",
-        least(theta(col("kv_a"), k), theta(col("kv_b"), k)))
+        least(theta(col("kv_a"), col("k_a")), theta(col("kv_b"), col("k_b"))))
       .withColumn("n_common",
         size(filter(array_intersect(col("kv_a"), col("kv_b")),
           v => v < col("theta"))).cast("long"))

@@ -662,7 +662,7 @@ object TextOps {
         // fallback replaces a pattern with itself — a true no-op whatever
         // the text contains.
         .withColumn("__s", coalesce(pat.scalar(),
-          struct(lit(" ").as("pat"), lit(" ").as("rep"))))
+          struct(lit("\u0000").as("pat"), lit("\u0000").as("rep"))))
         .withColumn("syms", expr("replace(syms, __s.pat, __s.rep)"))
         .drop("__s")
         .localCheckpoint(eager = true)

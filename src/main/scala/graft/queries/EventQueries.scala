@@ -460,7 +460,12 @@ object EventQueries {
           val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
           val tgt = new java.io.File(srcDir, s"$name.parquet")
           java.nio.file.Files.move(part.toPath, tgt.toPath)
-          tgt.setLastModified(mtime); ()
+          // mtime ordering is what pins gen0 to batch 0 — a silent
+          // setLastModified failure (unsupported fs, coarse mtime) would
+          // surface later as a confusing batch-order flake (round-15
+          // advice), so fail HERE with the real cause
+          require(tgt.setLastModified(mtime),
+            s"setLastModified unsupported on $tgt - generation order would be undefined")
         }
       val tableDir = new java.io.File(base, "table").getPath
       val ckpt = new java.io.File(base, "ckpt").getPath
@@ -507,7 +512,12 @@ object EventQueries {
           val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
           val tgt = new java.io.File(srcDir, s"$name.parquet")
           java.nio.file.Files.move(part.toPath, tgt.toPath)
-          tgt.setLastModified(mtime); ()
+          // mtime ordering is what pins gen0 to batch 0 — a silent
+          // setLastModified failure (unsupported fs, coarse mtime) would
+          // surface later as a confusing batch-order flake (round-15
+          // advice), so fail HERE with the real cause
+          require(tgt.setLastModified(mtime),
+            s"setLastModified unsupported on $tgt - generation order would be undefined")
         }
       val tableDir = new java.io.File(base, "table").getPath
       val ckpt = new java.io.File(base, "ckpt").getPath

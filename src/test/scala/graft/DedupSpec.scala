@@ -622,4 +622,45 @@ class DedupSpec extends AnyFunSuite {
       .toMap
     assert(re == out, "excision must not depend on input partitioning")
   }
+
+  test("exciseDuplicateChunks: CDC basis — canonical copy survives byte-identical, exact copies empty, shared prefix excised chunk-rounded") {
+    import SparkTestSession.spark.implicits._
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // long docs so the content-defined grid has interior boundaries; doc 2
+    // is an exact copy of doc 1, doc 5 shares doc 1's 200-token body as a
+    // prefix and adds a unique tail, doc 9 shares nothing
+    val base = (0 until 200).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base), (5L, base + " t5a t5b t5c"),
+      (9L, (0 until 40).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.exciseDuplicateChunks(docs, "doc_id", "text",
+        window = 8, modulus = 32, minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))))
+      .toMap
+    // doc 1 is min-id holder of every chunk it shares → untouched
+    assert(out(1L) == ((200L, 200L, 0L, 0L, md5hex(base))), s"got ${out(1L)}")
+    // doc 2 = exact copy: identical grid, every chunk canonical in doc 1
+    assert(out(2L) == ((200L, 0L, 200L, 1L, md5hex(""))), s"got ${out(2L)}")
+    // doc 5: the shared prefix's COMPLETE chunks excise (chunk-rounded —
+    // its final chunk differs by the tail completion and survives); the
+    // account must balance and the unique tail must survive
+    val (n5, kept5, exc5, nr5, _) = out(5L)
+    assert(n5 == 203L && kept5 + exc5 == n5, s"got ${out(5L)}")
+    assert(exc5 >= 120L, s"most of the 200-token shared prefix must excise, got ${out(5L)}")
+    assert(kept5 >= 3L && nr5 >= 1L, s"the unique tail must survive, got ${out(5L)}")
+    // doc 9: nothing shared → byte-identical
+    assert(out(9L)._5 == md5hex((0 until 40).map(i => s"z$i").mkString(" ")))
+    // partition invariance
+    val re = Dedup.exciseDuplicateChunks(docs.repartition(5), "doc_id",
+        "text", window = 8, modulus = 32, minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))))
+      .toMap
+    assert(re == out, "excision must not depend on input partitioning")
+  }
 }

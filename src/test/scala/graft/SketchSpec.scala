@@ -173,7 +173,7 @@ class SketchSpec extends AnyFunSuite {
     import spark.implicits._
     val items = Seq("a", "a", "b", "c", "c", "c", "d").map(("g", _)).toDF("g", "w")
     val sk = Sketch.kmvSketches(items, "g", "w", k = 64)
-    val row = Sketch.kmvDistinctEstimate(sk, k = 64).collect().head
+    val row = Sketch.kmvDistinctEstimate(sk).collect().head
     val kmv = row.getAs[scala.collection.Seq[Long]]("kmv").toVector
     assert(kmv.size == 4 && kmv == kmv.sorted && kmv.distinct == kmv,
       "buffer must hold sorted distinct hashes")
@@ -198,7 +198,7 @@ class SketchSpec extends AnyFunSuite {
   test("kmv: distinct estimate within the theta-sketch error envelope on corpus tokens") {
     val t = toks.localCheckpoint()
     val sk = Sketch.kmvSketches(t.withColumn("g", lit("all")), "g", "token", k = 64)
-    val est = Sketch.kmvDistinctEstimate(sk, k = 64).collect().head.getAs[Long]("kmv_est")
+    val est = Sketch.kmvDistinctEstimate(sk).collect().head.getAs[Long]("kmv_est")
     val exact = t.select(col("token")).distinct().count()
     // relative standard error ≈ 1/√(k−2) ≈ 12.7%; allow 4σ
     assert(math.abs(est - exact).toDouble / exact < 0.51,
@@ -211,10 +211,30 @@ class SketchSpec extends AnyFunSuite {
     val items = (Seq("a", "b", "c", "d", "e").map(("A", _)) ++
       Seq("c", "d", "e", "f").map(("B", _))).toDF("g", "w")
     val sk = Sketch.kmvSketches(items, "g", "w", k = 64)
-    val row = Sketch.kmvIntersections(sk, k = 64).collect().head
+    val row = Sketch.kmvIntersections(sk).collect().head
     assert(row.getAs[String]("g_a") == "A" && row.getAs[String]("g_b") == "B")
     assert(row.getAs[Long]("n_common") == 3L)
     assert(row.getAs[Long]("kmv_common_est") == 3L,
       "full-set sketches must intersect exactly")
+  }
+
+  test("kmv: k is carried by the sketch — estimators reject foreign frames; k capped against Long overflow") {
+    import spark.implicits._
+    val items = Seq(("g", "w")).toDF("g", "w")
+    // overflow guard: (k-1)*2^48 must fit a Long, so k ≤ 32767
+    intercept[IllegalArgumentException](
+      Sketch.kmvSketches(items, "g", "w", k = 32768))
+    // a frame without the carried kmv_k column (round-15 advice: a foreign
+    // k silently yields the wrong θ) is rejected at plan time, not run time
+    val bare = Sketch.kmvSketches(items, "g", "w", k = 64).drop("kmv_k")
+    intercept[IllegalArgumentException](Sketch.kmvDistinctEstimate(bare))
+    intercept[IllegalArgumentException](Sketch.kmvIntersections(bare))
+    // sketches built at DIFFERENT k intersect correctly: each side's θ uses
+    // its own carried k (min rule); both under-full here → exact
+    val a = Sketch.kmvSketches(Seq(("A", "c"), ("A", "d")).toDF("g", "w"), "g", "w", k = 8)
+    val b = Sketch.kmvSketches(Seq(("B", "c"), ("B", "d"), ("B", "e")).toDF("g", "w"), "g", "w", k = 16)
+    val row = Sketch.kmvIntersections(a.unionByName(b)).collect().head
+    assert(row.getAs[Long]("n_common") == 2L &&
+      row.getAs[Long]("kmv_common_est") == 2L)
   }
 }

@@ -138,13 +138,30 @@ class SnapshotSpec extends AnyFunSuite {
       Snapshot.commitAppendAt(spark, t, 1L, Seq((2L, "b")).toDF("id", "v"))
       val before = rows(Snapshot.read(spark, t))
       assert(before == Set((1L, "a"), (2L, "b")))
-      // replay batch 1 (crash between publish and checkpoint commit): the
-      // strictly-below cutoff must skip its own earlier snap=1 and re-fold
-      // over snap=0 — NOT double-append
-      Snapshot.commitAppendAt(spark, t, 1L, Seq((2L, "b")).toDF("id", "v"))
+      // replay batch 1 (crash between publish and checkpoint commit): a
+      // PUBLISHED snap=1 short-circuits — same batch id implies same source
+      // offsets under the single-writer contract, and rewriting data/c=1
+      // (overwrite deletes first) would yank files the live manifest still
+      // references out from under concurrent readers (round-15 advice)
+      def parts() = new java.io.File(s"$t/data/c=1").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length)).toSet
+      val partsBefore = parts()
+      assert(Snapshot.commitAppendAt(spark, t, 1L,
+        Seq((2L, "b")).toDF("id", "v")) == 1L)
       assert(Snapshot.currentSnapshotId(spark, t).contains(1L))
       assert(rows(Snapshot.read(spark, t)) == before,
-        "a replayed batch must rewrite its snapshot, never append twice")
+        "a replayed batch must keep its snapshot content, never append twice")
+      assert(parts() == partsBefore,
+        "replay of a PUBLISHED snapshot must not touch its data files")
+      // a TORN attempt at the id (no _SUCCESS — invisible to readers) is
+      // NOT a completed commit and must fall through to the full rewrite
+      Snapshot.commitAppendAt(spark, t, 2L, Seq((3L, "c")).toDF("id", "v"))
+      assert(new java.io.File(s"$t/manifests/snap=2/_SUCCESS").delete())
+      Snapshot.commitAppendAt(spark, t, 2L, Seq((3L, "c2")).toDF("id", "v"))
+      assert(rows(Snapshot.read(spark, t)) ==
+        Set((1L, "a"), (2L, "b"), (3L, "c2")),
+        "a torn attempt must be rewritten by its replay")
     } finally cleanup(t)
   }
 
@@ -163,7 +180,9 @@ class SnapshotSpec extends AnyFunSuite {
           val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
           val tgt = new java.io.File(srcDir, s"$name.parquet")
           java.nio.file.Files.move(part.toPath, tgt.toPath)
-          tgt.setLastModified(mtime); ()
+          // batch order rides on mtime — fail here, not as a downstream flake
+          require(tgt.setLastModified(mtime),
+            s"setLastModified unsupported on $tgt")
         }
       val deltas = spark.readStream.schema("id BIGINT, v STRING")
         .option("maxFilesPerTrigger", "1").parquet(srcDir.getPath)
