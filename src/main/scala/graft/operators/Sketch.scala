@@ -301,4 +301,43 @@ object Sketch {
         expr(s"(n_common * $KmvSpace" + "L) div theta"))
       .select(col("g_a"), col("g_b"), col("n_common"), col("kmv_common_est"))
   }
+
+  /** PAIRWISE SET-DIFFERENCE estimates — the theta sketch's A-NOT-B
+    * operation (the third of the set-algebra trio HLL cannot do; DataSketches
+    * ships it as its own operator for the same reason): below the pair's
+    * θ = min(θ_a, θ_b), A's sketch values are a uniform θ/2^48-rate sample
+    * of A, and membership in B is DECIDABLE for every such value (kv_b
+    * holds ALL of B's hashes below θ_b ≥ θ) — so the sample values absent
+    * from kv_b are a uniform sample of A∖B with known rate, and
+    * |A∖B| ≈ n_only · 2^48 / θ (exact integer arithmetic, exact result
+    * when both groups are under-full). Both directions are emitted per
+    * unordered pair. Same metadata-cardinality plan shape as
+    * [[kmvIntersections]]: |groups|² bounded pair join over k-long rows.
+    *
+    * Output: (g_a, g_b, n_only_a, n_only_b, kmv_anotb_est, kmv_bnota_est). */
+  def kmvDifferences(sketches: DataFrame): DataFrame = {
+    requireCarriedK(sketches)
+    val a = sketches.select(col("g").as("g_a"), col("kmv").as("kv_a"),
+      col("kmv_k").as("k_a"))
+    val b = sketches.select(col("g").as("g_b"), col("kmv").as("kv_b"),
+      col("kmv_k").as("k_b"))
+    a.join(b, col("g_a") < col("g_b"))
+      .withColumn("theta",
+        least(theta(col("kv_a"), col("k_a")), theta(col("kv_b"), col("k_b"))))
+      .withColumn("n_common",
+        size(filter(array_intersect(col("kv_a"), col("kv_b")),
+          v => v < col("theta"))).cast("long"))
+      .withColumn("n_only_a",
+        size(filter(col("kv_a"), v => v < col("theta"))).cast("long")
+          - col("n_common"))
+      .withColumn("n_only_b",
+        size(filter(col("kv_b"), v => v < col("theta"))).cast("long")
+          - col("n_common"))
+      .withColumn("kmv_anotb_est",
+        expr(s"(n_only_a * $KmvSpace" + "L) div theta"))
+      .withColumn("kmv_bnota_est",
+        expr(s"(n_only_b * $KmvSpace" + "L) div theta"))
+      .select(col("g_a"), col("g_b"), col("n_only_a"), col("n_only_b"),
+        col("kmv_anotb_est"), col("kmv_bnota_est"))
+  }
 }

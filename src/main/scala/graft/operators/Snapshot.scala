@@ -193,17 +193,27 @@ object Snapshot {
   private def nextId(spark: SparkSession, tableDir: String): Long =
     currentSnapshotId(spark, tableDir).map(_ + 1L).getOrElse(0L)
 
-  /** APPEND commit: new snapshot = previous manifest ∪ the new files.
+  /** APPEND commit: new snapshot = parent manifest ∪ the new files.
     * `statsCols` adds per-file min/max envelopes to the manifest (see
     * [[readPruned]]); manifests written before stats were declared union
     * in with null envelopes — null stats mean "unknown", which the pruner
     * treats as unskippable, so mixing generations stays exact.
-    * Returns the committed snapshot id. */
+    * `parent` selects an explicit committed ancestor to append onto
+    * (default: the newest committed snapshot) — the branch primitive
+    * write-audit-publish needs: a corrected candidate appends onto the
+    * last AUDITED snapshot, abandoning the failed candidate's lineage
+    * while its id stays readable for debugging until vacuum.
+    * Returns the committed snapshot id (ids stay dense regardless of
+    * which ancestor was chosen). */
   def commitAppend(spark: SparkSession, tableDir: String,
-                   df: DataFrame, statsCols: Seq[String] = Nil): Long = {
+                   df: DataFrame, statsCols: Seq[String] = Nil,
+                   parent: Option[Long] = None): Long = {
+    parent.foreach(p =>
+      require(currentSnapshotId(spark, tableDir, below = p + 1).contains(p),
+        s"append parent $p is not a committed snapshot"))
     val id = nextId(spark, tableDir)
     val newRows = writeDataFiles(spark, tableDir, id, df, statsCols)
-    val manifest = currentSnapshotId(spark, tableDir) match {
+    val manifest = parent.orElse(currentSnapshotId(spark, tableDir)) match {
       case Some(prev) => readManifest(spark, tableDir, prev)
         .unionByName(newRows, allowMissingColumns = true)
       case None => newRows
@@ -268,6 +278,71 @@ object Snapshot {
     commitRewrite(spark, tableDir,
       Versioning.mergeUpsert(target, source, idCol, payloadCols, deletePred),
       statsCols)
+  }
+
+  /** NAMED REFS — Iceberg branch/tag semantics from the same two
+    * primitives the protocol already trusts: a ref is a directory of
+    * VERSIONED one-row pointer files,
+    *
+    * {{{ tableDir/refs/<name>/r=<k>/part-*.parquet + _SUCCESS }}}
+    *
+    * and the ref's current value is the row of the LARGEST k whose dir
+    * carries `_SUCCESS` (the currentSnapshotId rule, one level up). A move
+    * WRITES r=<k+1> — nothing is deleted, so a concurrent reader resolves
+    * either the old or the new target, never a torn or absent state (an
+    * overwrite-in-place pointer would have a visible delete window).
+    *
+    * What refs buy: WRITE-AUDIT-PUBLISH. Commit a candidate snapshot
+    * (invisible to ref readers — they resolve the ref, not the newest
+    * manifest), audit it with any query via [[readAt]], and only then
+    * [[setRef]] — a failed audit simply never publishes, and the candidate
+    * stays addressable by id for debugging until vacuum retires it.
+    * Single-writer contract as everywhere in this module. */
+  def setRef(spark: SparkSession, tableDir: String, name: String,
+             id: Long): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"bad ref name '$name'")
+    // refuse dangling refs: the target must be a COMMITTED snapshot
+    require(currentSnapshotId(spark, tableDir, below = id + 1).contains(id),
+      s"ref '$name' would dangle: snapshot $id is not committed")
+    val next = refVersions(spark, tableDir, name).lastOption.getOrElse(-1L) + 1L
+    import spark.implicits._
+    Seq(id).toDF("id").coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"$tableDir/refs/$name/r=$next")
+  }
+
+  /** Committed pointer versions of a ref, ascending (the `snap=` listing
+    * rule applied to `r=` dirs). */
+  private def refVersions(spark: SparkSession, tableDir: String,
+                          name: String): Seq[Long] = {
+    val (fs, _) = hadoopFs(spark, tableDir)
+    val dir = new org.apache.hadoop.fs.Path(s"$tableDir/refs/$name")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("r=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .flatMap(st =>
+        scala.util.Try(st.getPath.getName.stripPrefix("r=").toLong).toOption)
+      .sorted
+  }
+
+  /** The snapshot id a ref currently points at; None when the ref does not
+    * exist (or no pointer version has fully landed). */
+  def readRef(spark: SparkSession, tableDir: String,
+              name: String): Option[Long] =
+    refVersions(spark, tableDir, name).lastOption.map { k =>
+      spark.read.parquet(s"$tableDir/refs/$name/r=$k")
+        .select(col("id")).collect().head.getLong(0)
+    }
+
+  /** [[read]] resolved THROUGH a ref — the reader side of
+    * write-audit-publish: unaudited candidate snapshots are invisible
+    * here no matter how new they are. */
+  def readAtRef(spark: SparkSession, tableDir: String,
+                name: String): DataFrame = {
+    val id = readRef(spark, tableDir, name).getOrElse(
+      throw new IllegalStateException(s"no committed ref '$name' under $tableDir"))
+    readAt(spark, tableDir, id)
   }
 
   /** VACUUM: delete data files referenced by NO retained manifest and

@@ -85,7 +85,52 @@ object CurationQueries {
       t
     })
 
+  /** Build-once WRITE-AUDIT-PUBLISH table (X158): the ref-gated publish
+    * flow. Commit 0 (odd doc_ids) audits clean → ref "main" = 0. Commit 1
+    * is a BAD candidate (the even half with every 6th doc's n_chars
+    * negated — the corruption an upstream regression would plant); the
+    * audit catches it and the ref does NOT move. Commit 2 appends the
+    * CORRECTED even half onto PARENT 0 — abandoning the bad lineage while
+    * snapshot 1 stays readable by id for debugging — audits clean, and
+    * "main" moves to 2. A ref reader can never have observed the bad rows
+    * at any point in this history. */
+  private val wapTableBuilt =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private[graft] def wapTableDir(s: SparkSession, dir: String): String =
+    wapTableBuilt.getOrElseUpdate(dir, {
+      val t = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_snapwap_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_")).getPath
+      val Snap = graft.operators.Snapshot
+      val d = Sources.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      def audit(id: Long): Boolean =
+        Snap.readAt(s, t, id).where(col("n_chars") < 0L).count() == 0L
+      val base = Snap.commitAppend(s, t, d.where(col("doc_id") % 2 === 1))
+      assert(audit(base), "base snapshot must audit clean")
+      Snap.setRef(s, t, "main", base)
+      val bad = Snap.commitAppend(s, t,
+        d.where(col("doc_id") % 2 === 0)
+          .withColumn("n_chars", when(col("doc_id") % 6 === 0,
+            -col("n_chars")).otherwise(col("n_chars"))))
+      if (audit(bad)) Snap.setRef(s, t, "main", bad) // must never run
+      val fixed = Snap.commitAppend(s, t, d.where(col("doc_id") % 2 === 0),
+        parent = Some(base))
+      if (audit(fixed)) Snap.setRef(s, t, "main", fixed)
+      t
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // WRITE-AUDIT-PUBLISH read (X158, round-16): resolve the table THROUGH
+    // the "main" ref — the builder committed a corrupted candidate that
+    // failed its audit and was never published, then a corrected candidate
+    // appended onto the audited parent. The oracle is the plain clean
+    // corpus: any corrupted row surfacing through the ref (or any lost
+    // clean row) breaks the hash.
+    "corpus_snapshot_wap_read" -> q((s, dir) =>
+      graft.operators.Snapshot.readAtRef(s, wapTableDir(s, dir), "main")
+        .orderBy(col("doc_id"))),
 
     // Train/eval n-gram decontamination: distinct 5-gram overlap of every
     // non-benchmark doc against the benchmark docs' gram set.
@@ -1175,6 +1220,13 @@ object CurationQueries {
         |         AS n_chars
         |FROM documents
         |WHERE doc_id % 10 <> 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // the published history is base(odd) + corrected(even) — the clean
+    // corpus exactly; the failed candidate's corrupted rows must never
+    // surface through the ref
+    "corpus_snapshot_wap_read" ->
+      raw"""SELECT doc_id, lang, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
 
     // the two stats-carrying commits together hold the whole table, so the

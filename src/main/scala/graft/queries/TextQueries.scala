@@ -167,6 +167,43 @@ object TextQueries {
         .orderBy(col("lang_a"), col("lang_b"))
     }),
 
+    // KMV pairwise SET DIFFERENCE (X157, round-16): the theta sketch's
+    // a-not-b — per language pair, A-sample values below the pair's θ that
+    // are absent from B's sketch form a uniform sample of A∖B (kv_b holds
+    // ALL B-hashes below θ_b ≥ θ, so absence is decidable), estimate
+    // n_only·2^48 div θ both directions; exact difference counts ride
+    // along for error visibility. Same |groups|²-bounded pair join as the
+    // intersect form.
+    "sketch_kmv_diff" -> q((s, dir) => {
+      val toks = Sources.documents(s, dir)
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
+      val hh = toks
+        .select(col("lang"), graft.operators.Dedup.md5Hash48(col("token")).as("h"))
+        .distinct()
+        .localCheckpoint(eager = false) // feeds per-lang counts AND pair common
+      val cnts = hh.groupBy(col("lang")).agg(count(lit(1)).as("n_distinct"))
+      val common = hh.as("a")
+        .join(hh.as("b"),
+          col("a.h") === col("b.h") && col("a.lang") < col("b.lang"))
+        .groupBy(col("a.lang").as("g_a"), col("b.lang").as("g_b"))
+        .agg(count(lit(1)).as("exact_common"))
+      Sketch.kmvDifferences(
+          Sketch.kmvSketches(toks, "lang", "token", k = 64))
+        .join(common, Seq("g_a", "g_b"), "left")
+        .join(cnts.select(col("lang").as("g_a"), col("n_distinct").as("n_a")),
+          Seq("g_a"))
+        .join(cnts.select(col("lang").as("g_b"), col("n_distinct").as("n_b")),
+          Seq("g_b"))
+        .select(col("g_a").as("lang_a"), col("g_b").as("lang_b"),
+          col("n_only_a"), col("n_only_b"),
+          col("kmv_anotb_est"), col("kmv_bnota_est"),
+          (col("n_a") - coalesce(col("exact_common"), lit(0L)))
+            .as("exact_anotb"),
+          (col("n_b") - coalesce(col("exact_common"), lit(0L)))
+            .as("exact_bnota"))
+        .orderBy(col("lang_a"), col("lang_b"))
+    }),
+
     // RAG-style overlapping chunking (X61): 32-token windows advancing by
     // 24 (8-token overlap), per-chunk md5 fingerprint — the
     // retrieval-corpus rewrite, a pure narrow map + generate (no shuffle).
@@ -627,6 +664,64 @@ object TextQueries {
         |FROM pairs p
         |LEFT JOIN comm c ON c.lang_a = p.lang_a AND c.lang_b = p.lang_b
         |LEFT JOIN ex e ON e.lang_a = p.lang_a AND e.lang_b = p.lang_b
+        |ORDER BY p.lang_a, p.lang_b""".stripMargin
+    },
+
+    // Same 64-min sketch replay as the intersect oracle, extended with
+    // below-θ per-side counts: n_only = (side's sketch values below θ)
+    // minus the common count; exact differences from the distinct-hash
+    // table. Integer div, bigint casts throughout.
+    "sketch_kmv_diff" -> {
+      def fold(e: String) = DedupQueries.hexFold48(e)
+      raw"""WITH tok AS (SELECT lang, unnest($toks) AS token FROM documents),
+        |hh AS (SELECT DISTINCT lang, ${fold("token")} AS h FROM tok),
+        |r AS (SELECT lang, h,
+        |        row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+        |      FROM hh),
+        |th AS (SELECT lang, CASE WHEN count(*) < 64 THEN 281474976710656
+        |                         ELSE max(CASE WHEN rn = 64 THEN h END)
+        |                    END AS theta
+        |       FROM r GROUP BY lang),
+        |sk AS (SELECT lang, h FROM r WHERE rn <= 64),
+        |pairs AS (SELECT ta.lang AS lang_a, tb.lang AS lang_b,
+        |                 least(ta.theta, tb.theta) AS theta
+        |          FROM th ta JOIN th tb ON ta.lang < tb.lang),
+        |bela AS (SELECT p.lang_a, p.lang_b, count(*) AS n_bel
+        |         FROM pairs p
+        |         JOIN sk sa ON sa.lang = p.lang_a AND sa.h < p.theta
+        |         GROUP BY 1, 2),
+        |belb AS (SELECT p.lang_a, p.lang_b, count(*) AS n_bel
+        |         FROM pairs p
+        |         JOIN sk sb ON sb.lang = p.lang_b AND sb.h < p.theta
+        |         GROUP BY 1, 2),
+        |comm AS (SELECT p.lang_a, p.lang_b, count(*) AS n_common
+        |         FROM pairs p
+        |         JOIN sk sa ON sa.lang = p.lang_a
+        |         JOIN sk sb ON sb.lang = p.lang_b AND sb.h = sa.h
+        |         WHERE sa.h < p.theta GROUP BY 1, 2),
+        |cnts AS (SELECT lang, count(*) AS n FROM hh GROUP BY lang),
+        |exc AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+        |               count(*) AS exact_common
+        |        FROM hh a JOIN hh b ON a.h = b.h AND a.lang < b.lang
+        |        GROUP BY 1, 2)
+        |SELECT p.lang_a, p.lang_b,
+        |       (coalesce(ba.n_bel, 0) - coalesce(c.n_common, 0))::bigint
+        |         AS n_only_a,
+        |       (coalesce(bb.n_bel, 0) - coalesce(c.n_common, 0))::bigint
+        |         AS n_only_b,
+        |       ((coalesce(ba.n_bel, 0) - coalesce(c.n_common, 0))
+        |         * 281474976710656 // p.theta)::bigint AS kmv_anotb_est,
+        |       ((coalesce(bb.n_bel, 0) - coalesce(c.n_common, 0))
+        |         * 281474976710656 // p.theta)::bigint AS kmv_bnota_est,
+        |       (ca.n - coalesce(e.exact_common, 0))::bigint AS exact_anotb,
+        |       (cb.n - coalesce(e.exact_common, 0))::bigint AS exact_bnota
+        |FROM pairs p
+        |LEFT JOIN bela ba ON ba.lang_a = p.lang_a AND ba.lang_b = p.lang_b
+        |LEFT JOIN belb bb ON bb.lang_a = p.lang_a AND bb.lang_b = p.lang_b
+        |LEFT JOIN comm c ON c.lang_a = p.lang_a AND c.lang_b = p.lang_b
+        |JOIN cnts ca ON ca.lang = p.lang_a
+        |JOIN cnts cb ON cb.lang = p.lang_b
+        |LEFT JOIN exc e ON e.lang_a = p.lang_a AND e.lang_b = p.lang_b
         |ORDER BY p.lang_a, p.lang_b""".stripMargin
     },
 

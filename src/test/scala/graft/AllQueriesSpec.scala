@@ -50,7 +50,9 @@ class AllQueriesSpec extends AnyFunSuite {
     val allowed = Set("sim_topk_bruteforce", "sim_topk_pq",
       "sim_semantic_screen", "sim_ann_recall",
       "text_quality_gate", "text_quality_gate_approx", "agg_hll_union",
-      "text_filter_cascade", "sample_mixture_lang", "sketch_kmv_intersect")
+      "text_filter_cascade", "sample_mixture_lang", "sketch_kmv_intersect",
+      // same bounded group-pair class as sketch_kmv_intersect (a-not-b)
+      "sketch_kmv_diff")
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       if (allowed(name)) None
       else {

@@ -203,4 +203,64 @@ class SnapshotSpec extends AnyFunSuite {
         "orphan/torn plants must not surface through the manifest read")
     } finally { cleanup(t); cleanup(base.getPath) }
   }
+
+  test("refs: versioned pointer moves, torn versions ignored, dangling targets rejected") {
+    import spark.implicits._
+    val t = tmpTable()
+    try {
+      Snapshot.commitAppend(spark, t, Seq((1L, "a")).toDF("id", "v"))
+      Snapshot.commitAppend(spark, t, Seq((2L, "b")).toDF("id", "v"))
+      assert(Snapshot.readRef(spark, t, "main").isEmpty,
+        "an unset ref must read as absent")
+      intercept[IllegalStateException](
+        Snapshot.readAtRef(spark, t, "main").collect())
+      Snapshot.setRef(spark, t, "main", 0L)
+      assert(Snapshot.readRef(spark, t, "main").contains(0L))
+      assert(rows(Snapshot.readAtRef(spark, t, "main")) == Set((1L, "a")),
+        "the ref reader must see the ref's target, not the newest snapshot")
+      // a move WRITES a new version — nothing deleted, old-or-new only
+      Snapshot.setRef(spark, t, "main", 1L)
+      assert(Snapshot.readRef(spark, t, "main").contains(1L))
+      // torn pointer version (no _SUCCESS) resolves to the previous one
+      Snapshot.setRef(spark, t, "main", 0L)
+      assert(new java.io.File(s"$t/refs/main/r=2/_SUCCESS").delete())
+      assert(Snapshot.readRef(spark, t, "main").contains(1L),
+        "a torn pointer version must be invisible")
+      // dangling targets are refused outright
+      intercept[IllegalArgumentException](
+        Snapshot.setRef(spark, t, "main", 99L))
+      intercept[IllegalArgumentException](
+        Snapshot.setRef(spark, t, "bad/name", 0L))
+    } finally cleanup(t)
+  }
+
+  test("write-audit-publish: a failed candidate never publishes; the fix appends onto the audited PARENT") {
+    import spark.implicits._
+    val t = tmpTable()
+    try {
+      val base = Snapshot.commitAppend(spark, t,
+        Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+      Snapshot.setRef(spark, t, "main", base)
+      // candidate with a planted corruption — audit fails, ref stays
+      val bad = Snapshot.commitAppend(spark, t,
+        Seq((3L, "CORRUPT")).toDF("id", "v"))
+      val audit = Snapshot.readAt(spark, t, bad)
+        .where(col("v") === "CORRUPT").count() == 0
+      assert(!audit && Snapshot.readRef(spark, t, "main").contains(base))
+      // corrected candidate appends onto the audited PARENT, abandoning
+      // the bad lineage (which stays readable by id for debugging)
+      val fixed = Snapshot.commitAppend(spark, t,
+        Seq((3L, "c")).toDF("id", "v"), parent = Some(base))
+      Snapshot.setRef(spark, t, "main", fixed)
+      assert(rows(Snapshot.readAtRef(spark, t, "main")) ==
+        Set((1L, "a"), (2L, "b"), (3L, "c")),
+        "the published lineage must be base + fix, no corrupted rows")
+      assert(rows(Snapshot.readAt(spark, t, bad)) ==
+        Set((1L, "a"), (2L, "b"), (3L, "CORRUPT")),
+        "the failed candidate stays addressable by id until vacuum")
+      // appending onto an uncommitted parent is refused
+      intercept[IllegalArgumentException](Snapshot.commitAppend(spark, t,
+        Seq((9L, "x")).toDF("id", "v"), parent = Some(42L)))
+    } finally cleanup(t)
+  }
 }
