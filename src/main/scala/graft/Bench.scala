@@ -6,10 +6,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - every query is executed via the `noop` sink, not `.count()` — count
   *     lets Catalyst elide final sorts/projections, noop materializes every
   *     output row of the full plan;
-  *   - a full warm-up pass at sf0.001 triggers JIT + codegen compilation
-  *     before anything is timed;
-  *   - each query is timed MEDIAN-OF-3 at the target sf, so a single GC/JIT
-  *     stall cannot define the recorded number;
+  *   - every query's FIRST pass at the benched sf is its WARM-UP: recorded
+  *     in rep_times (forensics — artifact builds and codegen land there)
+  *     but excluded from the value whenever any later pass exists. Warming
+  *     at a smaller sf does not work — AQE/broadcast decisions differ
+  *     across scales, so the small-sf pass compiles different codegen and
+  *     the first timed rep still measures JIT (round-16 polluted-median
+  *     incident); first-pass-at-scale is what the old median-of-3
+  *     effectively measured (the median dropped cold rep 1) at ~2/3 wall;
+  *   - the value is the LOWER MEDIAN of the timed passes (warm + 2 timed
+  *     by default), so a single GC/JIT stall cannot define the number;
+  *   - a WALL BUDGET (SPARK_GRAFT_BENCH_BUDGET_S, default 600 s) degrades
+  *     the protocol DISCLOSED instead of losing the run to the driver's
+  *     timeout kill (BENCH_r15 was rc=124 with nothing parseable): past a
+  *     calibrated completion projection queries drop to warm + 1 timed
+  *     pass (`n_budget_cut`), past the full budget to one COLD pass
+  *     (`n_cold_single` — cold-but-present beats nothing), the sweep is
+  *     skipped past 95% (`sweep_skipped`), and `stream_*` entries always
+  *     cap at 2 passes (their values are trigger/commit constants);
+  *   - the run is KILL-SAFE: the detail file is rewritten incrementally
+  *     after every query, and a shutdown hook prints an `aborted:true`
+  *     headline (stdout + stderr, drain pause) the moment a SIGTERM lands
+  *     — a context stopped mid-query is recorded as the abort it is
+  *     (`aborted_at`, first exception verbatim), never as per-query
+  *     failures;
   *   - every rep records independent host/process counters alongside wall
   *     time: JVM GC time delta (GarbageCollectorMXBean), /proc/stat steal
   *     and iowait deltas (each normalized to per-CPU seconds using the host
@@ -119,7 +139,7 @@ object Bench {
         case Some(p) if p > 0 && v >= factor * p && v >= floor &&
             v - p >= minExcess =>
           val rs = reps.getOrElse(name, Seq.empty).sortBy(_.wall)
-          val med = rs.lift(rs.size / 2)
+          val med = rs.lift(math.max(rs.size - 1, 0) / 2)
           val hostExplained =
             med.exists(r => r.gc + r.steal >= 0.3 * (r.wall - p))
           if (hostExplained) None else Some((name, p, v))
@@ -233,9 +253,155 @@ object Bench {
       } finally src.close()
     } catch { case _: Throwable => None }
 
+  /** All mutable run evidence, shared between the bench loop, the
+    * incremental detail writer, and the SIGTERM shutdown hook. Every
+    * mutation and serialization takes the object lock so the hook can never
+    * read a half-updated map. The r15 driver bench died rc=124 with NOTHING
+    * parseable because the headline printed only after spark.stop() on the
+    * normal path — this object is what makes a killed run still yield
+    * (a) a current-as-of-last-completed-query BENCH_SELF.json (the loop
+    * rewrites it after every query) and (b) an `aborted:true` stdout
+    * headline printed from the hook, which touches no Spark state and so
+    * races Spark's own shutdown hook safely. */
+  private[graft] final class RunState(val reps: Int, val sfDir: String,
+      val parityOnly: Set[String], val skipParity: Boolean,
+      val hostAvailable: Boolean, val budgetS: Double) {
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val repDetail = scala.collection.mutable.LinkedHashMap[String, Seq[Rep]]()
+    val stalls = scala.collection.mutable.ArrayBuffer[String]()
+    val guardVetoed = scala.collection.mutable.ArrayBuffer[String]()
+    var regressions: Seq[(String, Double, Double)] = Seq.empty
+    var sweepJson: String = "{}"
+    var sweepSkipped = false
+    var nColdSingle = 0      // 1 pass: run already past budget — value is COLD
+    var nBudgetCut = 0       // 2 passes (warm + 1): projection over 90% budget
+    var nStreamCapped = 0    // capped at 2 passes: stream fixed costs dominate
+    var warmupTruncated = 0  // global sf0.001 warm-ups skipped for budget
+    var budgetExceeded = false
+    var abortedAt: Option[String] = None
+    var abortException: Option[String] = None
+    var detailWriteFailed = false
+    var nTotal = 0
+    @volatile var headlinePrinted = false
+
+    def repsReduced: Int = nColdSingle + nBudgetCut + nStreamCapped
+
+    /** Deviation-only disclosure fields for the stdout headline (zero/false
+      * omitted ≡ absent, presence means nonzero — protects the tail-window
+      * length budget; BENCH_SELF.json always carries every field). */
+    def extraFields(aborted: Boolean): String = {
+      val b = new StringBuilder
+      if (aborted) {
+        b ++= s""""aborted":true,"n_done":${results.size},"n_total":$nTotal,"""
+        abortedAt.foreach(q => b ++= s""""aborted_at":${jstr(q)},""")
+      }
+      if (repsReduced > 0) b ++= s""""reps_reduced":$repsReduced,"""
+      if (nColdSingle > 0) b ++= s""""n_cold_single":$nColdSingle,"""
+      if (sweepSkipped) b ++= s""""sweep_skipped":true,"""
+      if (warmupTruncated > 0) b ++= s""""warmup_truncated":$warmupTruncated,"""
+      if (budgetExceeded) b ++= s""""budget_exceeded":true,"""
+      b.result()
+    }
+
+    def headline(aborted: Boolean): String = synchronized {
+      chooseHeadline(results.toSeq, errors.toSeq, stalls.size,
+        guardVetoed.size, reps, sfDir, detailWriteFailed,
+        parityOnly = parityOnly, nRegressions = regressions.size,
+        extra = extraFields(aborted))
+    }
+
+    def detailJson(partial: Boolean): String = synchronized {
+      val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+        .mkString("{", ",", "}")
+      val qsFull = results.map { case (k, v) => jstr(k) + ":" + jd(v) }
+        .mkString("{", ",", "}")
+      val total = results.values.filter(_ >= 0).sum
+      val totalAtScale = results.toSeq
+        .filterNot { case (k, _) => parityOnly(k) }.map(_._2).filter(_ >= 0).sum
+      val parityJson = results.keys.filter(parityOnly).map(jstr)
+        .mkString("[", ",", "]")
+      val regJson = regressions.map { case (n, p, v) =>
+        jstr(n) + s""":{"prev":${jd(p)},"now":${jd(v)}}"""
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${jd(total)},"value_at_scale":${jd(totalAtScale)},"unit":"sec","partial":$partial,"n_done":${results.size},"n_total":$nTotal,"aborted_at":${abortedAt.map(jstr).getOrElse("null")},"abort_exception":${abortException.map(jstr).getOrElse("null")},"budget_s":${jd(budgetS)},"budget_exceeded":$budgetExceeded,"n_cold_single":$nColdSingle,"n_budget_cut":$nBudgetCut,"n_stream_capped":$nStreamCapped,"warmup_truncated":$warmupTruncated,"sweep_skipped":$sweepSkipped,"queries":$qsFull,"errors":$errs,"n_failed":${errors.size},"stalls":${stalls.map(jstr).mkString("[", ",", "]")},"guard_vetoed":${guardVetoed.map(jstr).mkString("[", ",", "]")},"regressions":$regJson,"n_regressions":${regressions.size},"oracle_parity_only":$parityJson,"skip_parity_only":$skipParity,"host_counters_available":$hostAvailable,"rep_times":${repsJson(repDetail.toSeq)},"reps":$reps,"sweep_partitions":$sweepJson,"sf":"$sfDir"}"""
+    }
+
+    /** Best-effort detail write; failures are disclosed, never thrown. */
+    def writeDetail(file: String, partial: Boolean): Unit = {
+      val body = detailJson(partial)
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(file),
+          (body + "\n").getBytes("UTF-8"))
+        synchronized { detailWriteFailed = false }
+      } catch { case e: Throwable =>
+        synchronized { detailWriteFailed = true }
+        System.err.println(s"[bench] $file write failed: " +
+          s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+      }
+    }
+
+    /** Print the headline exactly once, whoever gets here first (normal
+      * completion or the SIGTERM hook). Returns false when already done.
+      * The ABORTED form goes to BOTH stdout and stderr and then pauses
+      * briefly: when the JVM is halting under SIGTERM, the parent's stdout
+      * pump thread can lose the final pipe writes to the halt race
+      * (observed: stderr lines printed moments earlier survived the same
+      * kill that lost the stdout headline), so the duplicate channel plus
+      * a drain pause is what actually lands the line in the consumer's
+      * capture. A consumer that reads the combined stream json-parses the
+      * LAST parseable line, so the duplicate is harmless. */
+    def printHeadlineOnce(aborted: Boolean): Boolean = synchronized {
+      if (headlinePrinted) false
+      else {
+        headlinePrinted = true
+        val line = headline(aborted)
+        println(line)
+        System.out.flush()
+        if (aborted) {
+          System.err.println(line)
+          System.err.flush()
+          try Thread.sleep(500) catch { case _: InterruptedException => () }
+        }
+        true
+      }
+    }
+  }
+
+  /** SIGTERM/exit insurance: when the driver's wall-clock kill lands
+    * mid-run, print the `aborted:true` headline (the partial per-query map
+    * still ranks everything that completed) and refresh the detail file —
+    * unless nothing ran yet, in which case the committed full-surface
+    * detail must not be clobbered by an empty shell. No Spark objects are
+    * touched: this hook runs concurrently with Spark's own shutdown hook
+    * and must not block on a stopping context. */
+  private[graft] def installAbortHook(state: RunState, detailFile: String): Thread = {
+    val t = new Thread(() => {
+      if (state.printHeadlineOnce(aborted = true) &&
+          state.synchronized(state.results.nonEmpty || state.errors.nonEmpty))
+        state.writeDetail(detailFile, partial = true)
+    }, "bench-abort-hook")
+    Runtime.getRuntime.addShutdownHook(t)
+    t
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Wall budget for the WHOLE bench process (session boot + warm-up +
+    // timed reps + sweep), seconds. The r15 driver run was SIGTERM'd at its
+    // window with the headline still unprinted: the full protocol (warm-up
+    // + median-of-3 × 217 + sweep) outgrew the wall on a 1.4×-plateau boot
+    // (BASELINE.md). The budget degrades the protocol DISCLOSED instead of
+    // losing the run: warm-up truncates past 35% of budget, extra reps stop
+    // when the calibrated single-rep completion projection crosses 90%, the
+    // sweep is skipped past 95%. First reps always run to completion — an
+    // overrun is reported (`budget_exceeded`), never enforced by dropping
+    // queries; the SIGTERM hook covers the case where the wall is shorter
+    // than even that.
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "600").toDouble
+    val benchT0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - benchT0) / 1e9
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -274,8 +440,47 @@ object Bench {
         case None => SparkEntry.queries.toSeq
       }).filterNot { case (n, _) => skipParity && parityOnly(n) }
 
-    // JVM/codegen warm-up on the smallest sf so timed numbers measure the
-    // engine, not JIT compilation of the first query to run.
+    val Reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val hostAvailable = hostCounters().isDefined
+    val state = new RunState(Reps, sfDir, parityOnly, skipParity,
+      hostAvailable, budgetS)
+    state.nTotal = queries.size
+    // SPARK_GRAFT_DETAIL_FILE names the detail artifact explicitly — scale
+    // runs (10× scaling evidence) and isolated A/B runs are DIFFERENT
+    // experiments and must not overwrite each other (round 10 lost the
+    // standing 10× trail to exactly that collision). Default: filtered
+    // runs → BENCH_SELF_ONLY.json, full runs → BENCH_SELF.json.
+    val detailFile = sys.env.get("SPARK_GRAFT_DETAIL_FILE")
+      .filter(_.nonEmpty)
+      .getOrElse(if (onlyRe.isDefined) "BENCH_SELF_ONLY.json"
+                 else "BENCH_SELF.json")
+    // Previous committed full-surface medians, read BEFORE this run's
+    // incremental writes overwrite the file. Subset runs (SPARK_GRAFT_ONLY)
+    // never gate: they write BENCH_SELF_ONLY.json and interference profiles
+    // differ. Doubles as the budget planner's per-query forecast.
+    val prevQueries: Map[String, Double] =
+      if (onlyRe.isDefined) Map.empty
+      else readPrevQueries("BENCH_SELF.json", sfDir)
+    val hook = installAbortHook(state, detailFile)
+
+    // GLOBAL HotSpot warm-up at the smallest sf, run once before anything
+    // is timed. This is deliberately IN ADDITION to each query's
+    // first-pass-at-scale warm-up below — the two warm different layers:
+    //   - HotSpot's tiered JIT compiles ~50k METHODS for this surface and
+    //     needs invocations spread over minutes to reach C2; method
+    //     bytecode is scale-independent, so one cheap sf0.001 pass buys
+    //     that convergence. Dropping this pass (tried in round 16) pushed
+    //     a 500-700 CPU-second compile storm into the first ~50 queries'
+    //     at-scale passes — measured: timed reps carrying 9-12 s of
+    //     concurrent compiler CPU each, values 2-6× their steady state,
+    //     NOT converging within one query's own passes (tier thresholds
+    //     span many executions);
+    //   - the per-query at-scale pass then covers what this pass cannot:
+    //     whole-stage-codegen classes are PLAN-specific and AQE/broadcast
+    //     decisions differ across scales.
+    // Budget-capped at 40% (disclosed as warmup_truncated): a truncated
+    // tail is bounded harm — those queries' at-scale warm pass still
+    // absorbs the residual compile cost before their timed reps.
     val warmDir = new java.io.File(sfDir).getParentFile match {
       case p: java.io.File if new java.io.File(p, "sf0.001").isDirectory =>
         Some(new java.io.File(p, "sf0.001").getPath)
@@ -283,15 +488,11 @@ object Bench {
     }
     warmDir.foreach { d =>
       queries.foreach { case (_, fn) =>
-        try runOnce(fn, d) catch { case _: Throwable => () }
+        if (elapsedS > 0.4 * budgetS)
+          state.synchronized { state.warmupTruncated += 1 }
+        else try runOnce(fn, d) catch { case _: Throwable => () }
       }
     }
-
-    val Reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val stalls = scala.collection.mutable.ArrayBuffer[String]()
-    val guardVetoed = scala.collection.mutable.ArrayBuffer[String]()
-    val hostAvailable = hostCounters().isDefined
 
     def gcMillis(): Long = {
       val it = java.lang.management.ManagementFactory
@@ -307,156 +508,233 @@ object Bench {
         case _ => 0.0
       }
 
-    // Previous committed full-surface medians, read BEFORE this run
-    // overwrites the file. Subset runs (SPARK_GRAFT_ONLY) never gate:
-    // they write BENCH_SELF_ONLY.json and interference profiles differ.
-    val prevQueries: Map[String, Double] =
-      if (onlyRe.isDefined) Map.empty
-      else readPrevQueries("BENCH_SELF.json", sfDir)
-
-    val repDetail = scala.collection.mutable.LinkedHashMap[String, Seq[Rep]]()
-    val results = queries.map { case (name, fn) =>
-      // Collect the GC debt of prior queries OUTSIDE the timed section —
-      // dead checkpoint blocks and array garbage otherwise land as a 10-20s
-      // full-GC pause inside whichever query runs next (the round-2/3
-      // roaming-outlier variance). Also lets the context cleaner reclaim
-      // blocks whose RDDs just became unreachable.
-      System.gc()
-      val reps = (1 to Reps).flatMap { _ =>
-        val gc0 = gcMillis(); val h0 = hostCounters(); val c0 = cpuSeconds()
-        val io0 = procIo(); val j0 = jitMillis(); val cg0 = codegenCount()
-        val t0 = System.nanoTime()
-        try {
-          runOnce(fn, sfDir)
-          val wall = (System.nanoTime() - t0) / 1e9
-          // Both /proc/stat reads must succeed for a host delta; a one-sided
-          // read would fabricate a huge (or negative) delta.
-          val procCpu = cpuSeconds() - c0
-          val (st, io, other) = (h0, hostCounters()) match {
-            case (Some((s0, i0, _, b0)), Some((s1, i1, n, b1))) =>
-              (math.max(s1 - s0, 0L).toDouble / 100.0 / n,
-                math.max(i1 - i0, 0L).toDouble / 100.0 / n,
-                // host busy seconds minus ours: CPU other processes burned
-                // during this rep — the co-located-contention signal
-                math.max((b1 - b0).toDouble / 100.0 - procCpu, 0.0))
-            case _ => (0.0, 0.0, 0.0)
+    // Budget planner forecast: previous committed medians (0.3 s default
+    // for queries without one), CALIBRATED on the fly by the ratio of
+    // observed first-rep walls to their own forecasts — a 1.4×-plateau
+    // boot scales the projection instead of blowing through it.
+    val forecast: Seq[Double] =
+      queries.map { case (n, _) => prevQueries.getOrElse(n, 0.3) }
+    val suffixAfter: Seq[Double] = forecast.scanRight(0.0)(_ + _).drop(1)
+    var sumWallSeen = 0.0
+    var sumForecastSeen = 0.0
+    var ctxDead = false
+    var i = 0
+    while (i < queries.size && !ctxDead) {
+      val (name, fn) = queries(i)
+      if (spark.sparkContext.isStopped) {
+        state.synchronized { state.abortedAt = Some(name) }
+        ctxDead = true
+      } else {
+        val qT0 = System.nanoTime() // the query's full cost feeds calibration
+        // Collect the GC debt of prior queries OUTSIDE the timed section —
+        // dead checkpoint blocks and array garbage otherwise land as a
+        // 10-20s full-GC pause inside whichever query runs next (the
+        // round-2/3 roaming-outlier variance).
+        System.gc()
+        val repsBuf = scala.collection.mutable.ArrayBuffer[Rep]()
+        // PASS PLAN, decided up front from the budget projection. Every
+        // query's FIRST pass at the benched sf is its WARM-UP (recorded in
+        // rep_times for forensics — artifact-build and codegen costs show
+        // there — but EXCLUDED from the value when any later pass exists).
+        // A warm-up at a smaller sf does not work: AQE/broadcast decisions
+        // differ across scales, so the small-sf pass compiles DIFFERENT
+        // codegen and the "warmed" first timed rep still measured 3-9 s of
+        // JIT (the polluted-median incident this protocol replaces); the
+        // first-pass-at-scale form is also what the old median-of-3
+        // effectively measured (rep 1 paid the cold costs, the median
+        // dropped it) at two-thirds the wall. Ladder:
+        //   Reps passes (warm + Reps-1 timed)  — default; streams cap at 2
+        //     (their values are trigger/commit constants across rounds)
+        //   2 passes (warm + 1 timed)          — projection > 90% of budget
+        //   1 pass (COLD single — the value IS the cold pass, disclosed
+        //     via n_cold_single)               — already past the budget
+        val calib =
+          if (sumForecastSeen > 0) math.max(1.0, sumWallSeen / sumForecastSeen)
+          else 2.5 // no evidence yet: ~2 passes + per-query overhead
+        val maxPasses =
+          if (name.startsWith("stream_") && Reps > 2) 2 else Reps
+        // The cold-single floor sits at 1.5× budget, not 1×: a cold value
+        // runs 1.5-3× its warm twin, so falling cold at the budget line
+        // turned a 10% slow first half into a self-amplifying cold tail
+        // (observed: 79 cold singles and a +56% total on a same-code rerun).
+        // Past the budget the run is already in SIGTERM-insurance territory
+        // — the hook yields a parseable partial if the wall is shorter —
+        // so warm+1 passes stay the floor until the run is deeply over.
+        val repsPlanned =
+          if (elapsedS > 1.5 * budgetS) {
+            state.synchronized { state.nColdSingle += 1 }; 1
+          } else {
+            if (maxPasses < Reps) state.synchronized { state.nStreamCapped += 1 }
+            if (maxPasses > 2 &&
+                elapsedS + (forecast(i) + suffixAfter(i)) * calib > 0.9 * budgetS) {
+              state.synchronized { state.nBudgetCut += 1 }; 2
+            } else maxPasses
           }
-          val io1 = procIo(); val j1 = jitMillis(); val cg1 = codegenCount()
-          def delta(a: Long, b: Long): Long = if (a < 0 || b < 0) -1L else b - a
-          Some(Rep(wall, gc = (gcMillis() - gc0) / 1e3, steal = st,
-            iowait = io, cpu = procCpu, otherCpu = other,
-            readBytes = delta(io0._1, io1._1),
-            majflt = delta(io0._2, io1._2),
-            jit = if (j0 < 0 || j1 < 0) -1.0 else (j1 - j0) / 1e3,
-            codegenN = delta(cg0, cg1),
-            mhz = cpuMhz()))
-        } catch { case e: Throwable =>
-          errors.getOrElseUpdate(name,
-            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
-          None
+        var failed = false
+        var r = 0
+        while (r < repsPlanned && !failed && !ctxDead) {
+          val gc0 = gcMillis(); val h0 = hostCounters(); val c0 = cpuSeconds()
+          val io0 = procIo(); val j0 = jitMillis(); val cg0 = codegenCount()
+          val t0 = System.nanoTime()
+          try {
+            runOnce(fn, sfDir)
+            val wall = (System.nanoTime() - t0) / 1e9
+            // Both /proc/stat reads must succeed for a host delta; a
+            // one-sided read would fabricate a huge (or negative) delta.
+            val procCpu = cpuSeconds() - c0
+            val (st, io, other) = (h0, hostCounters()) match {
+              case (Some((s0, i0, _, b0)), Some((s1, i1, n, b1))) =>
+                (math.max(s1 - s0, 0L).toDouble / 100.0 / n,
+                  math.max(i1 - i0, 0L).toDouble / 100.0 / n,
+                  // host busy seconds minus ours: CPU other processes
+                  // burned during this rep — the co-located-contention
+                  // signal
+                  math.max((b1 - b0).toDouble / 100.0 - procCpu, 0.0))
+              case _ => (0.0, 0.0, 0.0)
+            }
+            val io1 = procIo(); val j1 = jitMillis(); val cg1 = codegenCount()
+            def delta(a: Long, b: Long): Long = if (a < 0 || b < 0) -1L else b - a
+            repsBuf += Rep(wall, gc = (gcMillis() - gc0) / 1e3, steal = st,
+              iowait = io, cpu = procCpu, otherCpu = other,
+              readBytes = delta(io0._1, io1._1),
+              majflt = delta(io0._2, io1._2),
+              jit = if (j0 < 0 || j1 < 0) -1.0 else (j1 - j0) / 1e3,
+              codegenN = delta(cg0, cg1),
+              mhz = cpuMhz())
+          } catch { case e: Throwable =>
+            val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+            if (spark.sparkContext.isStopped) {
+              // The kill landed mid-query: an ABORT, not a per-query
+              // failure — r15 recorded three misleading "stopped
+              // SparkContext" failures this way. The first exception is
+              // kept verbatim: it is usually the only real signal of what
+              // the shutdown interrupted.
+              state.synchronized {
+                state.abortedAt = Some(name)
+                if (state.abortException.isEmpty)
+                  state.abortException = Some(msg)
+              }
+              ctxDead = true
+            } else {
+              state.synchronized { state.errors.getOrElseUpdate(name, msg) }
+              failed = true
+            }
+          }
+          r += 1
+        }
+        // calibration: this query's FULL cost (System.gc + all passes) per
+        // unit of its forecast — the remaining-work projection then prices
+        // warm-ups and rep counts implicitly
+        sumWallSeen += (System.nanoTime() - qT0) / 1e9
+        sumForecastSeen += forecast(i)
+        if (!ctxDead) {
+          val all = repsBuf.toSeq
+          // pass 0 is the warm-up: excluded from the value whenever any
+          // timed pass exists; a 1-pass (cold-single) query keeps it —
+          // disclosed, cold-but-present
+          val reps = if (all.size >= 2) all.drop(1) else all
+          // Evidence-gated stall guard (disclosed outlier rejection): this
+          // host occasionally freezes queries for ~a minute (CPU steal; see
+          // BASELINE.md). A bimodal rep set (median > 5× min) reports the
+          // unstalled min ONLY when every slow rep's measured STEAL covers
+          // ≥30% of its excess wall time over the min — otherwise the
+          // median stands (bimodality without external evidence means the
+          // query itself is bimodal — e.g. its own cold-cache I/O — and
+          // must own its cost; the veto is recorded in `guard_vetoed`).
+          // iowait and GC time never qualify as evidence. Without
+          // /proc/stat the guard can never fire; `host_counters_available:
+          // false` in BENCH_SELF.json discloses why.
+          val value = reps.map(_.wall).sorted match {
+            case s if s.isEmpty => -1.0
+            case s =>
+              // LOWER median: for the 2-rep sets the stream cap and budget
+              // mode produce, the upper median would record the MAX of two
+              // (a strict pessimization the old 3-rep protocol never had);
+              // odd sizes are unchanged
+              val median = s((s.size - 1) / 2)
+              if (median > 5 * s.head && s.head > 0.05) {
+                val slow = reps.filter(_.wall > 5 * s.head)
+                val evidenced = hostAvailable && slow.nonEmpty &&
+                  slow.forall(r => r.steal >= 0.3 * (r.wall - s.head))
+                if (evidenced) {
+                  state.synchronized { state.stalls += name }; s.head
+                } else {
+                  state.synchronized { state.guardVetoed += name }; median
+                }
+              } else median
+          }
+          state.synchronized {
+            state.repDetail(name) = all // incl. the warm pass — forensics
+            state.results(name) = value
+          }
+          // Incremental detail write: a SIGKILL (no hooks) still leaves a
+          // parseable partial BENCH_SELF.json current to the last query.
+          state.writeDetail(detailFile, partial = true)
         }
       }
-      repDetail(name) = reps
-      // Evidence-gated stall guard (disclosed outlier rejection): this host
-      // occasionally freezes queries for ~a minute (CPU steal; see
-      // BASELINE.md). A bimodal rep set (median > 5× min) reports the
-      // unstalled min ONLY when every slow rep's measured STEAL covers ≥30%
-      // of its excess wall time over the min — otherwise the median stands
-      // (bimodality without external evidence means the query itself is
-      // bimodal — e.g. its own cold-cache I/O — and must own its cost; the
-      // veto is recorded in `guard_vetoed`). iowait and GC time never
-      // qualify as evidence. Without /proc/stat the guard can never fire;
-      // `host_counters_available:false` in BENCH_SELF.json discloses why.
-      val value = reps.map(_.wall).sorted match {
-        case s if s.isEmpty => -1.0
-        case s =>
-          val median = s(s.size / 2)
-          if (median > 5 * s.head && s.head > 0.05) {
-            val slow = reps.filter(_.wall > 5 * s.head)
-            val evidenced = hostAvailable && slow.nonEmpty &&
-              slow.forall(r => r.steal >= 0.3 * (r.wall - s.head))
-            if (evidenced) { stalls += name; s.head }
-            else { guardVetoed += name; median }
-          } else median
-      }
-      name -> value
+      i += 1
     }
+
     // Shuffle-partitions sweep over the headline pipelines — the Spark twin
     // of the reference's only tuning experiment (reducer counts per job via
     // CLI args, MovieRank.java:174-177,200-203). Opt out with
-    // SPARK_GRAFT_SWEEP="".
-    val sweepCounts = sys.env.getOrElse("SPARK_GRAFT_SWEEP", "8,32")
-      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
-    val sweep = sweepCounts.map { n =>
-      spark.conf.set("spark.sql.shuffle.partitions", n)
-      val per = Seq("q1_movierank", "q2_movierating").flatMap { name =>
-        queries.collectFirst { case (`name`, fn) => fn }.map { fn =>
-          val t0 = System.nanoTime()
-          try runOnce(fn, sfDir) catch { case _: Throwable => () }
-          name -> (System.nanoTime() - t0) / 1e9
+    // SPARK_GRAFT_SWEEP=""; skipped (disclosed) only when ITS OWN estimated
+    // cost — sweep points × the two pipelines' measured values, known
+    // exactly by now — can't fit inside 1.5× budget. The first budget
+    // implementation gated it on the global 95% mark and skipped a ~3 s
+    // sweep at the end of a 635 s run — the X28 evidence lost to protect
+    // seconds. q1/q2 measure sub-1 s at every sf this harness runs, so in
+    // practice the sweep only skips on a pathological scale-up.
+    if (!ctxDead) {
+      val sweepCost = 2.0 * Seq("q1_movierank", "q2_movierating")
+        .flatMap(state.synchronized(state.results.get(_))).filter(_ > 0).sum
+      if (elapsedS + sweepCost < 1.5 * budgetS) {
+        val sweepCounts = sys.env.getOrElse("SPARK_GRAFT_SWEEP", "8,32")
+          .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+        val sweep = sweepCounts.map { n =>
+          spark.conf.set("spark.sql.shuffle.partitions", n)
+          val per = Seq("q1_movierank", "q2_movierating").flatMap { name =>
+            queries.collectFirst { case (`name`, fn) => fn }.map { fn =>
+              val t0 = System.nanoTime()
+              try runOnce(fn, sfDir) catch { case _: Throwable => () }
+              name -> (System.nanoTime() - t0) / 1e9
+            }
+          }
+          n -> per
         }
-      }
-      n -> per
+        spark.conf.set("spark.sql.shuffle.partitions", cpus)
+        val sweepJson = sweep.map { case (n, per) =>
+          jstr(n.toString) + ":" +
+            per.map { case (k, v) => jstr(k) + ":" + jd(v) }.mkString("{", ",", "}")
+        }.mkString("{", ",", "}")
+        state.synchronized { state.sweepJson = sweepJson }
+      } else state.synchronized { state.sweepSkipped = true }
     }
-    spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    state.synchronized { state.budgetExceeded = elapsedS > budgetS }
 
-    // dp=0 yields bare integers ("2", not "2.0") — the last defense level
-    // for the stdout line length (see below).
-    def jnum(v: Double, dp: Int): String =
-      if (v < 0) "-1" else BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
-    val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    // Full-precision detail (incl. the partitions sweep) goes to a file; the
-    // stdout contract line stays SHORT. The consumer reads a bounded tail of
-    // this process's output (~2000 chars) and json-parses the result line —
-    // round 3's line hit 1927 chars with full Double digits + inlined sweep
-    // and lost its head to the tail boundary, so nothing parsed.
-    val sweepJson = sweep.map { case (n, per) =>
-      jstr(n.toString) + ":" +
-        per.map { case (k, v) => jstr(k) + ":" + jd(v) }.mkString("{", ",", "}")
-    }.mkString("{", ",", "}")
-    val qsFull = results.map { case (k, v) => jstr(k) + ":" + jd(v) }.mkString("{", ",", "}")
-    val stallsJson = stalls.map(jstr).mkString("[", ",", "]")
-    val vetoedJson = guardVetoed.map(jstr).mkString("[", ",", "]")
-    // at-scale total = total minus the verification-only twins that ran
-    val totalAtScale = results
-      .filterNot { case (k, _) => parityOnly(k) }.map(_._2).filter(_ >= 0).sum
-    val parityJson = results.map(_._1).filter(parityOnly)
-      .map(jstr).mkString("[", ",", "]")
     // Per-query regression gate vs the previously committed run (always
     // present in the detail — empty object IS the clean-run evidence).
-    val regressions =
-      computeRegressions(prevQueries, results.toSeq, repDetail.toMap)
-    val regJson = regressions.map { case (n, p, v) =>
-      jstr(n) + s""":{"prev":${jd(p)},"now":${jd(v)}}"""
-    }.mkString("{", ",", "}")
+    // Cold singles (one pass, value includes JIT/artifact builds) are
+    // disclosed, not comparable — gating them against warm prior medians
+    // produced 15 phantom flags on the cold-tail run. Only queries with a
+    // real warm-up pass enter the gate.
+    val regressions = computeRegressions(prevQueries,
+      state.results.toSeq.filter { case (n, _) =>
+        state.repDetail.get(n).exists(_.size >= 2) },
+      state.repDetail.toMap)
+    state.synchronized { state.regressions = regressions }
     regressions.foreach { case (n, p, v) =>
       System.err.println(f"[bench] REGRESSION $n: $p%.2f s -> $v%.2f s (clean gc/steal)")
     }
-    val detail =
-      s"""{"metric":"total","value":${jd(total)},"value_at_scale":${jd(totalAtScale)},"unit":"sec","queries":$qsFull,"errors":$errs,"n_failed":${errors.size},"stalls":$stallsJson,"guard_vetoed":$vetoedJson,"regressions":$regJson,"n_regressions":${regressions.size},"oracle_parity_only":$parityJson,"skip_parity_only":$skipParity,"host_counters_available":$hostAvailable,"rep_times":${repsJson(repDetail.toSeq)},"reps":$Reps,"sweep_partitions":$sweepJson,"sf":"$sfDir"}"""
-    var detailWriteFailed = false
-    // SPARK_GRAFT_DETAIL_FILE names the detail artifact explicitly — scale
-    // runs (10× scaling evidence) and isolated A/B runs are DIFFERENT
-    // experiments and must not overwrite each other (round 10 lost the
-    // standing 10× trail to exactly that collision). Default: filtered
-    // runs → BENCH_SELF_ONLY.json, full runs → BENCH_SELF.json.
-    val detailFile = sys.env.get("SPARK_GRAFT_DETAIL_FILE")
-      .filter(_.nonEmpty)
-      .getOrElse(if (onlyRe.isDefined) "BENCH_SELF_ONLY.json"
-                 else "BENCH_SELF.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(detailFile),
-      (detail + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      detailWriteFailed = true
-      System.err.println(s"[bench] $detailFile write failed: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
-    }
-    spark.stop()
-    // Printed LAST (after spark.stop()'s shutdown logging) so the line sits
-    // inside the consumer's ~2000-char tail window — see chooseHeadline.
-    println(chooseHeadline(results.toSeq, errors.toSeq, stalls.size,
-      guardVetoed.size, Reps, sfDir, detailWriteFailed,
-      parityOnly = parityOnly, nRegressions = regressions.size))
+    state.writeDetail(detailFile, partial = ctxDead)
+    if (!ctxDead) spark.stop()
+    // Normal path prints LAST (after spark.stop()'s shutdown logging) so
+    // the line sits inside the consumer's ~2000-char tail window — see
+    // chooseHeadline. A context killed under us prints the aborted form;
+    // a SIGTERM that lands anywhere else is covered by the hook.
+    state.printHeadlineOnce(aborted = ctxDead)
+    try Runtime.getRuntime.removeShutdownHook(hook)
+    catch { case _: Throwable => () }
   }
 
   /** The stdout contract line, degraded to fit the consumer's tail window.
@@ -481,7 +759,8 @@ object Bench {
                                     sfDir: String,
                                     detailWriteFailed: Boolean,
                                     parityOnly: Set[String] = Set.empty,
-                                    nRegressions: Int = 0): String = {
+                                    nRegressions: Int = 0,
+                                    extra: String = ""): String = {
     // dp=0 yields bare integers ("2", not "2.0").
     def jnum(v: Double, dp: Int): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
@@ -526,7 +805,7 @@ object Bench {
       val dwf = if (detailWriteFailed) s""""detail_write_failed":true,""" else ""
       // sf as basename: the directory prefix is invariant noise.
       val sfShort = new java.io.File(sfDir).getName
-      s"""{"metric":"total","value":${jnum(total, 2)},$atScale"unit":"sec","queries":$qs,$omitted$err$stl$vet$reg$dwf"reps":$reps,"sf":"$sfShort"}"""
+      s"""{"metric":"total",$extra"value":${jnum(total, 2)},$atScale"unit":"sec","queries":$qs,$omitted$err$stl$vet$reg$dwf"reps":$reps,"sf":"$sfShort"}"""
     }
     // 1700 is the comfortable target; a FULL per-query map is worth
     // stretching right up to the ~1930 hard limit (tail window 2000 minus
@@ -547,5 +826,33 @@ object Bench {
         Iterator.iterate(n - 5)(_ - 5).map(k => headline(0, math.max(k, 0)))
           .find(_.length <= stretch).get
       }
+  }
+}
+
+/** Test-only main (no Spark): boots the same RunState + abort hook the real
+  * bench uses, then sleeps until SIGTERM'd — BenchKillSpec forks it, kills
+  * it, and asserts the stdout tail still carries a parseable aborted
+  * headline and the detail file a partial evidence dump (the round-15
+  * driver failure mode — rc=124 with nothing parseable — reproduced under
+  * a real process kill and pinned). Lives in main sources so the forked
+  * JVM needs only the production classpath. */
+private[graft] object BenchKillDemo {
+  def main(args: Array[String]): Unit = {
+    val state = new Bench.RunState(reps = 3, sfDir = "/root/testdata/sf0.1",
+      parityOnly = Set.empty, skipParity = false, hostAvailable = false,
+      budgetS = 600.0)
+    state.synchronized {
+      state.nTotal = 4
+      state.results("q_done_fast") = 0.25
+      state.results("q_done_slow") = 7.5
+      state.repDetail("q_done_fast") = Seq(Bench.Rep(0.25, 0, 0, 0, 0.3, 0))
+      state.repDetail("q_done_slow") = Seq(Bench.Rep(7.5, 0.1, 0, 0, 8.0, 0))
+      state.abortedAt = Some("q_killed_here")
+      state.abortException = Some("SparkException: simulated shutdown victim")
+    }
+    Bench.installAbortHook(state, args(0))
+    println("KILLDEMO_READY")
+    System.out.flush()
+    Thread.sleep(600000L)
   }
 }

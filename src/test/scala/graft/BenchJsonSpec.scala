@@ -205,6 +205,63 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(node.get("n_regressions") != null)
   }
 
+  test("budget/abort disclosure fields ride the headline and stay within the tail window") {
+    // worst case: full current registry AND every deviation counter present
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 123.456789)
+    val state = new Bench.RunState(reps = 3, sfDir = "/root/testdata/sf0.1",
+      parityOnly = Set.empty, skipParity = false, hostAvailable = true,
+      budgetS = 600.0)
+    state.synchronized {
+      state.nTotal = results.size
+      results.foreach { case (k, v) => state.results(k) = v }
+      state.nColdSingle = 91; state.nBudgetCut = 20; state.nStreamCapped = 15
+      state.sweepSkipped = true
+      state.budgetExceeded = true
+      state.abortedAt = Some("dedup_exact_rows")
+    }
+    val line = state.headline(aborted = true)
+    assert(line.length <= 1930,
+      s"worst-case disclosure headline ${line.length} chars exceeds the tail window")
+    val node = mapper.readTree(line)
+    assert(node.get("aborted").asBoolean())
+    assert(node.get("aborted_at").asText() === "dedup_exact_rows")
+    assert(node.get("reps_reduced").asInt() === 126)
+    assert(node.get("n_cold_single").asInt() === 91)
+    assert(node.get("sweep_skipped").asBoolean())
+    assert(node.get("budget_exceeded").asBoolean())
+    // clean run: zero-valued disclosures are omitted entirely
+    val clean = mapper.readTree(Bench.chooseHeadline(results, Seq.empty, 0, 0, 3,
+      "/root/testdata/sf0.1", detailWriteFailed = false))
+    Seq("aborted", "reps_reduced", "sweep_skipped", "n_cold_single",
+      "budget_exceeded").foreach(f => assert(clean.get(f) == null, f))
+  }
+
+  test("RunState.detailJson is strict JSON carrying the full budget evidence") {
+    val state = new Bench.RunState(reps = 3, sfDir = "/data/sf0.1",
+      parityOnly = Set("q_parity"), skipParity = false, hostAvailable = true,
+      budgetS = 420.0)
+    state.synchronized {
+      state.nTotal = 3
+      state.results("q_parity") = 2.0
+      state.results("q_real") = 1.5
+      state.repDetail("q_real") = Seq(Bench.Rep(1.5, 0.01, 0, 0, 1.6, 0))
+      state.errors("q_bad") = "boom: \"quoted\""
+      state.nColdSingle = 1
+      state.regressions = Seq(("q_real", 0.5, 1.5))
+    }
+    val node = mapper.readTree(state.detailJson(partial = true))
+    assert(node.get("partial").asBoolean())
+    assert(node.get("budget_s").asDouble() === 420.0)
+    assert(node.get("n_cold_single").asInt() === 1)
+    assert(node.get("n_done").asInt() === 2 && node.get("n_total").asInt() === 3)
+    assert(node.get("aborted_at").isNull && node.get("abort_exception").isNull)
+    // at-scale total excludes the parity twin
+    assert(node.get("value").asDouble() === 3.5)
+    assert(node.get("value_at_scale").asDouble() === 1.5)
+    assert(node.get("regressions").get("q_real").get("prev").asDouble() === 0.5)
+    assert(node.get("errors").get("q_bad").asText() === "boom: \"quoted\"")
+  }
+
   test("committed BENCH_SELF.json, when present, is valid JSON end-to-end") {
     val f = new java.io.File("BENCH_SELF.json")
     assume(f.isFile)
