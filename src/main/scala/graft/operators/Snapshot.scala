@@ -100,14 +100,92 @@ object Snapshot {
     * The plan's file listing comes from the manifest and nowhere else:
     * orphan data files, torn commits, and files of later snapshots are
     * invisible by construction — SnapshotSpec plants each of those and
-    * Round15PlansSpec pins the scan's file set to the manifest. */
+    * Round15PlansSpec pins the scan's file set to the manifest. When the
+    * manifest carries a deletion vector ([[commitDelete]]), the scan
+    * anti-joins the broadcast (file, pos) set — merge-on-read semantics,
+    * applied identically by time travel at DV-carrying snapshots. */
   def read(spark: SparkSession, tableDir: String,
            asOf: Option[Long] = None): DataFrame = {
     val id = asOf.orElse(currentSnapshotId(spark, tableDir)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $tableDir"))
-    val files = manifestFiles(spark, tableDir, id)
+    val m = readManifest(spark, tableDir, id)
+    val files = m.select(col("file")).collect().map(_.getString(0)).toIndexedSeq
     require(files.nonEmpty, s"snapshot $id has an empty manifest")
-    spark.read.parquet(files: _*)
+    applyDeletes(spark, m, spark.read.parquet(files: _*))
+  }
+
+  /** DV dirs a manifest references (0 or 1 after any [[commitDelete]] —
+    * the vector is CUMULATIVE per delete commit — but the reader handles
+    * any number, e.g. manifests merged across histories). */
+  private def dvDirs(m: DataFrame): Seq[String] =
+    if (!m.columns.contains("dv_dir")) Seq.empty
+    else m.select(col("dv_dir")).where(col("dv_dir").isNotNull)
+      .distinct().collect().map(_.getString(0)).toIndexedSeq
+
+  /** Merge-on-read: drop the (file, row-position) pairs the snapshot's
+    * deletion vector lists. The DV is |deleted rows|-sized by the
+    * compliance-delete assumption, so it BROADCASTS; positions come from
+    * the scan's own `_metadata.row_index` (stable — data files are
+    * immutable), so no key column is required, which is the point:
+    * positional DVs delete rows a keyed tombstone ([[Versioning]] X123)
+    * cannot even name. */
+  private def applyDeletes(spark: SparkSession, manifest: DataFrame,
+                           scan: DataFrame): DataFrame = {
+    val dirs = dvDirs(manifest)
+    if (dirs.isEmpty) scan
+    else {
+      val dv = spark.read.parquet(dirs: _*)
+        .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
+      scan
+        .withColumn("__f", regexp_replace(
+          col("_metadata.file_path"), "^[a-z]+:/+", "/"))
+        .withColumn("__p", col("_metadata.row_index"))
+        .join(broadcast(dv),
+          col("__f") === col("__dv_file") && col("__p") === col("__dv_pos"),
+          "left_anti")
+        .drop("__f", "__p")
+    }
+  }
+
+  /** MERGE-ON-READ DELETE — positional deletion vectors (the Delta/Iceberg
+    * v2 pattern): a compliance delete against a 100 TB table cannot
+    * rewrite data files on the critical path, so the commit writes ONLY
+    * (a) a small `dv/c=<id>` parquet of (file, row-position) pairs —
+    * the previous vector unioned with the rows matching `pred`, deduped,
+    * so one snapshot carries one cumulative vector — and (b) a manifest
+    * whose rows all point at it (`dv_dir`). O(|matches|) write cost; the
+    * data files are byte-immobile; files appended AFTER the delete carry
+    * no vector and are untouched by it. Readers ([[read]], [[readAt]],
+    * [[readAtRef]], [[readPruned]]) apply the vector as a broadcast
+    * anti-join; time travel to a pre-delete snapshot still sees the rows.
+    * Physical application is a caller choice: `commitRewrite(read(...))`
+    * materializes the surviving rows and drops the vector — the DV
+    * compaction step — after which [[vacuum]] reclaims unreferenced
+    * vector files like any other unreferenced artifact. */
+  def commitDelete(spark: SparkSession, tableDir: String,
+                   pred: org.apache.spark.sql.Column): Long = {
+    val cur = currentSnapshotId(spark, tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $tableDir"))
+    val m = readManifest(spark, tableDir, cur)
+    val files = m.select(col("file")).collect().map(_.getString(0)).toIndexedSeq
+    val newDv = spark.read.parquet(files: _*)
+      .withColumn("__f", regexp_replace(
+        col("_metadata.file_path"), "^[a-z]+:/+", "/"))
+      .withColumn("__p", col("_metadata.row_index"))
+      .where(pred)
+      .select(col("__f").as("file"), col("__p").as("pos"))
+    val dvAll = dvDirs(m) match {
+      case Seq() => newDv
+      case dirs => spark.read.parquet(dirs: _*)
+        .select(col("file"), col("pos"))
+        .unionByName(newDv).distinct() // re-deleting a row is idempotent
+    }
+    val id = nextId(spark, tableDir)
+    dvAll.coalesce(1) // |deleted rows| — metadata-sized by assumption
+      .write.mode("overwrite").parquet(s"$tableDir/dv/c=$id")
+    publish(tableDir, id, (if (m.columns.contains("dv_dir")) m.drop("dv_dir")
+                           else m)
+      .withColumn("dv_dir", lit(s"$tableDir/dv/c=$id")))
   }
 
   /** [[read]] pinned to an explicit snapshot id. */
@@ -136,14 +214,14 @@ object Snapshot {
                  asOf: Option[Long] = None): DataFrame = {
     val id = asOf.orElse(currentSnapshotId(spark, tableDir)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $tableDir"))
-    val rows = readManifest(spark, tableDir, id)
-      .select(col("file"), keep.cast("boolean").as("__keep")).collect()
+    val m = readManifest(spark, tableDir, id)
+    val rows = m.select(col("file"), keep.cast("boolean").as("__keep")).collect()
     require(rows.nonEmpty, s"snapshot $id has an empty manifest")
     val files = rows.filter(r => r.isNullAt(1) || r.getBoolean(1))
       .map(_.getString(0)).toIndexedSeq
     if (files.isEmpty)
       spark.read.parquet(manifestFiles(spark, tableDir, id): _*).where(lit(false))
-    else spark.read.parquet(files: _*)
+    else applyDeletes(spark, m, spark.read.parquet(files: _*))
   }
 
   /** (file, n_rows) rows for the files just written under `dataDir` — one
@@ -183,7 +261,7 @@ object Snapshot {
     * next to the required (file, n_rows) pair. */
   private def publish(tableDir: String, id: Long, manifest: DataFrame): Long = {
     val keep = manifest.columns.filter(c => c == "file" || c == "n_rows" ||
-      c.startsWith("min_") || c.startsWith("max_"))
+      c == "dv_dir" || c.startsWith("min_") || c.startsWith("max_"))
     manifest.select(keep.map(col).toIndexedSeq: _*)
       .coalesce(1) // |files| rows — one metadata file per snapshot
       .write.mode("overwrite").parquet(s"$tableDir/manifests/snap=$id")
@@ -382,6 +460,19 @@ object Snapshot {
           victims += f.getPath
       }
       victims.foreach { p => if (fs.delete(p, false)) deleted += 1 }
+    }
+    // deletion-vector dirs referenced by no retained manifest are
+    // artifacts like any other — reclaimed once compaction/history
+    // rotation stops listing them
+    val dvRoot = new org.apache.hadoop.fs.Path(s"$tableDir/dv")
+    if (fs.exists(dvRoot)) {
+      val referencedDv: Set[String] = keepIds
+        .flatMap(id => dvDirs(readManifest(spark, tableDir, id)))
+        .map(norm).toSet
+      fs.listStatus(dvRoot).toSeq
+        .filter(st => st.isDirectory &&
+          !referencedDv.contains(norm(st.getPath.toUri.toString)))
+        .foreach { st => if (fs.delete(st.getPath, true)) deleted += 1 }
     }
     dropIds.foreach(id => fs.delete(
       new org.apache.hadoop.fs.Path(s"$tableDir/manifests/snap=$id"), true))

@@ -120,7 +120,41 @@ object CurationQueries {
       t
     })
 
+  /** Build-once DELETION-VECTOR table (X159): two appends, a positional
+    * merge-on-read DELETE (every doc_id % 7 == 3 row present at delete
+    * time — no key column involved, the vector is (file, row_index)
+    * pairs), then a THIRD append whose rows include doc_id % 7 == 3
+    * members that must NOT be affected (the vector binds to the files it
+    * was computed over, never to future data). */
+  private val dvTableBuilt =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private[graft] def dvTableDir(s: SparkSession, dir: String): String =
+    dvTableBuilt.getOrElseUpdate(dir, {
+      val t = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_snapdv_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_")).getPath
+      val Snap = graft.operators.Snapshot
+      val d = Sources.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Snap.commitAppend(s, t, d.where(col("doc_id") % 3 === 1))
+      Snap.commitAppend(s, t, d.where(col("doc_id") % 3 === 2))
+      Snap.commitDelete(s, t, col("doc_id") % 7 === 3)
+      Snap.commitAppend(s, t, d.where(col("doc_id") % 3 === 0))
+      t
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // MERGE-ON-READ DELETE read (X159, round-16): the current snapshot of
+    // the deletion-vector table — rows deleted positionally (no key
+    // column) from the files present at delete time, while the post-delete
+    // append's doc_id % 7 == 3 rows survive untouched. The oracle replays
+    // the membership arithmetic; SnapshotSpec pins the physical claims
+    // (data files byte-immobile, time travel sees the rows, rewrite+vacuum
+    // retires the vector).
+    "corpus_snapshot_deleted_read" -> q((s, dir) =>
+      graft.operators.Snapshot.read(s, dvTableDir(s, dir))
+        .orderBy(col("doc_id"))),
 
     // WRITE-AUDIT-PUBLISH read (X158, round-16): resolve the table THROUGH
     // the "main" ref — the builder committed a corrupted candidate that
@@ -1220,6 +1254,14 @@ object CurationQueries {
         |         AS n_chars
         |FROM documents
         |WHERE doc_id % 10 <> 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // delete binds to the files present at delete time: the mod-3 ∈ {1,2}
+    // halves lose their doc_id%7=3 members, the post-delete mod-3 = 0
+    // append keeps ALL its rows
+    "corpus_snapshot_deleted_read" ->
+      raw"""SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 3 = 0 OR doc_id % 7 <> 3
         |ORDER BY doc_id""".stripMargin,
 
     // the published history is base(odd) + corrected(even) — the clean

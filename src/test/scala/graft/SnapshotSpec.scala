@@ -263,4 +263,51 @@ class SnapshotSpec extends AnyFunSuite {
         Seq((9L, "x")).toDF("id", "v"), parent = Some(42L)))
     } finally cleanup(t)
   }
+
+  test("deletion vectors: positional merge-on-read delete — files immobile, time travel intact, post-delete appends untouched, rewrite retires the vector") {
+    import spark.implicits._
+    val t = tmpTable()
+    try {
+      // two rows share every column value — a KEYED tombstone could not
+      // even name one of them; the positional vector can
+      Snapshot.commitAppend(spark, t,
+        Seq((1L, "keep"), (2L, "drop"), (2L, "drop")).toDF("id", "v"))
+      def dataFiles() = {
+        val d = new java.io.File(s"$t/data")
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(d).filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getPath, f.length, f.lastModified)).toSet
+      }
+      val filesBefore = dataFiles()
+      // the vector carries one (file, pos) entry PER OCCURRENCE — both
+      // identical rows are named individually, which no keyed form can do
+      Snapshot.commitDelete(spark, t, col("v") === "drop")
+      assert(Snapshot.read(spark, t).collect().map(_.getString(1)).toSeq
+        == Seq("keep"), "both positional duplicates must be gone")
+      assert(dataFiles() == filesBefore,
+        "a DV delete must not touch data files")
+      // time travel: the pre-delete snapshot still has all three rows
+      assert(Snapshot.readAt(spark, t, 0L).count() == 3)
+      // post-delete appends are outside the vector — even identical rows
+      Snapshot.commitAppend(spark, t, Seq((2L, "drop")).toDF("id", "v"))
+      assert(rows(Snapshot.read(spark, t)) == Set((1L, "keep"), (2L, "drop")),
+        "the vector binds to the files it was computed over")
+      // second delete is CUMULATIVE with the first
+      Snapshot.commitDelete(spark, t, col("id") === 1L)
+      assert(rows(Snapshot.read(spark, t)) == Set((2L, "drop")))
+      // physical application: rewrite the merge-on-read view, vacuum
+      Snapshot.commitRewrite(spark, t, Snapshot.read(spark, t))
+      val m = Snapshot.readManifest(spark, t,
+        Snapshot.currentSnapshotId(spark, t).get)
+      assert(!m.columns.contains("dv_dir") ||
+        m.where(col("dv_dir").isNotNull).count() == 0,
+        "a rewrite materializes survivors and drops the vector")
+      Snapshot.vacuum(spark, t, retainLast = 1)
+      assert(!new java.io.File(s"$t/dv").exists() ||
+        new java.io.File(s"$t/dv").listFiles().isEmpty,
+        "vacuum must reclaim unreferenced deletion vectors")
+      assert(rows(Snapshot.read(spark, t)) == Set((2L, "drop")))
+    } finally cleanup(t)
+  }
 }
